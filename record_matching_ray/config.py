@@ -1,0 +1,78 @@
+"""Pipeline configuration.
+
+The reference scatters its thresholds as constants (candidate distance 0.3
+at record_matching/main.py:557, cluster inclusion 0.97 at main.py:630, ANN
+beam 32 at main.py:179, PoC blocking thresholds 0.70/0.80 at
+claude_poc/entity-resolution_v4.py:304 and claude_poc_v2/...v2.py:1359-1360).
+Here they live in one frozen dataclass so every stage, test and bench run
+shares a single fingerprintable config (SURVEY.md §2.14).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+# Feature order is part of the contract (reference pins it as sorted(keys),
+# record_matching/main.py:452, 684). Weights vectors are always in this order.
+FEATURE_NAMES: tuple[str, ...] = (
+    "f_cosine",          # hashing-embedding cosine similarity of full text
+    "f_jaccard",         # token-set Jaccard of text shingle/token sets
+    "f_jaro_winkler",    # Jaro-Winkler similarity of the extracted name/title
+    "f_token_levenshtein",  # token-set Levenshtein ratio of names
+    "f_temporal",        # year-compatibility score
+)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- S1 extraction / feature computation -------------------------------
+    shingle_k: int = 3            # tokens per shingle for MinHash
+    num_perm: int = 64            # MinHash permutations
+    lsh_bands: int = 16           # bands (rows = num_perm // lsh_bands)
+    embed_dim: int = 64           # hashing-trick embedding dimension
+    max_tokens: int = 512         # cap tokens considered per page
+
+    # --- S2 blocking -------------------------------------------------------
+    use_host_blocks: bool = True
+    use_lsh_blocks: bool = True
+    hot_block_limit: int = 256    # block size above which the host block is salted
+    n_salts: int = 8              # salt fan-out for hot blocks
+    max_pairs_per_block: int = 65536  # hard cap; overflow counted, never silent
+
+    # --- S3 scoring --------------------------------------------------------
+    # Default weights used before/without training (reference trains logistic
+    # regression, main.py:444-486; sensible prior here, overridable by
+    # train_weights()).
+    intercept: float = -6.0
+    weights: tuple[float, ...] = (4.0, 3.0, 2.0, 2.0, 1.0)  # FEATURE_NAMES order
+    edge_threshold: float = 0.5   # score >= tau becomes a cluster edge
+                                  # (reference: 0.97 on its own calibration,
+                                  # main.py:630 — tau is calibration-specific)
+
+    # --- S4 clustering -----------------------------------------------------
+    max_cc_iters: int = 50        # label-propagation fixpoint bound
+
+    # --- execution ---------------------------------------------------------
+    scorer_batch_size: int = 8192
+    scorer_concurrency: int = 4   # actor-pool size for the scorer stage
+    extract_batch_size: int = 2048
+
+    def feature_names(self) -> tuple[str, ...]:
+        return FEATURE_NAMES
+
+    @property
+    def lsh_rows(self) -> int:
+        assert self.num_perm % self.lsh_bands == 0
+        return self.num_perm // self.lsh_bands
+
+    def fingerprint(self) -> str:
+        """Stable hash of the config — recorded in stage manifests so a
+        resumed run only reuses checkpoints produced under the same config."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = PipelineConfig()

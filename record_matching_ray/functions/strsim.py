@@ -1,0 +1,153 @@
+"""String-similarity scalar functions used by the pairwise scorer.
+
+Reference analogs (SURVEY.md §2.8): Levenshtein name similarity
+(claude_poc/entity-resolution_v4.py:588-603,
+claude_poc_v2/vector_enhanced_entity_resolution_v2.py:1009-1031), Jaccard on
+token sets (poc2:1250-1266), plus the Jaro-Winkler the north rule adds.
+Pure-python scalar cores with numpy batch wrappers; names are short strings
+so the per-pair cost is O(len^2) on tiny lengths. Batch wrappers memoize on
+the (left, right) unique pairs of the batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    match_dist = max(n1, n2) // 2 - 1
+    f1 = [False] * n1
+    f2 = [False] * n2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - match_dist)
+        hi = min(n2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not f2[j] and s2[j] == c:
+                f1[i] = f2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(n1):
+        if f1[i]:
+            while not f2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (matches / n1 + matches / n2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    jw = jaro(s1, s2)
+    if jw > 0.7:
+        prefix = 0
+        for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
+            if a == b:
+                prefix += 1
+            else:
+                break
+        jw += prefix * p * (1.0 - jw)
+    return jw
+
+
+def levenshtein(s1: str, s2: str) -> int:
+    """Classic two-row DP edit distance."""
+    if s1 == s2:
+        return 0
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    if not s2:
+        return len(s1)
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1):
+        cur = [i + 1]
+        for j, c2 in enumerate(s2):
+            cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+def levenshtein_ratio(s1: str, s2: str) -> float:
+    """1 - d/maxlen, the reference's name similarity (poc1:588-603)."""
+    if not s1 and not s2:
+        return 1.0
+    m = max(len(s1), len(s2))
+    return 1.0 - levenshtein(s1, s2) / m
+
+
+def token_set_levenshtein(s1: str, s2: str) -> float:
+    """Order-insensitive name similarity: sort tokens, then ratio.
+
+    Handles "Last, First" vs "First Last" without the reference's explicit
+    reorder rule (poc2:1033-1051) while matching its intent.
+    """
+    t1 = " ".join(sorted(s1.split()))
+    t2 = " ".join(sorted(s2.split()))
+    return levenshtein_ratio(t1, t2)
+
+
+def jaccard_tokens(s1: str, s2: str) -> float:
+    a, b = set(s1.split()), set(s2.split())
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 1.0
+
+
+def year_compatibility(y1: float, y2: float) -> float:
+    """Temporal similarity rule (simplified from poc2:803-915's rule table):
+    1.0 same year, decaying to 0 at >=25 years apart; 0.5 when either side
+    is unknown (NaN) — unknown is compatible-but-uninformative."""
+    if np.isnan(y1) or np.isnan(y2):
+        return 0.5
+    d = abs(y1 - y2)
+    if d == 0:
+        return 1.0
+    return max(0.0, 1.0 - d / 25.0)
+
+
+def _pairwise_batch(fn, left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """Apply a scalar pair fn over two object arrays, memoizing unique pairs."""
+    n = len(left)
+    out = np.empty(n, dtype=np.float64)
+    cache: dict[tuple, float] = {}
+    for i in range(n):
+        key = (left[i], right[i])
+        v = cache.get(key)
+        if v is None:
+            v = fn(left[i], right[i])
+            cache[key] = v
+        out[i] = v
+    return out
+
+
+def jaro_winkler_batch(left, right) -> np.ndarray:
+    return _pairwise_batch(jaro_winkler, np.asarray(left, object), np.asarray(right, object))
+
+
+def token_set_levenshtein_batch(left, right) -> np.ndarray:
+    return _pairwise_batch(token_set_levenshtein, np.asarray(left, object), np.asarray(right, object))
+
+
+def jaccard_tokens_batch(left, right) -> np.ndarray:
+    return _pairwise_batch(jaccard_tokens, np.asarray(left, object), np.asarray(right, object))
+
+
+def year_compat_batch(left, right) -> np.ndarray:
+    l = np.asarray(left, dtype=np.float64)
+    r = np.asarray(right, dtype=np.float64)
+    out = np.full(len(l), 0.5)
+    known = ~(np.isnan(l) | np.isnan(r))
+    d = np.abs(l[known] - r[known])
+    out[known] = np.maximum(0.0, 1.0 - d / 25.0)
+    return out

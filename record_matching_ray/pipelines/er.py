@@ -1,0 +1,140 @@
+"""The flagship entity-resolution pipeline (north rule, SURVEY.md §7.1).
+
+    read_parquet(pages url,warc_ts,html,text,lang)
+      S1 extract+features   map_batches (actor pool, zero-copy Arrow)
+      S2 blocking           emit block keys -> groupby(block_key) -> pairs
+      S3 scoring            actor pool with broadcast weights -> edges
+      S4 clustering         distributed label propagation -> (url, cluster_id)
+      S5 canonicalize       groupby(cluster_id) -> canonical entities
+
+Reference chain replaced: record_matching/main.py:858-871 (template ->
+dedup -> vectorize -> index -> ANN -> filter -> distances -> classify ->
+cluster). Each stage optionally checkpoints as partitioned Parquet +
+manifest and a rerun resumes from the last complete stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray
+import ray.data
+
+from record_matching_ray.config import PipelineConfig
+from record_matching_ray.functions.logistic import fit_logistic, roc_auc
+from record_matching_ray.stages import blocking, scoring
+from record_matching_ray.stages.canonicalize import canonicalize
+from record_matching_ray.stages.clustering import connected_components
+from record_matching_ray.stages.extract import ExtractFeatures
+from record_matching_ray.state import manifest as mf
+
+
+def build_features(
+    pages: ray.data.Dataset, cfg: PipelineConfig, concurrency: int | None = None
+) -> ray.data.Dataset:
+    """S1. Actor pool so the per-worker state (permutation bank, compiled
+    regexes) is built once per actor, not per batch."""
+    return pages.map_batches(
+        ExtractFeatures,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        # autoscaling pool (min 1): a fixed-size pool would reserve CPUs
+        # that the hash-shuffle aggregators downstream need to start
+        concurrency=(1, concurrency or cfg.scorer_concurrency),
+    )
+
+
+def train_weights_from_labeled(
+    features: ray.data.Dataset,
+    labeled_pairs: ray.data.Dataset,
+    cfg: PipelineConfig,
+    num_partitions: int = 16,
+) -> tuple[float, np.ndarray, float]:
+    """Logistic-regression weights from the labeled pair sample.
+
+    Distributed part: join labeled pairs to both sides' payloads and
+    compute per-pair feature vectors with the same scorer kernels used at
+    inference (so train/serve features can't drift). Driver part: the
+    small (pairs × features) matrix -> numpy gradient descent (reference:
+    sklearn liblinear at main.py:444-486). Returns (intercept, weights,
+    train AUC)."""
+    pairs = labeled_pairs.select_columns(["left", "right", "match"])
+    wide = blocking.attach_pair_payload(pairs, features, cfg, num_partitions)
+
+    import pyarrow as pa
+
+    def featurize(t: pa.Table) -> pa.Table:
+        X = scoring.compute_pair_features(t, cfg.embed_dim)
+        cols = {"match": t.column("match")}
+        for i, name in enumerate(cfg.feature_names()):
+            cols[name] = pa.array(X[:, i], pa.float64())
+        return pa.table(cols)
+
+    mat = wide.map_batches(featurize, batch_format="pyarrow").to_pandas()
+    X = mat[list(cfg.feature_names())].to_numpy()
+    y = mat["match"].to_numpy().astype(np.float64)
+    intercept, weights = fit_logistic(X, y)
+    from record_matching_ray.functions.logistic import predict_proba
+
+    auc = roc_auc(y, predict_proba(X, intercept, weights))
+    return intercept, weights, auc
+
+
+def run_er(
+    pages: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+    out_dir: str | None = None,
+    input_key: str = "",
+    weights: tuple[float, np.ndarray] | None = None,
+    num_partitions: int = 16,
+    feature_concurrency: int | None = None,
+) -> dict:
+    """Run S1..S5. If out_dir is set, every stage checkpoints to
+    out_dir/<stage>/ with a manifest and a rerun skips complete stages
+    (same config fingerprint + input_key). Returns dict of Datasets:
+    features, pairs, scored, edges, clusters, canonical."""
+    cfg = cfg or PipelineConfig()
+    fp = cfg.fingerprint() + ":" + input_key
+
+    def checkpoint(ds: ray.data.Dataset, stage: str) -> ray.data.Dataset:
+        if out_dir is None:
+            return ds
+        import os
+
+        sdir = os.path.join(out_dir, stage)
+        if mf.is_complete(sdir, fp):
+            return mf.read_stage(sdir)
+        mf.write_stage(ds, sdir, fp)
+        return mf.read_stage(sdir)
+
+    features = checkpoint(build_features(pages, cfg, feature_concurrency), "features")
+    if out_dir is None:
+        # features feed 4+ consumers (hot hosts, block keys, both payload
+        # joins, cluster nodes, canonicalize); without a parquet checkpoint,
+        # pin them once in the object store instead of re-running S1 per
+        # consumer. (With out_dir set, the checkpoint read serves this.)
+        features = features.materialize()
+    hot = blocking.compute_hot_hosts(features, cfg)
+    pairs = checkpoint(
+        blocking.generate_candidate_pairs(features, cfg, hot), "pairs"
+    )
+    wide = blocking.attach_pair_payload(pairs, features, cfg, num_partitions)
+    scored = checkpoint(scoring.score_pairs(wide, cfg, weights), "scored")
+    edges = checkpoint(scoring.edges_from_scores(scored, cfg), "edges")
+    clusters = checkpoint(
+        connected_components(
+            edges, nodes=features.select_columns(["url"]), max_iters=cfg.max_cc_iters
+        ),
+        "clusters",
+    )
+    canonical = checkpoint(canonicalize(clusters, features, num_partitions), "canonical")
+    return {
+        "features": features,
+        "pairs": pairs,
+        "scored": scored,
+        "edges": edges,
+        "clusters": clusters,
+        "canonical": canonical,
+        "hot_hosts": hot,
+    }

@@ -1,0 +1,224 @@
+"""S4 — transitive clustering: connected components over an edge Dataset.
+
+Replaces the reference's driver-resident scipy DisjointSet over a streamed
+prediction table (record_matching/main.py:629-651) and networkx
+connected_components (claude_poc_v2/...v2.py:1929-1960) with distributed
+min-label propagation (Hash-to-Min flavored):
+
+    labels[u] = u  initially
+    each round:
+      aug edges = graph edges ∪ label links (u, label[u])   # safe shortcut:
+                  # label[u] is always in u's component, so augmenting keeps
+                  # components identical while halving path lengths
+      every node's current label is offered to all its aug-neighbors via ONE
+      tagged union + groupby(key) pass (no Dataset.join):
+        rows (key=node, kind=0, payload=label)          carry the label
+        rows (key=b,    kind=1, payload=a) per directed  carry the receivers
+      per group: emit (node=receiver, label=group label) for all receivers
+      new labels = groupby(node).min(label)              # second shuffle
+    until the (node,label) relation's order-independent checksum is stable.
+
+Labels only ever decrease (lexicographic min url), so the fixpoint is
+deterministic and cluster_id = min url of its component — the
+deterministic-id rule the tests and resume-identity checks rely on
+(SURVEY.md §7.5). Two hash shuffles per round, keys = node; O(log n)
+rounds in practice thanks to the label-link shortcuts.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from record_matching_ray.functions.hashing import _U64, hash_strings, mix64
+from record_matching_ray.functions.union_find import UnionFind
+
+
+def _label_checksum(labels: ray.data.Dataset) -> int:
+    """Order-independent uint64 checksum of the (node, label) relation —
+    fixpoint detection without joining against the previous round."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = mix64(
+            hash_strings(t.column("node").to_pylist())
+            ^ mix64(hash_strings(t.column("label").to_pylist()))
+        )
+        return pa.table({"partial": pa.array([int(h.sum(dtype=_U64))], pa.uint64())})
+
+    total = 0
+    for row in labels.map_batches(partial, batch_format="pyarrow").take_all():
+        total = (total + int(row["partial"])) & 0xFFFFFFFFFFFFFFFF
+    return total
+
+
+def _min_label_per_node(candidates: ray.data.Dataset) -> ray.data.Dataset:
+    """groupby(node).min(label), with a per-batch partial combine first so
+    the shuffle moves one row per (node, batch), not one per candidate."""
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["node", "label"]), "node").aggregate(
+            [("label", "min")]
+        )
+        return g.rename_columns(["node", "label"])
+
+    partials = candidates.map_batches(partial_min, batch_format="pyarrow")
+    out = partials.groupby("node").min("label")
+    out = out.rename_columns({"min(label)": "label"})
+    # groupby emits zero-column empty blocks for empty hash partitions;
+    # conform them so the next round's join doesn't choke (util.conformed)
+    from record_matching_ray.stages.util import conformed
+
+    return conformed(
+        out, pa.schema([("node", pa.string()), ("label", pa.string())])
+    )
+
+
+def _propagate_round(
+    labels: ray.data.Dataset, directed_edges: ray.data.Dataset, num_partitions: int
+) -> ray.data.Dataset:
+    """One round: every node's label flows to its aug-neighborhood.
+
+    aug edges = graph edges ∪ label links (u <-> label[u], both directions);
+    one hash-shuffle join (Acero kernel per partition) attaches label[src],
+    then groupby(node).min(label) folds the offers in.
+    """
+
+    def label_links(t: pa.Table) -> pa.Table:
+        node = t.column("node").combine_chunks()
+        label = t.column("label").combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([node, label]),
+                "dst": pa.concat_arrays([label, node]),
+            }
+        )
+
+    aug = directed_edges.union(
+        labels.map_batches(label_links, batch_format="pyarrow")
+    )
+    msgs = aug.join(
+        labels,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        right_on=("node",),
+    ).map_batches(
+        lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
+        batch_format="pyarrow",
+    )
+    return _min_label_per_node(msgs.union(labels))
+
+
+def _contract_batch(t: pa.Table) -> pa.Table:
+    """Union-find within one edge block: replace the block's edges by the
+    star edges (node -> block-local component min). A per-entity clique of
+    k nodes collapses from k(k-1)/2 edges to k-1 — the big shrink before
+    any shuffle (partial-combine idea applied to connectivity)."""
+    src = t.column("left").to_pylist()
+    dst = t.column("right").to_pylist()
+    uf = UnionFind()
+    for a, b in zip(src, dst):
+        uf.union(a, b)
+    comp = uf.components()
+    lefts, rights = [], []
+    for node, rep in comp.items():
+        if node != rep:
+            lefts.append(rep)
+            rights.append(node)
+    return pa.table(
+        {
+            "left": pa.array(lefts, pa.string()),
+            "right": pa.array(rights, pa.string()),
+        }
+    )
+
+
+def contract_edges(edges: ray.data.Dataset, rounds: int = 2) -> ray.data.Dataset:
+    """Shrink an edge set while preserving connectivity: per-block
+    union-find contraction, then sort by node to co-locate each node's
+    remaining edges and contract again. Output is typically one star edge
+    per non-singleton node; correctness does NOT depend on convergence —
+    the label-propagation loop finishes whatever remains."""
+    out = edges.select_columns(["left", "right"])
+    for r in range(rounds):
+        if r > 0:
+            out = out.sort("left")
+        out = out.map_batches(_contract_batch, batch_format="pyarrow")
+    return out
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset | None = None,
+    max_iters: int = 50,
+    pre_contract: bool = True,
+) -> ray.data.Dataset:
+    """edges (left, right) [+ optional nodes (url)] -> (url, cluster_id).
+
+    cluster_id = lexicographic min url of the component. Isolated nodes
+    (in `nodes` but no edge) form singleton clusters.
+    """
+    if pre_contract:
+        edges = contract_edges(edges)
+
+    def directed(t: pa.Table) -> pa.Table:
+        l = t.column("left").combine_chunks()
+        r = t.column("right").combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([l, r]),
+                "dst": pa.concat_arrays([r, l]),
+            }
+        )
+
+    directed_edges = edges.select_columns(["left", "right"]).map_batches(
+        directed, batch_format="pyarrow"
+    ).materialize()
+
+    def init_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("src"), "label": t.column("src")})
+
+    seeds = directed_edges.map_batches(init_rows, batch_format="pyarrow")
+    if nodes is not None:
+        seeds = seeds.union(
+            nodes.select_columns(["url"]).map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("url"), "label": t.column("url")}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    num_partitions = max(8, directed_edges.num_blocks())
+    # repartition before materialize: merges away the zero-column empty
+    # blocks hash-shuffle groupbys emit for empty partitions, which would
+    # otherwise poison the next round's Acero join (first-block schema)
+    labels = _min_label_per_node(seeds).repartition(num_partitions).materialize()
+    checksum = _label_checksum(labels)
+
+    for _ in range(max_iters):
+        new_labels = (
+            _propagate_round(labels, directed_edges, num_partitions)
+            .repartition(num_partitions)
+            .materialize()
+        )
+        new_checksum = _label_checksum(new_labels)
+        labels = new_labels
+        if new_checksum == checksum:
+            break
+        checksum = new_checksum
+
+    return labels.rename_columns({"node": "url", "label": "cluster_id"})
+
+
+def connected_components_driver(
+    edge_pairs: list[tuple[str, str]], nodes: list[str] | None = None
+) -> dict[str, str]:
+    """Driver union-find oracle (reference semantics, main.py:629-651)."""
+    uf = UnionFind()
+    for a, b in edge_pairs:
+        uf.union(a, b)
+    for n in nodes or []:
+        uf.add(n)
+    return uf.components()

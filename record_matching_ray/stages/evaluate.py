@@ -1,0 +1,136 @@
+"""S-eval — pair-level metrics + adjusted Rand index.
+
+Reference semantics: recall() expands predicted clusters to pairs and
+joins them against the truth pairs (inner = TP, anti = FP/FN) printing
+TP/FP/FN, precision, FDR, recall, F1 (record_matching/main.py:731-795);
+adjusted_rand_score vs the CID column (main.py:715-728). This is the
+harness for the pairwise-F1 >= 0.99 gate (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from record_matching_ray.functions.logistic import adjusted_rand_index
+
+
+@dataclass
+class PairMetrics:
+    tp: int
+    fp: int
+    fn: int
+    tn: int
+
+    @property
+    def precision(self) -> float:
+        d = self.tp + self.fp
+        return self.tp / d if d else 0.0
+
+    @property
+    def recall(self) -> float:
+        d = self.tp + self.fn
+        return self.tp / d if d else 0.0
+
+    @property
+    def f1(self) -> float:
+        p, r = self.precision, self.recall
+        return 2 * p * r / (p + r) if (p + r) else 0.0
+
+    @property
+    def fdr(self) -> float:
+        d = self.tp + self.fp
+        return self.fp / d if d else 0.0
+
+
+def attach_cluster_ids(
+    labeled_pairs: ray.data.Dataset,
+    clusters: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """labeled (left, right, match) ⋈ clusters(url, cluster_id) twice ->
+    (left, right, match, cid_l, cid_r). Distributed hash joins — the
+    cluster map is NOT collected to the driver (poc2 does the equivalent
+    lookup per pair in pandas, poc2:2253-2299; that can't scale)."""
+    side = clusters.select_columns(["url", "cluster_id"])
+    out = labeled_pairs.join(
+        side,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("left",),
+        right_on=("url",),
+    ).rename_columns({"cluster_id": "cid_l"})
+    out = out.join(
+        side,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("right",),
+        right_on=("url",),
+    ).rename_columns({"cluster_id": "cid_r"})
+    return out
+
+
+def pairwise_metrics_on_labeled(
+    labeled_pairs: ray.data.Dataset,
+    clusters: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> PairMetrics:
+    """Confusion counts over the labeled pairs: predicted-match iff both
+    urls landed in the same cluster (same-cluster ⇔ match evaluation,
+    poc2:2208-2321 / main.py:771-795 semantics). Counts are aggregated
+    per batch then summed — only 4 ints reach the driver."""
+    joined = attach_cluster_ids(labeled_pairs, clusters, num_partitions)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        match = t.column("match").to_numpy(zero_copy_only=False).astype(bool)
+        cid_l = t.column("cid_l").to_pylist()
+        cid_r = t.column("cid_r").to_pylist()
+        pred = np.array(
+            [a is not None and a == b for a, b in zip(cid_l, cid_r)], dtype=bool
+        )
+        return pa.table(
+            {
+                "tp": pa.array([int((match & pred).sum())], pa.int64()),
+                "fp": pa.array([int((~match & pred).sum())], pa.int64()),
+                "fn": pa.array([int((match & ~pred).sum())], pa.int64()),
+                "tn": pa.array([int((~match & ~pred).sum())], pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(partial_counts, batch_format="pyarrow").take_all()
+    return PairMetrics(
+        tp=sum(r["tp"] for r in parts),
+        fp=sum(r["fp"] for r in parts),
+        fn=sum(r["fn"] for r in parts),
+        tn=sum(r["tn"] for r in parts),
+    )
+
+
+def adjusted_rand_vs_truth(
+    clusters: ray.data.Dataset,
+    truth: ray.data.Dataset,
+    num_partitions: int = 16,
+    sample_n: int | None = None,
+) -> float:
+    """ARI of predicted cluster_id vs truth entity_id, joined on url.
+
+    The contingency table needs aligned label vectors; they are collected
+    to the driver (bounded: one small row per url — at true web scale pass
+    sample_n to compute a sampled ARI, SURVEY.md §2.5)."""
+    joined = clusters.join(
+        truth.select_columns(["url", "entity_id"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("url",),
+        right_on=("url",),
+    ).select_columns(["cluster_id", "entity_id"])
+    if sample_n is not None:
+        joined = joined.random_sample(1.0, seed=17).limit(sample_n)
+    rows = joined.take_all()
+    pred = np.array([r["cluster_id"] for r in rows], dtype=object)
+    true = np.array([r["entity_id"] for r in rows])
+    return adjusted_rand_index(true, pred)

@@ -1,0 +1,90 @@
+"""Per-stage checkpointing: partitioned Parquet + _MANIFEST.json.
+
+The reference's implicit checkpointing is "every CLI stage writes a Parquet
+dir and can be rerun by hand" with no manifests and non-atomic partial
+flushes (record_matching/main.py:562-577, pyproject.toml:22-41). Here each
+stage writes atomically (temp dir + rename), records a manifest with the
+config+input fingerprint, row count and stage counters, and a resumed run
+skips any stage whose manifest matches — `resume_from` semantics per the
+north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import pyarrow.parquet as pq
+
+import ray.data
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _manifest_path(stage_dir: str) -> str:
+    return os.path.join(stage_dir, MANIFEST_NAME)
+
+
+def is_complete(stage_dir: str, fingerprint: str) -> bool:
+    """A stage checkpoint is reusable iff its manifest exists, is marked
+    complete and was produced under the same (config, input) fingerprint."""
+    try:
+        with open(_manifest_path(stage_dir)) as f:
+            m = json.load(f)
+        return bool(m.get("complete")) and m.get("fingerprint") == fingerprint
+    except (OSError, json.JSONDecodeError):
+        return False
+
+
+def write_stage(
+    ds: ray.data.Dataset,
+    stage_dir: str,
+    fingerprint: str,
+    counters: dict | None = None,
+) -> dict:
+    """Atomically checkpoint a Dataset: write parquet to a temp dir, count
+    rows from the written file metadata (no extra dataset pass), write the
+    manifest, then rename into place. Returns the manifest dict."""
+    parent = os.path.dirname(stage_dir.rstrip("/"))
+    os.makedirs(parent, exist_ok=True)
+    tmp = f"{stage_dir.rstrip('/')}.tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        ds.write_parquet(tmp)
+        rows = 0
+        files = []
+        for fn in sorted(os.listdir(tmp)):
+            if fn.endswith(".parquet"):
+                rows += pq.read_metadata(os.path.join(tmp, fn)).num_rows
+                files.append(fn)
+        manifest = {
+            "complete": True,
+            "fingerprint": fingerprint,
+            "rows": rows,
+            "files": files,
+            "counters": counters or {},
+        }
+        with open(os.path.join(tmp, MANIFEST_NAME), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        if os.path.exists(stage_dir):
+            shutil.rmtree(stage_dir)
+        os.rename(tmp, stage_dir)
+        return manifest
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def read_stage(stage_dir: str) -> ray.data.Dataset:
+    files = [
+        os.path.join(stage_dir, fn)
+        for fn in sorted(os.listdir(stage_dir))
+        if fn.endswith(".parquet")
+    ]
+    return ray.data.read_parquet(files)
+
+
+def read_manifest(stage_dir: str) -> dict:
+    with open(_manifest_path(stage_dir)) as f:
+        return json.load(f)

@@ -1,0 +1,81 @@
+"""End-to-end gates (SURVEY.md §7.2 step 5 + north rule):
+pairwise F1 >= 0.99 on the labeled corpus at the reference blocking key,
+ARI vs truth clusters, resume-identity from checkpoints."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from record_matching_ray.config import PipelineConfig
+from record_matching_ray.pipelines.er import (
+    build_features,
+    run_er,
+    train_weights_from_labeled,
+)
+from record_matching_ray.stages.evaluate import (
+    adjusted_rand_vs_truth,
+    pairwise_metrics_on_labeled,
+)
+from record_matching_ray.testgen import make_pages
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pages, labeled, truth = make_pages(800, 160, 42)
+    return (
+        rd.from_arrow(pages).materialize(),
+        rd.from_arrow(labeled).materialize(),
+        rd.from_arrow(truth).materialize(),
+    )
+
+
+def test_f1_gate(corpus):
+    pages_ds, lab_ds, truth_ds = corpus
+    cfg = PipelineConfig()
+    res = run_er(pages_ds, cfg, num_partitions=4, feature_concurrency=2)
+    clusters = res["clusters"].materialize()
+    m = pairwise_metrics_on_labeled(lab_ds, clusters, num_partitions=4)
+    assert m.f1 >= 0.99, f"F1={m.f1} (tp={m.tp} fp={m.fp} fn={m.fn})"
+    ari = adjusted_rand_vs_truth(clusters, truth_ds, num_partitions=4)
+    assert ari >= 0.95, f"ARI={ari}"
+
+
+def test_trained_weights_f1(corpus):
+    pages_ds, lab_ds, truth_ds = corpus
+    cfg = PipelineConfig()
+    feats = build_features(pages_ds, cfg, concurrency=2).materialize()
+    intercept, w, auc = train_weights_from_labeled(feats, lab_ds, cfg, num_partitions=4)
+    assert auc > 0.99
+    res = run_er(
+        pages_ds, cfg, weights=(intercept, w), num_partitions=4, feature_concurrency=2
+    )
+    m = pairwise_metrics_on_labeled(lab_ds, res["clusters"].materialize(), num_partitions=4)
+    assert m.f1 >= 0.99, f"trained F1={m.f1}"
+
+
+def test_resume_identity(tmp_path, corpus):
+    """A resumed run must produce identical clusters (SURVEY.md §7.5)."""
+    pages_ds, _, _ = corpus
+    cfg = PipelineConfig()
+    out = str(tmp_path / "ckpt")
+    r1 = run_er(pages_ds, cfg, out_dir=out, input_key="corpus1",
+                num_partitions=4, feature_concurrency=2)
+    c1 = sorted(
+        (r["url"], r["cluster_id"]) for r in r1["clusters"].take_all()
+    )
+    # second run: all stages must be skipped (manifests present) and the
+    # result identical
+    r2 = run_er(pages_ds, cfg, out_dir=out, input_key="corpus1",
+                num_partitions=4, feature_concurrency=2)
+    c2 = sorted(
+        (r["url"], r["cluster_id"]) for r in r2["clusters"].take_all()
+    )
+    assert c1 == c2
+    # changed config fingerprint -> checkpoint not reused
+    from record_matching_ray.state import manifest as mf
+
+    assert mf.is_complete(out + "/clusters", cfg.fingerprint() + ":corpus1")
+    assert not mf.is_complete(
+        out + "/clusters", PipelineConfig(edge_threshold=0.9).fingerprint() + ":corpus1"
+    )
