@@ -4,13 +4,16 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code it calls) invokes ``ray.init`` /
+``ray.shutdown``.
+
+Float-oracle parity convention (see pipelines/analytics.py docstring):
+money sums are exact integer cents; any float column is either read
+straight from parquet (min/max) or derived from exact integer operands
+with the identical expression on both sides, rounded to 6 decimals.
 """
 
 from __future__ import annotations
@@ -18,27 +21,225 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import ray.data
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: near-dup document clustering over sf0.001 documents."""
+    from record_matching_ray.pipelines.docs_er import cluster_documents
+
+    return cluster_documents("/root/testdata/sf0.001")
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _embs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+# --- SQL-checked queries ----------------------------------------------------
+
+
+def _exact_dedup_docs(sf_dir: str):
+    from record_matching_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _doc_token_stats(sf_dir: str):
+    from record_matching_ray.stages.textstats import run_token_stats
+
+    return run_token_stats(_docs(sf_dir))
+
+
+def _doc_quality(sf_dir: str):
+    from record_matching_ray.stages.textstats import run_quality
+
+    return run_quality(_docs(sf_dir))
+
+
+def _lang_source_counts(sf_dir: str):
+    import pyarrow as pa
+    from record_matching_ray.stages.util import conformed
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["lang", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "cnt"])
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .sum("cnt")
+        .rename_columns({"sum(cnt)": "cnt"})
+    )
+    return conformed(
+        out,
+        pa.schema([("lang", pa.string()), ("source", pa.string()), ("cnt", pa.int64())]),
+    )
+
+
+def _knn_bruteforce(sf_dir: str):
+    from record_matching_ray.stages.knn import knn_bruteforce, load_query_matrix
+
+    embs = _embs(sf_dir)
+    Q, qids = load_query_matrix(embs, n_queries=5)
+    return knn_bruteforce(embs, Q, qids, k=10)
+
+
+# --- rows-only (non-SQL-expressible) queries --------------------------------
+
+
+def _er_clusters_documents(sf_dir: str):
+    from record_matching_ray.pipelines.docs_er import cluster_documents
+
+    return cluster_documents(sf_dir)
+
+
+def _canonical_documents(sf_dir: str):
+    from record_matching_ray.pipelines.docs_er import canonical_documents
+
+    return canonical_documents(sf_dir)
+
+
+def _minhash_neardup(sf_dir: str):
+    from record_matching_ray.stages.dedup import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(_docs(sf_dir))
+
+
+def _simhash_neardup(sf_dir: str):
+    from record_matching_ray.stages.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(sf_dir))
+
+
+def _ngram_jaccard(sf_dir: str):
+    from record_matching_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir))
+
+
+def _embedding_neardup(sf_dir: str):
+    from record_matching_ray.stages.dedup import embedding_neardup_pairs
+
+    # testdata embeddings top out near cosine 0.5 — 0.4 with 4-bit bands
+    # (16 bands) keeps collision probability ~0.94 at the threshold angle
+    return embedding_neardup_pairs(
+        _embs(sf_dir), dim=64, threshold=0.4, n_bits=16, band_bits=4, n_tables=4
+    )
+
+
+def _knn_lsh(sf_dir: str):
+    from record_matching_ray.stages.knn import knn_lsh, load_query_matrix
+
+    embs = _embs(sf_dir)
+    Q, qids = load_query_matrix(embs, n_queries=5)
+    return knn_lsh(embs, Q, qids, k=10)
+
+
+def _langid_docs(sf_dir: str):
+    from record_matching_ray.stages.textstats import run_langid
+
+    return run_langid(_docs(sf_dir))
+
+
+def _doc_fingerprints(sf_dir: str):
+    from record_matching_ray.stages.textstats import run_fingerprints
+
+    return run_fingerprints(_docs(sf_dir)).select_columns(["doc_id", "n_fingerprints"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from record_matching_ray.pipelines import analytics as an
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational coverage (SURVEY.md §2.4-2.7) — SQL-checked
+        "q1_lineitem": an.q1_lineitem,
+        "top_customers": an.top_customers,
+        "nation_rollup": an.nation_rollup,
+        "customers_no_orders": an.customers_no_orders,
+        "events_by_type": an.events_by_type,
+        "orders_by_month": an.orders_by_month,
+        "part_type_stats": an.part_type_stats,
+        # training-data ops over documents/embeddings — SQL-checked
+        "exact_dedup_docs": _exact_dedup_docs,
+        "doc_token_stats": _doc_token_stats,
+        "doc_quality": _doc_quality,
+        "lang_source_counts": _lang_source_counts,
+        "knn_bruteforce": _knn_bruteforce,
+        # ER + sketch near-dup family — rows-only (non-SQL-expressible)
+        "er_clusters_documents": _er_clusters_documents,
+        "canonical_documents": _canonical_documents,
+        "minhash_neardup_docs": _minhash_neardup,
+        "simhash_neardup_docs": _simhash_neardup,
+        "ngram_jaccard_docs": _ngram_jaccard,
+        "embedding_neardup": _embedding_neardup,
+        "knn_lsh": _knn_lsh,
+        "langid_docs": _langid_docs,
+        "doc_fingerprints": _doc_fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from record_matching_ray.pipelines import analytics as an
+
+    return {
+        "q1_lineitem": an.Q1_SQL,
+        "top_customers": an.TOP_CUSTOMERS_SQL,
+        "nation_rollup": an.NATION_ROLLUP_SQL,
+        "customers_no_orders": an.CUSTOMERS_NO_ORDERS_SQL,
+        "events_by_type": an.EVENTS_BY_TYPE_SQL,
+        "orders_by_month": an.ORDERS_BY_MONTH_SQL,
+        "part_type_stats": an.PART_TYPE_STATS_SQL,
+        "exact_dedup_docs": """
+            SELECT md5(text) AS text_hash, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
+            FROM documents GROUP BY text
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                       t -> t IN ('the','a','of','and','in'))) AS stop_cnt,
+                   length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct_cnt,
+                   round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                       t -> t IN ('the','a','of','and','in'))) AS DOUBLE)
+                       / len(string_split_regex(trim(text), '\s+')), 6) AS stop_ratio
+            FROM documents
+        """,
+        "lang_source_counts": """
+            SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              ORDER BY vec_id LIMIT 5
+            ),
+            scored AS (
+              SELECT q.qid, e.vec_id AS nid,
+                     round(list_cosine_similarity(
+                         CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id != q.qid
+            ),
+            ranked AS (
+              SELECT qid, nid, cos_sim,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos_sim DESC, nid) AS rank
+              FROM scored
+            )
+            SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 10
+        """,
+    }

@@ -1,0 +1,460 @@
+"""Relational operator coverage over the TPC-H-ish test tables.
+
+Each function here is one ``queries()`` entry in __ray_entry__ with a
+DuckDB oracle — the SQL-expressible slice of SURVEY.md §2 (joins §2.4,
+aggregations §2.5, sorts/top-k §2.6, set-ops/anti-joins §2.7), expressed
+Ray-Data-first:
+
+- aggregations pre-combine inside ``map_batches`` (partial aggregates) so
+  the shuffle moves one row per (key, batch), not one per input row —
+  SURVEY.md §4 "push aggregation partial";
+- small dimension tables (nation/region) are broadcast via ``ray.put``
+  into the batch fn instead of shuffled — broadcast-join pattern;
+- float oracle parity: money columns are aggregated as exact integer
+  cents (``int64(round(x*100))``); any derived float is computed from the
+  same exact operands on both sides (IEEE division is deterministic), so
+  the driver's value-hash comparison can't be broken by summation order.
+
+Column prune note: every reader passes ``columns=[...]`` — only the
+needed columns leave the parquet files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from record_matching_ray.stages.util import conformed
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    return np.rint(x * 100.0).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregation with partial combine — TPC-H Q1 flavor
+
+
+def q1_lineitem(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        prep = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty_c": pa.array(_cents(t.column("l_quantity")), pa.int64()),
+                "sum_price_c": pa.array(_cents(t.column("l_extendedprice")), pa.int64()),
+                "sum_disc_c": pa.array(_cents(t.column("l_discount")), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(prep, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty_c", "sum"), ("sum_price_c", "sum"), ("sum_disc_c", "sum"),
+             ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_price_c", "sum_disc_c", "cnt"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum(on="sum_qty_c", alias_name="sum_qty_c"),
+            Sum(on="sum_price_c", alias_name="sum_price_c"),
+            Sum(on="sum_disc_c", alias_name="sum_disc_c"),
+            Sum(on="cnt", alias_name="cnt"),
+        )
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        # avg derived from exact ints with the same expression as the SQL
+        # oracle: round(sum_qty_c / 100.0 / cnt, 6)
+        sq = t.column("sum_qty_c").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        avg = np.round(sq / 100.0 / n, 6)
+        return t.append_column("avg_qty", pa.array(avg, pa.float64()))
+
+    schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("sum_qty_c", pa.int64()),
+            ("sum_price_c", pa.int64()),
+            ("sum_disc_c", pa.int64()),
+            ("cnt", pa.int64()),
+        ]
+    )
+    return conformed(out, schema).map_batches(derive, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(ROUND(l_quantity*100) AS BIGINT))      AS sum_qty_c,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
+       SUM(CAST(ROUND(l_discount*100) AS BIGINT))      AS sum_disc_c,
+       COUNT(*)                                        AS cnt,
+       ROUND(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 / COUNT(*), 6) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 join + §2.6 top-k — revenue per customer
+
+
+def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        prep = pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "revenue_c": pa.array(_cents(t.column("o_totalprice")), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(prep, "o_custkey").aggregate(
+            [("revenue_c", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["o_custkey", "revenue_c", "n_orders"])
+
+    from ray.data.aggregate import Sum
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum(on="revenue_c", alias_name="revenue_c"),
+            Sum(on="n_orders", alias_name="n_orders"),
+        )
+    )
+    per_cust = conformed(
+        per_cust,
+        pa.schema(
+            [("o_custkey", pa.int64()), ("revenue_c", pa.int64()), ("n_orders", pa.int64())]
+        ),
+    )
+    joined = per_cust.join(
+        customer, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    top = joined.sort(["revenue_c", "o_custkey"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "c_name": t.column("c_name"),
+                "n_orders": t.column("n_orders"),
+                "revenue_c": t.column("revenue_c"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS revenue_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue_c DESC, c_custkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# broadcast join of small dims (§2.4: "broadcast small sides with ray.put")
+
+
+def nation_rollup(sf_dir: str) -> ray.data.Dataset:
+    customer = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    nation = pa.Table.from_pylist(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).take_all()
+    )
+    region = pa.Table.from_pylist(
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+    )
+    n2name = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+    n2reg = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist()))
+    r2name = dict(zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()))
+    lookup_ref = ray.put((n2name, n2reg, r2name))
+
+    def partial(t: pa.Table) -> pa.Table:
+        n2n, n2r, r2n = ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
+        nk = t.column("c_nationkey").to_pylist()
+        prep = pa.table(
+            {
+                "r_name": pa.array([r2n[n2r[x]] for x in nk], pa.string()),
+                "n_name": pa.array([n2n[x] for x in nk], pa.string()),
+                "acctbal_c": pa.array(_cents(t.column("c_acctbal")), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(prep, ["r_name", "n_name"]).aggregate(
+            [("acctbal_c", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["r_name", "n_name", "acctbal_c", "n_customers"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        customer.map_batches(partial, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(
+            Sum(on="acctbal_c", alias_name="acctbal_c"),
+            Sum(on="n_customers", alias_name="n_customers"),
+        )
+    )
+    return conformed(
+        out,
+        pa.schema(
+            [
+                ("r_name", pa.string()),
+                ("n_name", pa.string()),
+                ("acctbal_c", pa.int64()),
+                ("n_customers", pa.int64()),
+            ]
+        ),
+    )
+
+
+NATION_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS acctbal_c,
+       COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# anti-join (§2.4/§2.7): customers with no orders
+
+
+def customers_no_orders(sf_dir: str, min_price: float = 400_000.0) -> ray.data.Dataset:
+    """Customers with no high-value order (> min_price) — anti-join via
+    left join + null filter. The price filter keeps the result non-empty
+    at every scale factor (a fully-empty Dataset loses its schema through
+    ``to_pandas``, a Ray quirk that would false-fail the oracle compare)."""
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], min_price)).select(["o_custkey"])
+        g = pa.TableGroupBy(t, "o_custkey").aggregate([([], "count_all")])
+        return g.rename_columns(["o_custkey", "cnt"])
+
+    buyers = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum("cnt")
+    )
+    buyers = conformed(
+        buyers, pa.schema([("o_custkey", pa.int64()), ("sum(cnt)", pa.int64())])
+    )
+    left = customer.join(
+        buyers, join_type="left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    return left.map_batches(
+        lambda t: t.filter(pc.is_null(t["sum(cnt)"])).select(["c_custkey", "c_name"]),
+        batch_format="pyarrow",
+    )
+
+
+CUSTOMERS_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# two-level distinct aggregate over events
+
+
+def events_by_type(sf_dir: str) -> ray.data.Dataset:
+    events = _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["event_type", "ts"]), "event_type").aggregate(
+            [([], "count_all"), ("ts", "min"), ("ts", "max")]
+        )
+        return g.rename_columns(["event_type", "cnt", "min_ts", "max_ts"])
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    base = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum(on="cnt", alias_name="cnt"),
+            Min(on="min_ts", alias_name="min_ts"),
+            Max(on="max_ts", alias_name="max_ts"),
+        )
+    )
+
+    # COUNT(DISTINCT user_id): two-level groupby — dedup (event_type,
+    # user_id) first (partial per batch, then shuffle on the pair), then
+    # count per event_type.
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["event_type", "user_id"]), ["event_type", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "user_id", "c"])
+
+    pairs = (
+        events.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .sum("c")
+    )
+    pairs = conformed(
+        pairs,
+        pa.schema([("event_type", pa.string()), ("user_id", pa.int64()), ("sum(c)", pa.int64())]),
+    )
+
+    def one_per_user(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["event_type"]), "event_type").aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "n_users"])
+
+    nusers = (
+        pairs.map_batches(one_per_user, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum("n_users")
+    )
+    nusers = conformed(
+        nusers, pa.schema([("event_type", pa.string()), ("sum(n_users)", pa.int64())])
+    )
+    out = base.join(
+        nusers, join_type="inner", num_partitions=4, on=("event_type",),
+    ).rename_columns({"sum(n_users)": "n_users"})
+    return conformed(
+        out,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("cnt", pa.int64()),
+                ("min_ts", pa.timestamp("us")),
+                ("max_ts", pa.timestamp("us")),
+                ("n_users", pa.int64()),
+            ]
+        ),
+    )
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type, COUNT(*) AS cnt, MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# filter + temporal bucketing (§2.2 parsers/filters + date functions)
+
+
+def orders_by_month(sf_dir: str, min_price: float = 100_000.0) -> ray.data.Dataset:
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["o_totalprice"], min_price)
+        t = t.filter(keep)
+        month = pc.floor_temporal(t["o_orderdate"], unit="month")
+        prep = pa.table(
+            {
+                "month": month,
+                "revenue_c": pa.array(_cents(t.column("o_totalprice")), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(prep, "month").aggregate(
+            [("revenue_c", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["month", "revenue_c", "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Sum(on="revenue_c", alias_name="revenue_c"),
+            Sum(on="cnt", alias_name="cnt"),
+        )
+    )
+    return conformed(
+        out,
+        pa.schema(
+            [("month", pa.timestamp("us")), ("revenue_c", pa.int64()), ("cnt", pa.int64())]
+        ),
+    )
+
+
+ORDERS_BY_MONTH_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS revenue_c,
+       COUNT(*) AS cnt
+FROM orders WHERE o_totalprice > 100000
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# min/max aggregate (exact floats) over part
+
+
+def part_type_stats(sf_dir: str) -> ray.data.Dataset:
+    part = _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "p_type").aggregate(
+            [([], "count_all"), ("p_retailprice", "min"), ("p_retailprice", "max"),
+             ("p_size", "max")]
+        )
+        return g.rename_columns(["p_type", "cnt", "min_price", "max_price", "max_size"])
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = (
+        part.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_type")
+        .aggregate(
+            Sum(on="cnt", alias_name="cnt"),
+            Min(on="min_price", alias_name="min_price"),
+            Max(on="max_price", alias_name="max_price"),
+            Max(on="max_size", alias_name="max_size"),
+        )
+    )
+    return conformed(
+        out,
+        pa.schema(
+            [
+                ("p_type", pa.string()),
+                ("cnt", pa.int64()),
+                ("min_price", pa.float64()),
+                ("max_price", pa.float64()),
+                ("max_size", pa.int32()),
+            ]
+        ),
+    )
+
+
+PART_TYPE_STATS_SQL = """
+SELECT p_type, COUNT(*) AS cnt, MIN(p_retailprice) AS min_price,
+       MAX(p_retailprice) AS max_price, MAX(p_size) AS max_size
+FROM part GROUP BY p_type
+"""

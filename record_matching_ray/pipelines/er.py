@@ -27,6 +27,14 @@ from record_matching_ray.stages.canonicalize import canonicalize
 from record_matching_ray.stages.clustering import connected_components
 from record_matching_ray.stages.extract import ExtractFeatures
 from record_matching_ray.state import manifest as mf
+from record_matching_ray.stages.util import cluster_parallelism
+
+
+def _pool_max(cfg: PipelineConfig) -> int:
+    """Actor-pool ceiling: at least the configured concurrency, scaled up
+    to the session's CPU count so 32-CPU runs don't idle behind a
+    4-actor pool sized for the test session."""
+    return max(cfg.scorer_concurrency, cluster_parallelism())
 
 
 def build_features(
@@ -41,7 +49,7 @@ def build_features(
         batch_size=cfg.extract_batch_size,
         # autoscaling pool (min 1): a fixed-size pool would reserve CPUs
         # that the hash-shuffle aggregators downstream need to start
-        concurrency=(1, concurrency or cfg.scorer_concurrency),
+        concurrency=(1, concurrency or _pool_max(cfg)),
     )
 
 

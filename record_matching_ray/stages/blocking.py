@@ -89,18 +89,46 @@ def emit_block_keys(
     return pa.table({"block_key": pa.array(keys, pa.uint64()), "url": url_arr})
 
 
-def _emit_pairs_in_block(
-    group: pa.Table, max_pairs: int
-) -> pa.Table:
+def _emit_pairs_in_block(group: pa.Table, max_pairs: int) -> pa.Table:
     """All (min,max) url pairs within one block, capped at max_pairs.
 
     The cap is deterministic (urls sorted first) and the number of pairs
     dropped is reported in the `overflow` column (counter, same value on
     every emitted row of the block)."""
     urls = np.array(sorted(set(group.column("url").to_pylist())), dtype=object)
-    m = len(urls)
-    total = m * (m - 1) // 2
-    if m < 2:
+    keys = np.zeros(len(urls), dtype=_U64)
+    return _emit_pairs_segments(urls, keys, max_pairs)
+
+
+def _emit_pairs_segments(
+    urls: np.ndarray, keys: np.ndarray, max_pairs: int
+) -> pa.Table:
+    """Pairs for MANY blocks at once: rows sorted by (key, url); each
+    consecutive run of one key is a block. All-numpy — no per-block
+    Python dispatch (Ray's map_groups pays ~1ms of dispatch per group,
+    which at ~50k tiny LSH blocks dominates the whole blocking stage)."""
+    order = np.lexsort((urls, keys))
+    urls, keys = urls[order], keys[order]
+    # segment boundaries
+    bounds = np.nonzero(np.concatenate(([True], keys[1:] != keys[:-1], [True])))[0]
+    lefts: list[np.ndarray] = []
+    rights: list[np.ndarray] = []
+    overflows: list[np.ndarray] = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        block = urls[s:e]
+        # dedup urls within a block (same url can arrive via several rows)
+        block = np.unique(block)
+        m = len(block)
+        if m < 2:
+            continue
+        total = m * (m - 1) // 2
+        ii, jj = np.triu_indices(m, k=1)
+        if total > max_pairs:
+            ii, jj = ii[:max_pairs], jj[:max_pairs]
+        lefts.append(block[ii])
+        rights.append(block[jj])
+        overflows.append(np.full(len(ii), total - len(ii), dtype=np.int64))
+    if not lefts:
         return pa.table(
             {
                 "left": pa.array([], pa.string()),
@@ -108,17 +136,11 @@ def _emit_pairs_in_block(
                 "overflow": pa.array([], pa.int64()),
             }
         )
-    ii, jj = np.triu_indices(m, k=1)
-    if total > max_pairs:
-        ii, jj = ii[:max_pairs], jj[:max_pairs]
-    overflow = total - len(ii)
     return pa.table(
         {
-            "left": pa.array(urls[ii], pa.string()),
-            "right": pa.array(urls[jj], pa.string()),
-            "overflow": pa.array(
-                np.full(len(ii), overflow, dtype=np.int64), pa.int64()
-            ),
+            "left": pa.array(np.concatenate(lefts), pa.string()),
+            "right": pa.array(np.concatenate(rights), pa.string()),
+            "overflow": pa.array(np.concatenate(overflows), pa.int64()),
         }
     )
 
@@ -138,21 +160,89 @@ def generate_candidate_pairs(
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
     )
-    pairs = blocks.groupby("block_key").map_groups(
-        lambda g: _emit_pairs_in_block(g, cfg.max_pairs_per_block),
-        batch_format="pyarrow",
+
+    # Shuffle on a COARSE partition key (block_key mod P) rather than the
+    # raw block key: the grouping still co-locates each block (equal keys
+    # share a partition), but Ray dispatches Python once per partition,
+    # not once per tiny block; inside, _emit_pairs_segments lexsorts and
+    # emits every block's pairs in one numpy pass.
+    from record_matching_ray.stages.util import cluster_parallelism
+
+    n_parts = 4 * cluster_parallelism()
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        bk = t.column("block_key").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pk", pa.array((bk % _U64(n_parts)).astype(np.int64), pa.int64())
+        )
+
+    def pairs_for_partition(g: pa.Table) -> pa.Table:
+        urls = np.asarray(g.column("url").to_pylist(), dtype=object)
+        keys = g.column("block_key").to_numpy(zero_copy_only=False)
+        return _emit_pairs_segments(urls, keys, cfg.max_pairs_per_block)
+
+    pairs = (
+        blocks.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(pairs_for_partition, batch_format="pyarrow")
     )
-    # distinct via the native (vectorized) count aggregate — NOT
-    # map_groups(head 1), which would pay a Python call per pair
+    return dedup_pairs(pairs, n_parts)
+
+
+def _pair_arrays(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    l = np.asarray(t.column("left").to_pylist(), dtype=object)
+    r = np.asarray(t.column("right").to_pylist(), dtype=object)
+    return l, r
+
+
+def _local_pair_dedup(l: np.ndarray, r: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if len(l) == 0:
+        return l, r
+    order = np.lexsort((r, l))
+    l, r = l[order], r[order]
+    keep = np.concatenate(([True], (l[1:] != l[:-1]) | (r[1:] != r[:-1])))
+    return l[keep], r[keep]
+
+
+def dedup_pairs(pairs: ray.data.Dataset, n_parts: int) -> ray.data.Dataset:
+    """Distinct (left, right) — partial dedup per block, then ONE int-keyed
+    hash shuffle (pair-hash mod n_parts) + vectorized per-partition dedup.
+
+    Replaces groupby([left, right]).count(): Ray's native aggregate on a
+    two-string composite key was measured ~100x slower than this layout
+    (79s vs <5s for 3.6M rows) — the aggregate hashes and carries both
+    strings through the shuffle machinery per row.
+    """
+
+    def local(t: pa.Table) -> pa.Table:
+        l, r = _local_pair_dedup(*_pair_arrays(t))
+        ph = (
+            mix64(hash_strings(l) * _U64(0x9E3779B97F4A7C15) ^ mix64(hash_strings(r)))
+            % _U64(n_parts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "left": pa.array(l, pa.string()),
+                "right": pa.array(r, pa.string()),
+                "ph": pa.array(ph, pa.int64()),
+            }
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        l, r = _local_pair_dedup(*_pair_arrays(g))
+        return pa.table(
+            {"left": pa.array(l, pa.string()), "right": pa.array(r, pa.string())}
+        )
+
     from record_matching_ray.stages.util import conformed
 
-    deduped = (
+    out = (
         pairs.select_columns(["left", "right"])
-        .groupby(["left", "right"])
-        .count()
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("ph")
+        .map_groups(final, batch_format="pyarrow")
     )
-    schema = pa.schema([("left", pa.string()), ("right", pa.string())])
-    return conformed(deduped, schema)
+    return conformed(out, pa.schema([("left", pa.string()), ("right", pa.string())]))
 
 
 def compute_hot_hosts(features: ray.data.Dataset, cfg: PipelineConfig) -> list[str]:

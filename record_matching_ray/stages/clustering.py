@@ -173,9 +173,20 @@ def connected_components(
             }
         )
 
-    directed_edges = edges.select_columns(["left", "right"]).map_batches(
-        directed, batch_format="pyarrow"
-    ).materialize()
+    from record_matching_ray.stages.util import cluster_parallelism
+
+    # Partition count: the session's CPU count, NOT the input block count.
+    # Post-contraction label/edge relations are ~1 row per node; a shuffle
+    # with num_blocks partitions (e.g. 71 from a big scored stage) makes
+    # every round pay aggregator-startup contention that dwarfs the work.
+    num_partitions = max(4, cluster_parallelism())
+
+    directed_edges = (
+        edges.select_columns(["left", "right"])
+        .map_batches(directed, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
 
     def init_rows(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("src"), "label": t.column("src")})
@@ -190,7 +201,6 @@ def connected_components(
                 batch_format="pyarrow",
             )
         )
-    num_partitions = max(8, directed_edges.num_blocks())
     # repartition before materialize: merges away the zero-column empty
     # blocks hash-shuffle groupbys emit for empty partitions, which would
     # otherwise poison the next round's Acero join (first-block schema)

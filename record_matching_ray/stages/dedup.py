@@ -1,0 +1,476 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The ER pipeline's candidate generation (stages/blocking.py) specialized to
+corpus dedup over a documents table. The canonical exact-dedup shuffle is
+the reference's dedup_records (record_matching/main.py:89-93: distinct
+templated strings by content hash); the near-dup family replaces its ANN
+embedding search (main.py:552-577) with sketch blocking.
+
+Scale notes: every operator is hash-partition + per-group work — no global
+index, no O(n^2). Pair emission happens only within sketch buckets; exact
+verification (Jaccard / Hamming / cosine) runs vectorized inside
+map_groups on bucket-local rows, and bucket size is bounded by the same
+cap+salt machinery as ER blocking.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from record_matching_ray.functions.hashing import _U64, hash_strings, shingle_hashes
+from record_matching_ray.functions.minhash import MinHasher
+from record_matching_ray.functions.simhash import (
+    hamming64,
+    simhash as simhash_fn,
+    simhash_chunks,
+)
+from record_matching_ray.stages.util import conformed
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def md5_hex_batch(texts: list[str]) -> list[str]:
+    return [hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest() for t in texts]
+
+
+def exact_dedup(
+    docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """(text_hash, cnt, keep_id) per distinct text — hash-partitioned
+    group-first (SURVEY.md §2.7). Partial combine per batch first, so the
+    shuffle moves one row per (hash, batch) instead of one per doc."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pa.array(md5_hex_batch(t.column(text_col).to_pylist()), pa.string())
+        g = pa.TableGroupBy(
+            pa.table({"text_hash": h, "id": t.column(id_col)}), "text_hash"
+        ).aggregate([("id", "count"), ("id", "min")])
+        return g.rename_columns(["text_hash", "cnt", "keep_id"])
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    out = (
+        partials.groupby("text_hash")
+        .aggregate(
+            ray.data.aggregate.Sum(on="cnt", alias_name="cnt"),
+            ray.data.aggregate.Min(on="keep_id", alias_name="keep_id"),
+        )
+    )
+    return conformed(
+        out,
+        pa.schema(
+            [("text_hash", pa.string()), ("cnt", pa.int64()), ("keep_id", pa.int64())]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketching (one wide pass over the documents table)
+
+_SKETCH_HASHERS: dict[int, MinHasher] = {}
+
+
+def _sketcher(num_perm: int) -> MinHasher:
+    h = _SKETCH_HASHERS.get(num_perm)
+    if h is None:
+        h = _SKETCH_HASHERS[num_perm] = MinHasher(num_perm)
+    return h
+
+
+def sketch_docs(
+    batch: pa.Table,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """doc_id, minhash (fixed list<u64>), simhash (u64), n_shingles.
+    Token-shingle MinHash + token SimHash in one stateless pass."""
+    texts = batch.column(text_col).to_pylist()
+    token_lists = [t.lower().split() for t in texts]
+    lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    flat = hash_strings([tok for toks in token_lists for tok in toks])
+    sh_list = [
+        shingle_hashes(flat[offsets[i] : offsets[i + 1]], shingle_k)
+        for i in range(len(texts))
+    ]
+    sh_lens = np.array([len(s) for s in sh_list], dtype=np.int64)
+    sh_offsets = np.concatenate([[0], np.cumsum(sh_lens)])
+    flat_sh = np.concatenate(sh_list) if sh_list else np.empty(0, dtype=_U64)
+    sigs = _sketcher(num_perm).signatures(flat_sh, sh_offsets)
+    sim = simhash_fn(flat, offsets)
+    return pa.table(
+        {
+            "doc_id": batch.column(id_col),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.ravel(), pa.uint64()), num_perm
+            ),
+            "simhash": pa.array(sim, pa.uint64()),
+            "n_shingles": pa.array(sh_lens, pa.int64()),
+        }
+    )
+
+
+def _sig_matrix(col, width: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, width)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup (band blocking -> bucket-local verify)
+
+
+def _pairs_from_groups(
+    ids: np.ndarray, group_keys: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Within each identical group_key, emit canonical (min,max) id pairs."""
+    order = np.lexsort((ids, group_keys))
+    ids, group_keys = ids[order], group_keys[order]
+    lefts, rights = [], []
+    start = 0
+    n = len(ids)
+    for i in range(1, n + 1):
+        if i == n or group_keys[i] != group_keys[start]:
+            if i - start > 1:
+                block = ids[start:i]
+                a, b = np.triu_indices(len(block), k=1)
+                lefts.append(block[a])
+                rights.append(block[b])
+            start = i
+    if not lefts:
+        return np.empty(0, dtype=ids.dtype), np.empty(0, dtype=ids.dtype)
+    return np.concatenate(lefts), np.concatenate(rights)
+
+
+def minhash_neardup_pairs(
+    docs: ray.data.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 2048,
+) -> ray.data.Dataset:
+    """Candidate pairs from LSH band buckets, verified by estimated
+    Jaccard (fraction of agreeing minhash components >= threshold).
+    Output: (left, right, est_jaccard), left < right, deduped."""
+    sk = docs.map_batches(
+        sketch_docs,
+        fn_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+    )
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sigs = _sig_matrix(t.column("minhash"), num_perm)
+        keys = _sketcher(num_perm).band_keys(sigs, bands)  # (n, bands)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.ravel(), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.repeat(sigs, bands, axis=0).ravel(), pa.uint64()),
+                    num_perm,
+                ),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        # dedup docs within the bucket (a doc can reach one bucket via
+        # several bands only across buckets, but dedup anyway), cap size
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq, idx = np.unique(ids, return_index=True)
+        if len(uniq) < 2:
+            return pa.table(
+                {
+                    "left": pa.array([], pa.int64()),
+                    "right": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        if len(uniq) > max_bucket:
+            idx = idx[:max_bucket]
+            uniq = uniq[:max_bucket]
+        sigs = _sig_matrix(g.column("minhash"), num_perm)[idx]
+        a, b = np.triu_indices(len(uniq), k=1)
+        est = (sigs[a] == sigs[b]).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "left": pa.array(uniq[a[keep]], pa.int64()),
+                "right": pa.array(uniq[b[keep]], pa.int64()),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    cand = (
+        sk.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # pair dedup (same pair found in several bands): keep max estimate
+    out = cand.groupby(["left", "right"]).max("est_jaccard")
+    out = out.rename_columns({"max(est_jaccard)": "est_jaccard"})
+    return conformed(
+        out,
+        pa.schema(
+            [
+                ("left", pa.int64()),
+                ("right", pa.int64()),
+                ("est_jaccard", pa.float64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (4x16-bit band buckets -> Hamming verify)
+
+
+def simhash_neardup_pairs(
+    docs: ray.data.Dataset, max_hamming: int = 3, max_bucket: int = 4096
+) -> ray.data.Dataset:
+    """Pairs of docs whose 64-bit SimHashes differ in <= max_hamming bits.
+    Blocking: 4 16-bit bands — any pair within Hamming distance 3 shares
+    at least one exact band (pigeonhole), so recall is exact for d<=3.
+    Output: (left, right, hamming)."""
+
+    n_chunks = max_hamming + 1  # pigeonhole: d<=max_hamming shares >=1 chunk
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sh = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = simhash_chunks(sh, n_chunks)  # (n, n_chunks)
+        reps = keys.shape[1]
+        return pa.table(
+            {
+                "bucket": pa.array(keys.ravel(), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, reps), pa.int64()),
+                "simhash": pa.array(np.repeat(sh, reps), pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq, idx = np.unique(ids, return_index=True)
+        empty = pa.table(
+            {
+                "left": pa.array([], pa.int64()),
+                "right": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if len(uniq) < 2:
+            return empty
+        if len(uniq) > max_bucket:
+            idx, uniq = idx[:max_bucket], uniq[:max_bucket]
+        sh = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)[idx]
+        a, b = np.triu_indices(len(uniq), k=1)
+        ham = hamming64(sh[a], sh[b])
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "left": pa.array(uniq[a[keep]], pa.int64()),
+                "right": pa.array(uniq[b[keep]], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    sk = docs.map_batches(sketch_docs, batch_format="pyarrow").select_columns(
+        ["doc_id", "simhash"]
+    )
+    cand = (
+        sk.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    out = cand.groupby(["left", "right"]).min("hamming")
+    out = out.rename_columns({"min(hamming)": "hamming"})
+    return conformed(
+        out,
+        pa.schema(
+            [("left", pa.int64()), ("right", pa.int64()), ("hamming", pa.int64())]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard verification on MinHash candidates
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    shingle_k: int = 3,
+    lsh_threshold: float = 0.35,
+    threshold: float = 0.5,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """MinHash-LSH candidates re-verified with EXACT token n-gram Jaccard.
+    Two-stage: cheap sketch recall, exact verify only on candidates.
+    Output: (left, right, jaccard) with jaccard >= threshold."""
+    cand = minhash_neardup_pairs(
+        docs, shingle_k=shingle_k, threshold=lsh_threshold
+    ).select_columns(["left", "right"])
+
+    def shingle_sets(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        token_lists = [s.lower().split() for s in texts]
+        lens = np.array([len(x) for x in token_lists], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        flat = hash_strings([tok for toks in token_lists for tok in toks])
+        shs = [
+            np.unique(shingle_hashes(flat[offsets[i] : offsets[i + 1]], shingle_k))
+            for i in range(len(texts))
+        ]
+        # packed as binary blobs: Acero's hash join (Ray's per-partition
+        # join kernel) rejects list<> payload columns (same workaround as
+        # blocking.attach_pair_payload for embeddings)
+        blobs = pa.array([s.tobytes() for s in shs], pa.binary())
+        return pa.table({"doc_id": t.column("doc_id"), "shingles": blobs})
+
+    sides = docs.map_batches(shingle_sets, batch_format="pyarrow")
+    wide = cand.join(
+        sides, join_type="inner", num_partitions=num_partitions,
+        on=("left",), right_on=("doc_id",),
+    ).rename_columns({"shingles": "sh_l"})
+    wide = wide.join(
+        sides, join_type="inner", num_partitions=num_partitions,
+        on=("right",), right_on=("doc_id",),
+    ).rename_columns({"shingles": "sh_r"})
+
+    def verify(t: pa.Table) -> pa.Table:
+        sl = t.column("sh_l").to_pylist()
+        sr = t.column("sh_r").to_pylist()
+        jac = np.empty(len(sl), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(sl, sr)):
+            ua = np.frombuffer(a, dtype=np.uint64)
+            ub = np.frombuffer(b, dtype=np.uint64)
+            inter = len(np.intersect1d(ua, ub, assume_unique=True))
+            u = len(ua) + len(ub) - inter
+            jac[i] = (inter / u) if u else 1.0
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "left": t.column("left").filter(pa.array(keep)),
+                "right": t.column("right").filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return wide.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (hyperplane-LSH blocking -> exact cosine)
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 1234) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dim, n_bits)).astype(np.float32)
+
+
+def embedding_neardup_pairs(
+    embs: ray.data.Dataset,
+    dim: int,
+    threshold: float = 0.9,
+    n_bits: int = 16,
+    n_tables: int = 4,
+    band_bits: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_bucket: int = 4096,
+) -> ray.data.Dataset:
+    """Near-duplicate vector pairs with cosine >= threshold.
+
+    Blocking: sign-random-projection (SimHash for vectors) — n_tables
+    independent hyperplane banks; each band of band_bits sign bits is a
+    bucket key. Exact cosine verified vectorized inside each bucket.
+    Output: (left, right, cos_sim)."""
+    planes = [_hyperplanes(dim, n_bits, seed=1234 + t) for t in range(n_tables)]
+    bands_per_table = n_bits // band_bits
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        col = t.column(emb_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = np.asarray(col.to_pylist(), dtype=np.float32)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        buckets, out_idx = [], []
+        for ti, P in enumerate(planes):
+            bits = (unit @ P) > 0  # (n, n_bits)
+            powers = np.uint64(1) << np.arange(band_bits, dtype=np.uint64)
+            for b in range(bands_per_table):
+                seg = bits[:, b * band_bits : (b + 1) * band_bits]
+                key = (seg.astype(np.uint64) * powers).sum(axis=1)
+                key |= np.uint64(ti * bands_per_table + b + 1) << np.uint64(32)
+                buckets.append(key)
+                out_idx.append(np.arange(n))
+        bk = np.concatenate(buckets)
+        ix = np.concatenate(out_idx)
+        rep = unit[ix]
+        return pa.table(
+            {
+                "bucket": pa.array(bk, pa.uint64()),
+                "vid": pa.array(ids[ix], pa.int64()),
+                "unit": pa.FixedSizeListArray.from_arrays(
+                    pa.array(rep.ravel(), pa.float32()), dim
+                ),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("vid").to_numpy(zero_copy_only=False)
+        uniq, idx = np.unique(ids, return_index=True)
+        empty = pa.table(
+            {
+                "left": pa.array([], pa.int64()),
+                "right": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+        if len(uniq) < 2:
+            return empty
+        if len(uniq) > max_bucket:
+            idx, uniq = idx[:max_bucket], uniq[:max_bucket]
+        col = g.column("unit")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)[idx]
+        sim = mat.astype(np.float64) @ mat.astype(np.float64).T
+        a, b = np.triu_indices(len(uniq), k=1)
+        cs = sim[a, b]
+        keep = cs >= threshold
+        return pa.table(
+            {
+                "left": pa.array(uniq[a[keep]], pa.int64()),
+                "right": pa.array(uniq[b[keep]], pa.int64()),
+                "cos_sim": pa.array(cs[keep], pa.float64()),
+            }
+        )
+
+    cand = (
+        embs.map_batches(bucket_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    out = cand.groupby(["left", "right"]).max("cos_sim")
+    out = out.rename_columns({"max(cos_sim)": "cos_sim"})
+    return conformed(
+        out,
+        pa.schema(
+            [("left", pa.int64()), ("right", pa.int64()), ("cos_sim", pa.float64())]
+        ),
+    )

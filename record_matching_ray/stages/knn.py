@@ -1,0 +1,225 @@
+"""Approximate/exact nearest-neighbor search over an embedding column.
+
+Replaces the reference's interactive ANN query path — embed query, beam
+search the CUDA ANN graph, join hits back to records
+(record_matching/main.py:504-549) and Qdrant HNSW search
+(claude_poc/entity-resolution_v4.py:302-356) — with Ray-Data-native
+search:
+
+- ``knn_bruteforce``: baseline exact top-k. The (small) query matrix is
+  broadcast once via ``ray.put``; every batch computes a vectorized
+  ``batch @ Q.T``, keeps its LOCAL top-k per query, and only those
+  (batches × queries × k) candidate rows reach the driver for the final
+  merge — the full similarity matrix never exists anywhere.
+- ``knn_lsh``: the scale path — sign-random-projection buckets prune the
+  candidate set before exact rerank; probes all buckets the query falls
+  in across ``n_tables`` hyperplane banks.
+
+Determinism: ranking uses cosine rounded to 6 decimals with vec_id as the
+tie-break, so results are stable across partitionings and match a SQL
+oracle computed with a different summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from record_matching_ray.stages.dedup import _hyperplanes
+
+
+def _emb_matrix(col, cast=np.float64) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim).astype(cast)
+    return np.asarray(col.to_pylist(), dtype=cast)
+
+
+def _topk_merge(
+    rows: list[dict], k: int
+) -> pa.Table:
+    """Merge per-batch candidate rows into exact global top-k per query.
+    Ranking: (round(cos,6) desc, vec_id asc) — deterministic."""
+    if rows:
+        qid = np.array([r["qid"] for r in rows], dtype=np.int64)
+        nid = np.array([r["nid"] for r in rows], dtype=np.int64)
+        cs = np.array([r["cos_sim"] for r in rows], dtype=np.float64)
+    else:
+        qid = nid = np.empty(0, dtype=np.int64)
+        cs = np.empty(0, dtype=np.float64)
+    order = np.lexsort((nid, -cs, qid))
+    qid, nid, cs = qid[order], nid[order], cs[order]
+    out_q, out_n, out_c, out_r = [], [], [], []
+    i = 0
+    n = len(qid)
+    while i < n:
+        j = i
+        rank = 0
+        while j < n and qid[j] == qid[i] and rank < k:
+            out_q.append(qid[j])
+            out_n.append(nid[j])
+            out_c.append(cs[j])
+            rank += 1
+            out_r.append(rank)
+            j += 1
+        while j < n and qid[j] == qid[i]:
+            j += 1
+        i = j
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "nid": pa.array(out_n, pa.int64()),
+            "cos_sim": pa.array(out_c, pa.float64()),
+            "rank": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
+def knn_bruteforce(
+    embs: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Exact cosine top-k of every query vector against the dataset.
+
+    queries: (q, dim) float64; query_ids: (q,) int64 (used for self-
+    exclusion and output labeling). Returns (qid, nid, cos_sim, rank).
+    """
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    q_ref = ray.put((qn, query_ids))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        Q, qids = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        mat = _emb_matrix(t.column(emb_col))
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        unit = mat / norms
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sims = np.round(unit @ Q.T, 6)  # (n, q)
+        out_q, out_n, out_c = [], [], []
+        for j in range(Q.shape[0]):
+            s = sims[:, j]
+            mask = np.ones(len(ids), dtype=bool)
+            if exclude_self:
+                mask &= ids != qids[j]
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            kk = min(k, len(idx))
+            # local top-k by (sim desc, vec_id asc)
+            order = idx[np.lexsort((ids[idx], -s[idx]))][:kk]
+            out_q.append(np.full(kk, qids[j], dtype=np.int64))
+            out_n.append(ids[order])
+            out_c.append(s[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "nid": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                "nid": pa.array(np.concatenate(out_n), pa.int64()),
+                "cos_sim": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    cands = embs.map_batches(local_topk, batch_format="pyarrow").take_all()
+    return _topk_merge(cands, k)
+
+
+def knn_lsh(
+    embs: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    dim: int | None = None,
+    n_bits: int = 12,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """ANN top-k via sign-random-projection bucket pruning + exact rerank.
+
+    Each batch only scores rows whose bucket key (in any of n_tables
+    hyperplane banks) matches the query's — at scale this prunes the
+    candidate set by ~2^n_bits/n_tables while keeping high recall for
+    close neighbors. Same output schema/ranking as knn_bruteforce (an
+    approximation of it; recall measured in tests)."""
+    if dim is None:
+        dim = queries.shape[1]
+    planes = [_hyperplanes(dim, n_bits, seed=4321 + t) for t in range(n_tables)]
+    powers = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    q_keys = np.stack(
+        [((qn @ P) > 0).astype(np.uint64) @ powers for P in planes], axis=1
+    )  # (q, n_tables)
+    q_ref = ray.put((qn, query_ids, q_keys))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        Q, qids, qkeys = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        mat = _emb_matrix(t.column(emb_col))
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        unit = mat / norms
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keys = np.stack(
+            [((unit @ P) > 0).astype(np.uint64) @ powers for P in planes], axis=1
+        )  # (n, n_tables)
+        out_q, out_n, out_c = [], [], []
+        for j in range(Q.shape[0]):
+            cand = (keys == qkeys[j]).any(axis=1)
+            if exclude_self:
+                cand &= ids != qids[j]
+            idx = np.nonzero(cand)[0]
+            if len(idx) == 0:
+                continue
+            s = np.round(unit[idx] @ Q[j], 6)
+            kk = min(k, len(idx))
+            order = np.lexsort((ids[idx], -s))[:kk]
+            out_q.append(np.full(kk, qids[j], dtype=np.int64))
+            out_n.append(ids[idx][order])
+            out_c.append(s[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "nid": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                "nid": pa.array(np.concatenate(out_n), pa.int64()),
+                "cos_sim": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    cands = embs.map_batches(local_topk, batch_format="pyarrow").take_all()
+    return _topk_merge(cands, k)
+
+
+def load_query_matrix(
+    embs: ray.data.Dataset, n_queries: int, id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """First n_queries vectors by id — the deterministic query workload
+    used by the bench and the DuckDB oracle."""
+    t = pa.Table.from_pylist(
+        embs.select_columns([id_col, emb_col]).sort(id_col).limit(n_queries).take_all()
+    )
+    Q = _emb_matrix(t.column(emb_col))
+    qids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    return Q, qids

@@ -24,6 +24,7 @@ from record_matching_ray.config import FEATURE_NAMES, PipelineConfig
 from record_matching_ray.functions.embed import cosine_rows
 from record_matching_ray.functions.logistic import expit
 from record_matching_ray.functions import strsim
+from record_matching_ray.stages.util import cluster_parallelism
 
 
 def _unpack_embeddings(col, dim: int) -> np.ndarray:
@@ -110,8 +111,8 @@ def score_pairs(
         batch_format="pyarrow",
         batch_size=cfg.scorer_batch_size,
         # autoscaling (min 1) so the pool never starves co-scheduled
-        # shuffle aggregators of CPU slots
-        concurrency=(1, cfg.scorer_concurrency),
+        # shuffle aggregators of CPU slots; ceiling tracks cluster CPUs
+        concurrency=(1, max(cfg.scorer_concurrency, cluster_parallelism())),
     )
 
 

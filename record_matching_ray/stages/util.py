@@ -27,3 +27,16 @@ def conform_schema(schema: pa.Schema):
 
 def conformed(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     return ds.map_batches(conform_schema(schema), batch_format="pyarrow")
+
+
+def cluster_parallelism(default: int = 8) -> int:
+    """Upper bound for autoscaling actor pools: the cluster's CPU count.
+    Resolved at pipeline-build time so the same code saturates a 4-CPU
+    test session and a 32-CPU bench session (and, unchanged, a multi-node
+    cluster where cluster_resources() spans all nodes)."""
+    import ray
+
+    try:
+        return max(1, int(ray.cluster_resources().get("CPU", default)))
+    except Exception:
+        return default
