@@ -27,7 +27,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_TMP = "/tmp/rmray_bench"
 
 # flagship synthetic-pages corpus (generated once, read by every run)
-PAGES_N, PAGES_ENTITIES, PAGES_SEED = 6000, 900, 42
+PAGES_N = int(os.environ.get("RMRAY_BENCH_PAGES", "6000"))
+PAGES_ENTITIES = max(10, PAGES_N // 7)
+PAGES_SEED = 42
 
 
 def _init_ray(num_cpus: int):
@@ -157,12 +159,16 @@ def main_worker(num_cpus: int) -> None:
 
 
 def main_scaling() -> None:
-    """Fresh process per CPU count (sandbox proxy for N vs 4N nodes)."""
-    _ensure_corpus()
+    """Fresh process per CPU count (sandbox proxy for N vs 4N nodes).
+
+    Uses a 4x corpus (24k pages) so per-stage scheduling latency doesn't
+    drown the scalable work at 32 CPUs."""
+    env = dict(os.environ, RMRAY_BENCH_PAGES=os.environ.get("RMRAY_BENCH_PAGES", "24000"))
     results = {}
     for cpus in (8, 32):
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+            env=env,
             capture_output=True,
             text=True,
             timeout=3600,

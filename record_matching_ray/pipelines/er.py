@@ -95,7 +95,7 @@ def run_er(
     out_dir: str | None = None,
     input_key: str = "",
     weights: tuple[float, np.ndarray] | None = None,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     feature_concurrency: int | None = None,
 ) -> dict:
     """Run S1..S5. If out_dir is set, every stage checkpoints to
@@ -103,6 +103,10 @@ def run_er(
     (same config fingerprint + input_key). Returns dict of Datasets:
     features, pairs, scored, edges, clusters, canonical."""
     cfg = cfg or PipelineConfig()
+    if num_partitions is None:
+        from record_matching_ray.stages.util import shuffle_partitions
+
+        num_partitions = max(8, 2 * shuffle_partitions())
     fp = cfg.fingerprint() + ":" + input_key
 
     def checkpoint(ds: ray.data.Dataset, stage: str) -> ray.data.Dataset:
@@ -116,6 +120,7 @@ def run_er(
         mf.write_stage(ds, sdir, fp)
         return mf.read_stage(sdir)
 
+    scorer_blocks = 2 * cluster_parallelism()
     features = checkpoint(build_features(pages, cfg, feature_concurrency), "features")
     if out_dir is None:
         # features feed 4+ consumers (hot hosts, block keys, both payload
@@ -127,7 +132,12 @@ def run_er(
     pairs = checkpoint(
         blocking.generate_candidate_pairs(features, cfg, hot), "pairs"
     )
-    wide = blocking.attach_pair_payload(pairs, features, cfg, num_partitions)
+    # spread pairs over >= 2 blocks per scorer actor — the pair-dedup
+    # stage emits shuffle_partitions() blocks, which under-subscribes a
+    # 32-actor scorer pool (narrow repartition: left/right only)
+    wide = blocking.attach_pair_payload(
+        pairs.repartition(scorer_blocks), features, cfg, num_partitions
+    )
     scored = checkpoint(scoring.score_pairs(wide, cfg, weights), "scored")
     edges = checkpoint(scoring.edges_from_scores(scored, cfg), "edges")
     clusters = checkpoint(

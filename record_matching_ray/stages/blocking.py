@@ -31,8 +31,10 @@ from record_matching_ray.functions.hashing import _U64, hash_strings, mix64
 from record_matching_ray.stages.extract import minhash_matrix
 from record_matching_ray.functions.minhash import MinHasher
 
-# Columns carried to the scorer for each pair side.
-PAIR_PAYLOAD = ["name", "token_sig", "year", "embedding"]
+# Columns carried to the scorer for each pair side. minhash rides along
+# (packed to binary) so f_jaccard is a vectorized signature comparison in
+# the scorer instead of a per-pair Python set op on token strings.
+PAIR_PAYLOAD = ["name", "minhash", "year", "embedding"]
 
 
 _HASHER_CACHE: dict[tuple[int, int], MinHasher] = {}
@@ -46,29 +48,44 @@ def _hasher(num_perm: int, seed: int = 7) -> MinHasher:
     return h
 
 
+def page_uids(urls) -> np.ndarray:
+    """Stable 64-bit page id: mix64(blake8(url)). The pair pipeline moves
+    ONLY these ids through its shuffles (urls are ~100B, uids 8B — the
+    pair-dedup shuffle and its lexsorts get ~10x cheaper); urls are
+    restored from the feature table at payload-attach. Collision odds at
+    bench scale are ~n^2/2^65 (negligible); for 10^12-page deployments
+    widen to 128-bit (two u64 columns) — documented trade-off."""
+    return mix64(hash_strings(urls))
+
+
 def emit_block_keys(
     batch: pa.Table, cfg: PipelineConfig, hot_hosts: set[str] | None = None
 ) -> pa.Table:
-    """map_batches fn: features -> long (block_key: uint64, url) rows.
+    """map_batches fn: features -> long (block_key: uint64, uid: uint64).
 
     Emits the host block key plus `lsh_bands` band keys per page. Hot-host
     salting: hosts in the (small, task-broadcast) hot_hosts set — estimated
     frequency above cfg.hot_block_limit — are pre-salted into cfg.n_salts
-    sub-blocks by a secondary url hash. Stateless task: the permutation bank
-    is a process-level cached constant.
+    sub-blocks by a secondary per-page hash. Stateless task: the
+    permutation bank is a process-level cached constant.
+
+    (An exactly-once emission scheme — suppress pairs owned by the host
+    block or an earlier colliding band — was tried and reverted: it is
+    inconsistent with per-block caps, because a suppressing block cannot
+    know whether the owning block's membership cap dropped the pair, and
+    the inconsistency fragments clusters. Duplicate emissions are instead
+    removed by the int-keyed dedup shuffle in dedup_pairs.)
     """
     hot_hosts = hot_hosts or set()
     n = batch.num_rows
-    urls = batch.column("url").to_pylist()
+    uids = page_uids(batch.column("url").to_pylist())
     out_keys: list[np.ndarray] = []
     out_idx: list[np.ndarray] = []
 
     if cfg.use_host_blocks:
         hosts = batch.column("host").to_pylist()
         url_salt = (
-            mix64(hash_strings(urls)) % _U64(cfg.n_salts)
-            if hot_hosts
-            else np.zeros(n, dtype=_U64)
+            mix64(uids) % _U64(cfg.n_salts) if hot_hosts else np.zeros(n, dtype=_U64)
         )
         host_hash = mix64(hash_strings(hosts))
         is_hot = np.fromiter((h in hot_hosts for h in hosts), dtype=bool, count=n)
@@ -85,8 +102,12 @@ def emit_block_keys(
 
     keys = np.concatenate(out_keys) if out_keys else np.empty(0, dtype=_U64)
     idx = np.concatenate(out_idx) if out_idx else np.empty(0, dtype=np.int64)
-    url_arr = pa.array(urls, pa.string()).take(pa.array(idx, pa.int64()))
-    return pa.table({"block_key": pa.array(keys, pa.uint64()), "url": url_arr})
+    return pa.table(
+        {
+            "block_key": pa.array(keys, pa.uint64()),
+            "uid": pa.array(uids[idx], pa.uint64()),
+        }
+    )
 
 
 def _emit_pairs_in_block(group: pa.Table, max_pairs: int) -> pa.Table:
@@ -101,45 +122,65 @@ def _emit_pairs_in_block(group: pa.Table, max_pairs: int) -> pa.Table:
 
 
 def _emit_pairs_segments(
-    urls: np.ndarray, keys: np.ndarray, max_pairs: int
+    ids: np.ndarray, keys: np.ndarray, max_pairs: int
 ) -> pa.Table:
-    """Pairs for MANY blocks at once: rows sorted by (key, url); each
+    """Pairs for MANY blocks at once: rows sorted by (key, id); each
     consecutive run of one key is a block. All-numpy — no per-block
     Python dispatch (Ray's map_groups pays ~1ms of dispatch per group,
-    which at ~50k tiny LSH blocks dominates the whole blocking stage)."""
-    order = np.lexsort((urls, keys))
-    urls, keys = urls[order], keys[order]
+    which at ~50k tiny LSH blocks dominates the whole blocking stage).
+    Works on uint64 uids (hot path) or url strings (object dtype)."""
+    id_type = pa.string() if ids.dtype == object else pa.uint64()
+    order = np.lexsort((ids, keys))
+    ids, keys = ids[order], keys[order]
     # segment boundaries
     bounds = np.nonzero(np.concatenate(([True], keys[1:] != keys[:-1], [True])))[0]
     lefts: list[np.ndarray] = []
     rights: list[np.ndarray] = []
     overflows: list[np.ndarray] = []
+    n_hubs = 2
     for s, e in zip(bounds[:-1], bounds[1:]):
-        block = urls[s:e]
-        # dedup urls within a block (same url can arrive via several rows)
-        block = np.unique(block)
+        # dedup ids within a block (same id can arrive via several rows)
+        block = np.unique(ids[s:e])
         m = len(block)
         if m < 2:
             continue
         total = m * (m - 1) // 2
-        ii, jj = np.triu_indices(m, k=1)
-        if total > max_pairs:
-            ii, jj = ii[:max_pairs], jj[:max_pairs]
-        lefts.append(block[ii])
-        rights.append(block[jj])
-        overflows.append(np.full(len(ii), total - len(ii), dtype=np.int64))
+        m_cap = int((2 * max_pairs) ** 0.5) + 1
+        if m <= m_cap:
+            ii, jj = np.triu_indices(m, k=1)
+            lefts.append(block[ii])
+            rights.append(block[jj])
+            overflows.append(np.zeros(len(ii), dtype=np.int64))
+            continue
+        # Oversized block: bound WORK as well as output. Emitting the
+        # lexicographic pair-slice would exclude most members entirely and
+        # fragment their component, so emit a dense CORE (all pairs among
+        # the m_cap smallest ids) plus HUB SPOKES (first n_hubs ids paired
+        # with every remaining member) — every member keeps a path into
+        # the block's component at O(max_pairs + n_hubs*m) cost; the
+        # uncounted remainder lands in the overflow counter.
+        core = block[:m_cap]
+        ii, jj = np.triu_indices(m_cap, k=1)
+        spokes_l = np.repeat(np.arange(n_hubs), m - m_cap)
+        spokes_r = np.tile(np.arange(m_cap, m), n_hubs)
+        l = np.concatenate([core[ii], block[spokes_l]])
+        r = np.concatenate([core[jj], block[spokes_r]])
+        emitted = len(l)
+        lefts.append(l)
+        rights.append(r)
+        overflows.append(np.full(emitted, total - emitted, dtype=np.int64))
     if not lefts:
         return pa.table(
             {
-                "left": pa.array([], pa.string()),
-                "right": pa.array([], pa.string()),
+                "left": pa.array([], id_type),
+                "right": pa.array([], id_type),
                 "overflow": pa.array([], pa.int64()),
             }
         )
     return pa.table(
         {
-            "left": pa.array(np.concatenate(lefts), pa.string()),
-            "right": pa.array(np.concatenate(rights), pa.string()),
+            "left": pa.array(np.concatenate(lefts), id_type),
+            "right": pa.array(np.concatenate(rights), id_type),
             "overflow": pa.array(np.concatenate(overflows), pa.int64()),
         }
     )
@@ -166,9 +207,9 @@ def generate_candidate_pairs(
     # share a partition), but Ray dispatches Python once per partition,
     # not once per tiny block; inside, _emit_pairs_segments lexsorts and
     # emits every block's pairs in one numpy pass.
-    from record_matching_ray.stages.util import cluster_parallelism
+    from record_matching_ray.stages.util import shuffle_partitions
 
-    n_parts = 4 * cluster_parallelism()
+    n_parts = shuffle_partitions()
 
     def add_pk(t: pa.Table) -> pa.Table:
         bk = t.column("block_key").to_numpy(zero_copy_only=False)
@@ -177,9 +218,9 @@ def generate_candidate_pairs(
         )
 
     def pairs_for_partition(g: pa.Table) -> pa.Table:
-        urls = np.asarray(g.column("url").to_pylist(), dtype=object)
+        uids = g.column("uid").to_numpy(zero_copy_only=False)
         keys = g.column("block_key").to_numpy(zero_copy_only=False)
-        return _emit_pairs_segments(urls, keys, cfg.max_pairs_per_block)
+        return _emit_pairs_segments(uids, keys, cfg.max_pairs_per_block)
 
     pairs = (
         blocks.map_batches(add_pk, batch_format="pyarrow")
@@ -187,12 +228,6 @@ def generate_candidate_pairs(
         .map_groups(pairs_for_partition, batch_format="pyarrow")
     )
     return dedup_pairs(pairs, n_parts)
-
-
-def _pair_arrays(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    l = np.asarray(t.column("left").to_pylist(), dtype=object)
-    r = np.asarray(t.column("right").to_pylist(), dtype=object)
-    return l, r
 
 
 def _local_pair_dedup(l: np.ndarray, r: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -205,33 +240,38 @@ def _local_pair_dedup(l: np.ndarray, r: np.ndarray) -> tuple[np.ndarray, np.ndar
 
 
 def dedup_pairs(pairs: ray.data.Dataset, n_parts: int) -> ray.data.Dataset:
-    """Distinct (left, right) — partial dedup per block, then ONE int-keyed
-    hash shuffle (pair-hash mod n_parts) + vectorized per-partition dedup.
+    """Distinct (left, right) uid pairs — partial dedup per block, then ONE
+    int-keyed hash shuffle (pair-hash mod n_parts) + vectorized
+    per-partition dedup.
 
     Replaces groupby([left, right]).count(): Ray's native aggregate on a
-    two-string composite key was measured ~100x slower than this layout
-    (79s vs <5s for 3.6M rows) — the aggregate hashes and carries both
-    strings through the shuffle machinery per row.
+    two-string composite key was measured ~100x slower (79s vs <5s for
+    3.6M rows); with uid pairs the shuffle payload is 16B/row and the
+    dedup is an integer lexsort.
     """
 
+    def _uid_pair_arrays(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        l = t.column("left").to_numpy(zero_copy_only=False)
+        r = t.column("right").to_numpy(zero_copy_only=False)
+        return l, r
+
     def local(t: pa.Table) -> pa.Table:
-        l, r = _local_pair_dedup(*_pair_arrays(t))
-        ph = (
-            mix64(hash_strings(l) * _U64(0x9E3779B97F4A7C15) ^ mix64(hash_strings(r)))
-            % _U64(n_parts)
-        ).astype(np.int64)
+        l, r = _local_pair_dedup(*_uid_pair_arrays(t))
+        ph = (mix64(l * _U64(0x9E3779B97F4A7C15) ^ mix64(r)) % _U64(n_parts)).astype(
+            np.int64
+        )
         return pa.table(
             {
-                "left": pa.array(l, pa.string()),
-                "right": pa.array(r, pa.string()),
+                "left": pa.array(l, pa.uint64()),
+                "right": pa.array(r, pa.uint64()),
                 "ph": pa.array(ph, pa.int64()),
             }
         )
 
     def final(g: pa.Table) -> pa.Table:
-        l, r = _local_pair_dedup(*_pair_arrays(g))
+        l, r = _local_pair_dedup(*_uid_pair_arrays(g))
         return pa.table(
-            {"left": pa.array(l, pa.string()), "right": pa.array(r, pa.string())}
+            {"left": pa.array(l, pa.uint64()), "right": pa.array(r, pa.uint64())}
         )
 
     from record_matching_ray.stages.util import conformed
@@ -242,7 +282,7 @@ def dedup_pairs(pairs: ray.data.Dataset, n_parts: int) -> ray.data.Dataset:
         .groupby("ph")
         .map_groups(final, batch_format="pyarrow")
     )
-    return conformed(out, pa.schema([("left", pa.string()), ("right", pa.string())]))
+    return conformed(out, pa.schema([("left", pa.uint64()), ("right", pa.uint64())]))
 
 
 def compute_hot_hosts(features: ray.data.Dataset, cfg: PipelineConfig) -> list[str]:
@@ -269,37 +309,155 @@ def attach_pair_payload(
     features: ray.data.Dataset,
     cfg: PipelineConfig,
     num_partitions: int = 32,
+    broadcast_max_rows: int = 1_000_000,
 ) -> ray.data.Dataset:
-    """Hash-shuffle join pairs with both sides' feature payloads.
+    """Attach both sides' feature payloads to each candidate pair.
 
-    Reference analog: the double join of candidates x templated x vectors
-    (record_matching/main.py:366-392). Features are kept in exactly one
-    copy until after pair dedup, then joined — cheaper than carrying wide
-    payloads through the block-key explosion.
+    Two plans, chosen by the COUNTED size of the build side:
 
-    The embedding column is packed to a binary blob first: Acero's hash
-    join (Ray's per-partition join kernel) rejects fixed_size_list payload
-    columns; float32-bytes round-trip losslessly via np.frombuffer in the
-    scorer."""
+    - broadcast hash join (features <= broadcast_max_rows): payload
+      arrays are ray.put ONCE and every pair batch resolves both sides by
+      dict lookup — zero shuffle. Pairs outnumber pages ~30-200x in this
+      workload, so shuffling 2x payload per pair through Ray's hash join
+      cost ~45% of total pipeline wall time (measured 65s of 148s at 24k
+      pages / 4.5M pairs); the broadcast plan removes it entirely.
+    - shuffle hash join (larger): the reference-analog double join
+      (record_matching/main.py:366-392), hash-partitioned on url. This is
+      the 100TB path — the build side never materializes on one node.
 
-    def pack_embedding(t: pa.Table) -> pa.Table:
-        col = t.column("embedding")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        mat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
-        dim = col.type.list_size
-        blobs = pa.array(
-            [mat[i * dim : (i + 1) * dim].tobytes() for i in range(t.num_rows)],
-            pa.binary(),
+    Pairs may be keyed by uid (uint64, the hot path from
+    generate_candidate_pairs) or by url string (labeled training pairs);
+    either way the output's left/right columns are URL STRINGS, restored
+    from the feature table — downstream stages (edges, clustering) never
+    see uids.
+
+    The embedding column is packed to a binary blob either way: Acero's
+    hash join (Ray's per-partition join kernel) rejects fixed_size_list
+    payload columns; float32-bytes round-trip losslessly via np.frombuffer
+    in the scorer."""
+    n_features = features.count()
+    if n_features <= broadcast_max_rows:
+        return _attach_payload_broadcast(pairs, features, cfg)
+    return _attach_payload_join(pairs, features, cfg, num_partitions)
+
+
+def _pairs_to_uids(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Normalize (left, right) to uid keys if they are url strings."""
+    sch = pairs.schema()
+    left_type = sch.types[sch.names.index("left")]
+    if not pa.types.is_string(left_type):
+        return pairs
+
+    def conv(t: pa.Table) -> pa.Table:
+        cols = {n: t.column(n) for n in t.schema.names}
+        cols["left"] = pa.array(page_uids(t.column("left").to_pylist()), pa.uint64())
+        cols["right"] = pa.array(page_uids(t.column("right").to_pylist()), pa.uint64())
+        return pa.table(cols)
+
+    return pairs.map_batches(conv, batch_format="pyarrow")
+
+
+def _attach_payload_broadcast(
+    pairs: ray.data.Dataset, features: ray.data.Dataset, cfg: PipelineConfig
+) -> ray.data.Dataset:
+    import ray as _ray
+
+    cols = ["url"] + PAIR_PAYLOAD
+    side = {c: [] for c in cols}
+    for t in features.select_columns(cols).iter_batches(
+        batch_format="pyarrow", batch_size=8192
+    ):
+        for fixed_col in ("embedding", "minhash"):
+            col = t.column(fixed_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            dim = col.type.list_size
+            mat = col.flatten().to_numpy(zero_copy_only=False)
+            if fixed_col == "embedding":
+                mat = mat.astype(np.float32)
+            side[fixed_col].extend(
+                mat[i * dim : (i + 1) * dim].tobytes() for i in range(t.num_rows)
+            )
+        side["url"].extend(t.column("url").to_pylist())
+        side["name"].extend(t.column("name").to_pylist())
+        side["year"].extend(t.column("year").to_pylist())
+    uids = page_uids(side["url"])
+    index = {int(u): i for i, u in enumerate(uids)}
+    payload = {
+        "url": np.asarray(side["url"], dtype=object),
+        "name": np.asarray(side["name"], dtype=object),
+        "minhash": np.asarray(side["minhash"], dtype=object),
+        "year": np.asarray(side["year"], dtype=np.float64),
+        "embedding": np.asarray(side["embedding"], dtype=object),
+    }
+    ref = _ray.put((index, payload))
+
+    def attach(t: pa.Table) -> pa.Table:
+        idx, pl = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        lefts = t.column("left").to_numpy(zero_copy_only=False)
+        rights = t.column("right").to_numpy(zero_copy_only=False)
+        li = np.fromiter((idx[int(u)] for u in lefts), dtype=np.int64, count=len(lefts))
+        ri = np.fromiter(
+            (idx[int(u)] for u in rights), dtype=np.int64, count=len(rights)
         )
-        return t.drop_columns(["embedding"]).append_column("embedding", blobs)
+        # every extra input pair column passes through (e.g. the labeled
+        # `match` column used by train_weights_from_labeled); left/right
+        # are restored to url strings
+        cols = {
+            name: t.column(name)
+            for name in t.schema.names
+            if name not in ("left", "right")
+        }
+        cols["left"] = pa.array(pl["url"][li], pa.string())
+        cols["right"] = pa.array(pl["url"][ri], pa.string())
+        for name, arr in pl.items():
+            if name == "url":
+                continue
+            typ = pa.float64() if name == "year" else (
+                pa.binary() if name in ("embedding", "minhash") else pa.string()
+            )
+            cols[f"{name}_l"] = pa.array(arr[li], typ)
+            cols[f"{name}_r"] = pa.array(arr[ri], typ)
+        return pa.table(cols)
+
+    return _pairs_to_uids(pairs).map_batches(attach, batch_format="pyarrow")
+
+
+def _attach_payload_join(
+    pairs: ray.data.Dataset,
+    features: ray.data.Dataset,
+    cfg: PipelineConfig,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Shuffle-join plan (build side too large to broadcast)."""
+
+    def pack_fixed_lists(t: pa.Table) -> pa.Table:
+        for name in ("embedding", "minhash"):
+            col = t.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mat = col.flatten().to_numpy(zero_copy_only=False)
+            if name == "embedding":
+                mat = mat.astype(np.float32)
+            dim = col.type.list_size
+            blobs = pa.array(
+                [mat[i * dim : (i + 1) * dim].tobytes() for i in range(t.num_rows)],
+                pa.binary(),
+            )
+            t = t.drop_columns([name]).append_column(name, blobs)
+        return t
+
+    def add_uid(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "uid", pa.array(page_uids(t.column("url").to_pylist()), pa.uint64())
+        )
 
     side = features.select_columns(["url"] + PAIR_PAYLOAD).map_batches(
-        pack_embedding, batch_format="pyarrow"
-    )
+        pack_fixed_lists, batch_format="pyarrow"
+    ).map_batches(add_uid, batch_format="pyarrow")
     # pairs come from a groupby; merge away its zero-column empty blocks
     # before they hit the Acero join (see stages/util.conform_schema)
-    pairs = pairs.repartition(num_partitions)
+    pairs = _pairs_to_uids(pairs).repartition(num_partitions)
     # Ray's join merges the key columns away; payload columns come through
     # unsuffixed (suffixes only apply on collision), so rename explicitly.
     left = pairs.join(
@@ -307,13 +465,24 @@ def attach_pair_payload(
         join_type="inner",
         num_partitions=num_partitions,
         on=("left",),
-        right_on=("url",),
-    ).rename_columns({c: f"{c}_l" for c in PAIR_PAYLOAD})
+        right_on=("uid",),
+    ).rename_columns({c: f"{c}_l" for c in PAIR_PAYLOAD + ["url"]})
     both = left.join(
         side,
         join_type="inner",
         num_partitions=num_partitions,
         on=("right",),
-        right_on=("url",),
-    ).rename_columns({c: f"{c}_r" for c in PAIR_PAYLOAD})
-    return both
+        right_on=("uid",),
+    ).rename_columns({c: f"{c}_r" for c in PAIR_PAYLOAD + ["url"]})
+
+    def restore_urls(t: pa.Table) -> pa.Table:
+        cols = {
+            n: t.column(n)
+            for n in t.schema.names
+            if n not in ("left", "right", "url_l", "url_r")
+        }
+        cols["left"] = t.column("url_l")
+        cols["right"] = t.column("url_r")
+        return pa.table(cols)
+
+    return both.map_batches(restore_urls, batch_format="pyarrow")

@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray.data
 
 from record_matching_ray.functions.hashing import _U64, hash_strings, mix64
-from record_matching_ray.stages.util import cluster_parallelism
+from record_matching_ray.stages.util import shuffle_partitions
 
 
 def _canonical_segments(g: pa.Table) -> pa.Table:
@@ -83,7 +83,7 @@ def canonicalize(
         on=("url",),
         right_on=("url",),
     )
-    n_parts = 4 * cluster_parallelism()
+    n_parts = shuffle_partitions()
 
     def add_pk(t: pa.Table) -> pa.Table:
         h = mix64(hash_strings(t.column("cluster_id").to_pylist()))

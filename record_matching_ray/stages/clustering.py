@@ -154,14 +154,29 @@ def connected_components(
     nodes: ray.data.Dataset | None = None,
     max_iters: int = 50,
     pre_contract: bool = True,
+    driver_max_edges: int | None = 2_000_000,
 ) -> ray.data.Dataset:
     """edges (left, right) [+ optional nodes (url)] -> (url, cluster_id).
 
     cluster_id = lexicographic min url of the component. Isolated nodes
     (in `nodes` but no edge) form singleton clusters.
+
+    Hybrid finish: distributed per-block contraction always runs first
+    (cliques collapse to stars before any shuffle); if the CONTRACTED
+    edge set is provably small (counted, <= driver_max_edges) the final
+    union-find runs on the driver — same min-url labels, none of the
+    per-round shuffle latency — and node labeling stays distributed via a
+    broadcast component map. Beyond the threshold (true web scale: the
+    contracted set is ~1 edge per non-singleton page) the label-
+    propagation loop below takes over. Both paths are oracle-tested to
+    produce identical clusters. Reference semantics: driver DisjointSet
+    over ALL edges (record_matching/main.py:629-651) — here the driver
+    only ever sees the contracted remainder.
     """
     if pre_contract:
-        edges = contract_edges(edges)
+        edges = contract_edges(edges).materialize()
+        if driver_max_edges is not None and edges.count() <= driver_max_edges:
+            return _finish_on_driver(edges, nodes)
 
     def directed(t: pa.Table) -> pa.Table:
         l = t.column("left").combine_chunks()
@@ -173,13 +188,13 @@ def connected_components(
             }
         )
 
-    from record_matching_ray.stages.util import cluster_parallelism
+    from record_matching_ray.stages.util import shuffle_partitions
 
     # Partition count: the session's CPU count, NOT the input block count.
     # Post-contraction label/edge relations are ~1 row per node; a shuffle
     # with num_blocks partitions (e.g. 71 from a big scored stage) makes
     # every round pay aggregator-startup contention that dwarfs the work.
-    num_partitions = max(4, cluster_parallelism())
+    num_partitions = shuffle_partitions()
 
     directed_edges = (
         edges.select_columns(["left", "right"])
@@ -220,6 +235,43 @@ def connected_components(
         checksum = new_checksum
 
     return labels.rename_columns({"node": "url", "label": "cluster_id"})
+
+
+def _finish_on_driver(
+    contracted: ray.data.Dataset, nodes: ray.data.Dataset | None
+) -> ray.data.Dataset:
+    """Union-find over the (small, counted) contracted edge set; labels
+    broadcast back and applied to the node Dataset distributed."""
+    import ray as _ray
+
+    rows = contracted.take_all()
+    comp = connected_components_driver([(r["left"], r["right"]) for r in rows])
+    comp_ref = _ray.put(comp)
+
+    if nodes is None:
+        items = sorted(comp.items())
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([k for k, _ in items], pa.string()),
+                    "cluster_id": pa.array([v for _, v in items], pa.string()),
+                }
+            )
+        )
+
+    def label_batch(t: pa.Table) -> pa.Table:
+        m = _ray.get(comp_ref) if isinstance(comp_ref, _ray.ObjectRef) else comp_ref
+        urls = t.column("url").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "cluster_id": pa.array([m.get(u, u) for u in urls], pa.string()),
+            }
+        )
+
+    return nodes.select_columns(["url"]).map_batches(
+        label_batch, batch_format="pyarrow"
+    )
 
 
 def connected_components_driver(

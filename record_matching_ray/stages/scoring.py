@@ -27,34 +27,63 @@ from record_matching_ray.functions import strsim
 from record_matching_ray.stages.util import cluster_parallelism
 
 
-def _unpack_embeddings(col, dim: int) -> np.ndarray:
-    """binary blobs (packed float32) -> (n, dim) float32."""
+def _unpack_blobs(col, dtype) -> np.ndarray:
+    """binary blobs (fixed-width packed arrays) -> (n, dim) matrix."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     buf = b"".join(col.to_pylist())
-    return np.frombuffer(buf, dtype=np.float32).reshape(-1, dim)
+    mat = np.frombuffer(buf, dtype=dtype)
+    return mat.reshape(len(col), -1)
 
 
-def compute_pair_features(batch: pa.Table, dim: int) -> np.ndarray:
-    """(n, len(FEATURE_NAMES)) float64 feature matrix, FEATURE_NAMES order."""
+def _memoized_pairwise(
+    fn, left: list, right: list, cache: dict
+) -> np.ndarray:
+    """Per-pair scalar fn with a PERSISTENT cache (actor state). Name
+    variants repeat across thousands of same-block pairs — an entity with
+    k pages and v distinct rendered names yields k(k-1)/2 pairs but only
+    ~v^2 distinct (l, r) keys, so the Python kernel runs ~v^2 times, not
+    k^2/2 (measured: the scorer stage is kernel-bound without this)."""
+    n = len(left)
+    out = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        key = (left[i], right[i])
+        v = cache.get(key)
+        if v is None:
+            v = fn(left[i], right[i])
+            cache[key] = v
+        out[i] = v
+    return out
+
+
+def compute_pair_features(
+    batch: pa.Table, dim: int, caches: dict[str, dict] | None = None
+) -> np.ndarray:
+    """(n, len(FEATURE_NAMES)) float64 feature matrix, FEATURE_NAMES order.
+
+    f_cosine and f_jaccard are fully vectorized (embedding dot products /
+    minhash signature agreement); the name kernels memoize through
+    `caches` (persistent across batches when called from the PairScorer
+    actor)."""
     n = batch.num_rows
-    emb_l = _unpack_embeddings(batch.column("embedding_l"), dim)
-    emb_r = _unpack_embeddings(batch.column("embedding_r"), dim)
+    caches = caches if caches is not None else {"jw": {}, "lev": {}}
+    emb_l = _unpack_blobs(batch.column("embedding_l"), np.float32)
+    emb_r = _unpack_blobs(batch.column("embedding_r"), np.float32)
+    mh_l = _unpack_blobs(batch.column("minhash_l"), np.uint64)
+    mh_r = _unpack_blobs(batch.column("minhash_r"), np.uint64)
     name_l = batch.column("name_l").to_pylist()
     name_r = batch.column("name_r").to_pylist()
-    sig_l = batch.column("token_sig_l").to_pylist()
-    sig_r = batch.column("token_sig_r").to_pylist()
     year_l = batch.column("year_l").to_numpy(zero_copy_only=False)
     year_r = batch.column("year_r").to_numpy(zero_copy_only=False)
 
     feats = np.empty((n, len(FEATURE_NAMES)), dtype=np.float64)
     feats[:, FEATURE_NAMES.index("f_cosine")] = cosine_rows(emb_l, emb_r)
-    feats[:, FEATURE_NAMES.index("f_jaccard")] = strsim.jaccard_tokens_batch(sig_l, sig_r)
-    feats[:, FEATURE_NAMES.index("f_jaro_winkler")] = strsim.jaro_winkler_batch(
-        name_l, name_r
+    feats[:, FEATURE_NAMES.index("f_jaccard")] = (mh_l == mh_r).mean(axis=1)
+    feats[:, FEATURE_NAMES.index("f_jaro_winkler")] = _memoized_pairwise(
+        strsim.jaro_winkler, name_l, name_r, caches["jw"]
     )
-    feats[:, FEATURE_NAMES.index("f_token_levenshtein")] = (
-        strsim.token_set_levenshtein_batch(name_l, name_r)
+    feats[:, FEATURE_NAMES.index("f_token_levenshtein")] = _memoized_pairwise(
+        strsim.token_set_levenshtein, name_l, name_r, caches["lev"]
     )
     feats[:, FEATURE_NAMES.index("f_temporal")] = strsim.year_compat_batch(
         year_l, year_r
@@ -84,9 +113,14 @@ class PairScorer:
                 obj[1], dtype=np.float64
             )
         assert len(self.weights) == len(FEATURE_NAMES)
+        # persistent name-kernel memoization (bounded: cleared past 1M keys)
+        self._caches: dict[str, dict] = {"jw": {}, "lev": {}}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = compute_pair_features(batch, self.cfg.embed_dim)
+        for c in self._caches.values():
+            if len(c) > 1_000_000:
+                c.clear()
+        feats = compute_pair_features(batch, self.cfg.embed_dim, self._caches)
         score = expit(feats @ self.weights + self.intercept)
         cols = {
             "left": batch.column("left"),

@@ -29,6 +29,20 @@ def conformed(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     return ds.map_batches(conform_schema(schema), batch_format="pyarrow")
 
 
+def shuffle_partitions() -> int:
+    """Partition count for coarse-key hash shuffles (pair dedup,
+    canonicalize, label propagation). Ray's hash-shuffle spins up one
+    aggregator actor per partition; past ~CPU count they fight the map
+    tasks for slots (measured: 4x CPUs partitions made a 32-CPU run
+    SLOWER than 8-CPU). Override with RMRAY_SHUFFLE_PARTS."""
+    import os
+
+    env = os.environ.get("RMRAY_SHUFFLE_PARTS")
+    if env:
+        return max(1, int(env))
+    return max(4, cluster_parallelism() // 2)
+
+
 def cluster_parallelism(default: int = 8) -> int:
     """Upper bound for autoscaling actor pools: the cluster's CPU count.
     Resolved at pipeline-build time so the same code saturates a 4-CPU

@@ -137,10 +137,27 @@ def make_pages(
             ts_list.append(_EPOCH + _dt.timedelta(seconds=int(rng.randint(0, 365 * 86400))))
             entity_of.append(e)
             e_urls.append(url)
-        for i in range(len(e_urls)):
-            for j in range(i + 1, len(e_urls)):
+        # labeled positive pairs: full expansion for small entities,
+        # deterministic sampling for big ones (the giant entity at large
+        # n_pages would otherwise expand to O(size^2) tuples — 11.5M for
+        # a 4800-page entity — and dominate generation time)
+        m = len(e_urls)
+        total_pairs = m * (m - 1) // 2
+        max_labeled = 5000
+        if total_pairs <= max_labeled:
+            for i in range(m):
+                for j in range(i + 1, m):
+                    a, b = sorted((e_urls[i], e_urls[j]))
+                    pos_pairs.append((a, b))
+        else:
+            seen_pp: set[tuple[str, str]] = set()
+            while len(seen_pp) < max_labeled:
+                i, j = rng.randint(0, m, size=2)
+                if i == j:
+                    continue
                 a, b = sorted((e_urls[i], e_urls[j]))
-                pos_pairs.append((a, b))
+                seen_pp.add((a, b))
+            pos_pairs.extend(sorted(seen_pp))
 
     # hard negatives: sampled cross-entity pairs sharing a head host or a
     # last name (mirrors hard-negative sampling, poc1:684-710)

@@ -25,7 +25,7 @@ def test_emit_block_keys_shape():
     out = emit_block_keys(batch, cfg)
     # each page emits 1 host key + lsh_bands band keys
     assert out.num_rows == 50 * (1 + cfg.lsh_bands)
-    assert out.schema.names == ["block_key", "url"]
+    assert out.schema.names == ["block_key", "uid"]
 
 
 def test_pairs_canonical_and_deduped():
@@ -43,13 +43,11 @@ def test_blocking_covers_true_pairs():
     cfg, feats, labeled = _features()
     pairs = blocking.generate_candidate_pairs(feats, cfg).materialize()
     got = {(r["left"], r["right"]) for r in pairs.take_all()}
+    lu = blocking.page_uids(labeled.column("left").to_pylist())
+    ru = blocking.page_uids(labeled.column("right").to_pylist())
     pos = {
-        (l, r)
-        for l, r, m in zip(
-            labeled.column("left").to_pylist(),
-            labeled.column("right").to_pylist(),
-            labeled.column("match").to_pylist(),
-        )
+        (min(int(l), int(r)), max(int(l), int(r)))
+        for l, r, m in zip(lu, ru, labeled.column("match").to_pylist())
         if m
     }
     recall = len(pos & got) / len(pos)
@@ -59,8 +57,16 @@ def test_blocking_covers_true_pairs():
 def test_pair_cap_and_overflow_counter():
     block = pa.table({"block_key": [1] * 10, "url": [f"u{i:02d}" for i in range(10)]})
     out = _emit_pairs_in_block(block, max_pairs=5)
-    assert out.num_rows == 5
-    assert out.column("overflow")[0].as_py() == 45 - 5
+    # oversized block -> dense core over m_cap smallest ids + hub spokes
+    # from the first 2 ids to every remaining member; every member appears
+    m_cap = int((2 * 5) ** 0.5) + 1  # 4
+    expected = m_cap * (m_cap - 1) // 2 + 2 * (10 - m_cap)
+    assert out.num_rows == expected
+    assert out.column("overflow")[0].as_py() == 45 - expected
+    members = set(out.column("left").to_pylist()) | set(
+        out.column("right").to_pylist()
+    )
+    assert members == {f"u{i:02d}" for i in range(10)}  # nobody stranded
     full = _emit_pairs_in_block(block, max_pairs=1000)
     assert full.num_rows == 45
     assert full.column("overflow")[0].as_py() == 0
@@ -104,10 +110,15 @@ def test_compute_hot_hosts():
 def test_attach_pair_payload_roundtrip():
     cfg, feats, _ = _features(100, 20, 9)
     pairs = blocking.generate_candidate_pairs(feats, cfg).materialize()
-    wide = blocking.attach_pair_payload(pairs, feats, cfg, num_partitions=2)
-    row = wide.take(1)[0]
-    for col in ("name_l", "name_r", "token_sig_l", "token_sig_r"):
-        assert col in row
-    emb = np.frombuffer(row["embedding_l"], dtype=np.float32)
-    assert emb.shape == (cfg.embed_dim,)
-    assert abs(np.linalg.norm(emb) - 1.0) < 1e-4
+    for wide in (
+        blocking.attach_pair_payload(pairs, feats, cfg),  # broadcast plan
+        blocking._attach_payload_join(pairs, feats, cfg, num_partitions=2),
+    ):
+        row = wide.take(1)[0]
+        for col in ("name_l", "name_r", "minhash_l", "minhash_r"):
+            assert col in row
+        emb = np.frombuffer(row["embedding_l"], dtype=np.float32)
+        assert emb.shape == (cfg.embed_dim,)
+        assert abs(np.linalg.norm(emb) - 1.0) < 1e-4
+        mh = np.frombuffer(row["minhash_l"], dtype=np.uint64)
+        assert mh.shape == (cfg.num_perm,)

@@ -29,21 +29,37 @@ def test_cc_matches_driver_on_random_graph():
         a, b = rng.randint(0, 300, 2)
         if a != b:
             pairs.append((min(nodes[a], nodes[b]), max(nodes[a], nodes[b])))
+    want = connected_components_driver(pairs, nodes)
+    # hybrid fast path (contracted set under the driver threshold)
     got = {
         r["url"]: r["cluster_id"]
         for r in connected_components(
             _edges_ds(pairs), rd.from_arrow(pa.table({"url": nodes}))
         ).take_all()
     }
-    want = connected_components_driver(pairs, nodes)
     assert got == want
+    # distributed label-propagation path (threshold forced to 0) must
+    # produce byte-identical clusters — the scale path stays tested
+    got_dist = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(
+            _edges_ds(pairs),
+            rd.from_arrow(pa.table({"url": nodes})),
+            driver_max_edges=0,
+        ).take_all()
+    }
+    assert got_dist == want
 
 
 def test_cc_chain_converges():
+    # long chain through the DISTRIBUTED path (worst case for label
+    # propagation round count; pre-contraction + label links bound it)
     chain = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(120)]
     rng = np.random.RandomState(2)
     rng.shuffle(chain)
-    out = connected_components(_edges_ds(chain).repartition(6)).take_all()
+    out = connected_components(
+        _edges_ds(chain).repartition(6), driver_max_edges=0
+    ).take_all()
     assert set(r["cluster_id"] for r in out) == {"c000"}
     assert len(out) == 121
 
