@@ -80,7 +80,7 @@ def run_flagship(num_cpus: int) -> dict:
     res = run_er(pages, cfg, out_dir=ckpt, input_key=f"bench:{PAGES_N}")
     n_clusters = res["canonical"].count()
     elapsed = time.time() - t0
-    pairs_scored = mf.read_manifest(os.path.join(ckpt, "scored"))["rows"]
+    pairs_scored = mf.read_manifest(os.path.join(ckpt, "pairs"))["rows"]
     n_edges = mf.read_manifest(os.path.join(ckpt, "edges"))["rows"]
     return {
         "elapsed_s": round(elapsed, 3),

@@ -56,6 +56,8 @@ class PipelineConfig:
     max_cc_iters: int = 50        # label-propagation fixpoint bound
 
     # --- execution ---------------------------------------------------------
+    keep_scored: bool = False     # checkpoint the full scored-pairs table
+    emit_features: bool = False   # include per-pair f_* columns in scorer output
     scorer_batch_size: int = 8192
     scorer_concurrency: int = 4   # actor-pool size for the scorer stage
     extract_batch_size: int = 2048

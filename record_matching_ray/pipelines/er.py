@@ -89,6 +89,71 @@ def train_weights_from_labeled(
     return intercept, weights, auc
 
 
+def _restore_cluster_urls(
+    uclusters: ray.data.Dataset,
+    features: ray.data.Dataset,
+    num_partitions: int,
+    broadcast_max_rows: int = 2_000_000,
+) -> ray.data.Dataset:
+    """(uid, cluster_uid) -> (url, cluster_id) where cluster_id is the url
+    of the component's min-uid member (deterministic). Broadcast map for
+    counted-small page sets; double hash join beyond."""
+    import pyarrow as pa
+
+    from record_matching_ray.stages import blocking as _b
+
+    n = features.count()
+    if n <= broadcast_max_rows:
+        import ray as _ray
+
+        mapping: dict[int, str] = {}
+        for t in features.select_columns(["url"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            urls = t.column("url").to_pylist()
+            for u, uid in zip(urls, _b.page_uids(urls)):
+                mapping[int(uid)] = u
+        ref = _ray.put(mapping)
+
+        def restore(t: pa.Table) -> pa.Table:
+            m = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+            uids = t.column("url").to_numpy(zero_copy_only=False)
+            cids = t.column("cluster_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "url": pa.array([m[int(u)] for u in uids], pa.string()),
+                    "cluster_id": pa.array([m[int(c)] for c in cids], pa.string()),
+                }
+            )
+
+        return uclusters.map_batches(restore, batch_format="pyarrow")
+
+    def uid_url(t: pa.Table) -> pa.Table:
+        urls = t.column("url")
+        return pa.table(
+            {
+                "muid": pa.array(_b.page_uids(urls.to_pylist()), pa.int64()),
+                "murl": urls,
+            }
+        )
+
+    side = features.select_columns(["url"]).map_batches(uid_url, batch_format="pyarrow")
+    out = uclusters.join(
+        side, join_type="inner", num_partitions=num_partitions,
+        on=("url",), right_on=("muid",),
+    ).rename_columns({"murl": "url_str"})
+    out = out.join(
+        side, join_type="inner", num_partitions=num_partitions,
+        on=("cluster_id",), right_on=("muid",),
+    ).rename_columns({"murl": "cid_str"})
+    return out.map_batches(
+        lambda t: pa.table(
+            {"url": t.column("url_str"), "cluster_id": t.column("cid_str")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def run_er(
     pages: ray.data.Dataset,
     cfg: PipelineConfig | None = None,
@@ -113,11 +178,16 @@ def run_er(
         if out_dir is None:
             return ds
         import os
+        import time
 
         sdir = os.path.join(out_dir, stage)
         if mf.is_complete(sdir, fp):
             return mf.read_stage(sdir)
-        mf.write_stage(ds, sdir, fp)
+        t0 = time.time()
+        mf.write_stage(ds, sdir, fp, counters={"wall_s": None})
+        # stage wall time (includes executing the lazy pipeline since the
+        # previous checkpoint) — recorded in the manifest counters
+        mf.update_counters(sdir, {"wall_s": round(time.time() - t0, 3)})
         return mf.read_stage(sdir)
 
     scorer_blocks = 2 * cluster_parallelism()
@@ -134,17 +204,39 @@ def run_er(
     )
     # spread pairs over >= 2 blocks per scorer actor — the pair-dedup
     # stage emits shuffle_partitions() blocks, which under-subscribes a
-    # 32-actor scorer pool (narrow repartition: left/right only)
+    # 32-actor scorer pool (narrow repartition: left/right only).
+    # Scoring, edges and clustering all run in uid space (8B keys);
+    # urls are restored once on the final cluster table.
     wide = blocking.attach_pair_payload(
-        pairs.repartition(scorer_blocks), features, cfg, num_partitions
+        pairs.repartition(scorer_blocks), features, cfg, num_partitions,
+        restore_urls=False,
     )
-    scored = checkpoint(scoring.score_pairs(wide, cfg, weights), "scored")
+    # scoring fuses into the edge filter — persisting the full scored
+    # table would write+read ~150B x |pairs| for a stage whose only
+    # consumer keeps score >= tau rows; pairs-scored count lives in the
+    # pairs manifest. Set keep_scored=True (cfg) to checkpoint it for
+    # re-thresholding experiments.
+    scored = scoring.score_pairs(wide, cfg, weights)
+    if out_dir is not None and cfg.keep_scored:
+        scored = checkpoint(scored, "scored")
     edges = checkpoint(scoring.edges_from_scores(scored, cfg), "edges")
-    clusters = checkpoint(
-        connected_components(
-            edges, nodes=features.select_columns(["url"]), max_iters=cfg.max_cc_iters
+
+    def uid_nodes(t):
+        import pyarrow as pa
+
+        return pa.table(
+            {"url": pa.array(blocking.page_uids(t.column("url").to_pylist()), pa.int64())}
+        )
+
+    uclusters = connected_components(
+        edges,
+        nodes=features.select_columns(["url"]).map_batches(
+            uid_nodes, batch_format="pyarrow"
         ),
-        "clusters",
+        max_iters=cfg.max_cc_iters,
+    )
+    clusters = checkpoint(
+        _restore_cluster_urls(uclusters, features, num_partitions), "clusters"
     )
     canonical = checkpoint(canonicalize(clusters, features, num_partitions), "canonical")
     return {

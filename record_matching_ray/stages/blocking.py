@@ -53,9 +53,12 @@ def page_uids(urls) -> np.ndarray:
     ONLY these ids through its shuffles (urls are ~100B, uids 8B — the
     pair-dedup shuffle and its lexsorts get ~10x cheaper); urls are
     restored from the feature table at payload-attach. Collision odds at
-    bench scale are ~n^2/2^65 (negligible); for 10^12-page deployments
-    widen to 128-bit (two u64 columns) — documented trade-off."""
-    return mix64(hash_strings(urls))
+    bench scale are ~n^2/2^64 (negligible); for 10^12-page deployments
+    widen to 128-bit (two columns) — documented trade-off. Stored as
+    NON-NEGATIVE int64 (top bit cleared): several Ray/Arrow/pandas
+    aggregate paths overflow on uint64 values above 2^63 and silently
+    fall back to pickled Python objects, which breaks downstream casts."""
+    return (mix64(hash_strings(urls)) >> _U64(1)).astype(np.int64)
 
 
 def emit_block_keys(
@@ -85,7 +88,9 @@ def emit_block_keys(
     if cfg.use_host_blocks:
         hosts = batch.column("host").to_pylist()
         url_salt = (
-            mix64(uids) % _U64(cfg.n_salts) if hot_hosts else np.zeros(n, dtype=_U64)
+            mix64(uids.astype(_U64)) % _U64(cfg.n_salts)
+            if hot_hosts
+            else np.zeros(n, dtype=_U64)
         )
         host_hash = mix64(hash_strings(hosts))
         is_hot = np.fromiter((h in hot_hosts for h in hosts), dtype=bool, count=n)
@@ -105,7 +110,7 @@ def emit_block_keys(
     return pa.table(
         {
             "block_key": pa.array(keys, pa.uint64()),
-            "uid": pa.array(uids[idx], pa.uint64()),
+            "uid": pa.array(uids[idx], pa.int64()),
         }
     )
 
@@ -129,7 +134,7 @@ def _emit_pairs_segments(
     Python dispatch (Ray's map_groups pays ~1ms of dispatch per group,
     which at ~50k tiny LSH blocks dominates the whole blocking stage).
     Works on uint64 uids (hot path) or url strings (object dtype)."""
-    id_type = pa.string() if ids.dtype == object else pa.uint64()
+    id_type = pa.string() if ids.dtype == object else pa.int64()
     order = np.lexsort((ids, keys))
     ids, keys = ids[order], keys[order]
     # segment boundaries
@@ -257,13 +262,14 @@ def dedup_pairs(pairs: ray.data.Dataset, n_parts: int) -> ray.data.Dataset:
 
     def local(t: pa.Table) -> pa.Table:
         l, r = _local_pair_dedup(*_uid_pair_arrays(t))
-        ph = (mix64(l * _U64(0x9E3779B97F4A7C15) ^ mix64(r)) % _U64(n_parts)).astype(
+        lu, ru = l.astype(_U64), r.astype(_U64)
+        ph = (mix64(lu * _U64(0x9E3779B97F4A7C15) ^ mix64(ru)) % _U64(n_parts)).astype(
             np.int64
         )
         return pa.table(
             {
-                "left": pa.array(l, pa.uint64()),
-                "right": pa.array(r, pa.uint64()),
+                "left": pa.array(l, pa.int64()),
+                "right": pa.array(r, pa.int64()),
                 "ph": pa.array(ph, pa.int64()),
             }
         )
@@ -271,7 +277,7 @@ def dedup_pairs(pairs: ray.data.Dataset, n_parts: int) -> ray.data.Dataset:
     def final(g: pa.Table) -> pa.Table:
         l, r = _local_pair_dedup(*_uid_pair_arrays(g))
         return pa.table(
-            {"left": pa.array(l, pa.uint64()), "right": pa.array(r, pa.uint64())}
+            {"left": pa.array(l, pa.int64()), "right": pa.array(r, pa.int64())}
         )
 
     from record_matching_ray.stages.util import conformed
@@ -282,7 +288,7 @@ def dedup_pairs(pairs: ray.data.Dataset, n_parts: int) -> ray.data.Dataset:
         .groupby("ph")
         .map_groups(final, batch_format="pyarrow")
     )
-    return conformed(out, pa.schema([("left", pa.uint64()), ("right", pa.uint64())]))
+    return conformed(out, pa.schema([("left", pa.int64()), ("right", pa.int64())]))
 
 
 def compute_hot_hosts(features: ray.data.Dataset, cfg: PipelineConfig) -> list[str]:
@@ -310,6 +316,7 @@ def attach_pair_payload(
     cfg: PipelineConfig,
     num_partitions: int = 32,
     broadcast_max_rows: int = 1_000_000,
+    restore_urls: bool = True,
 ) -> ray.data.Dataset:
     """Attach both sides' feature payloads to each candidate pair.
 
@@ -337,8 +344,8 @@ def attach_pair_payload(
     in the scorer."""
     n_features = features.count()
     if n_features <= broadcast_max_rows:
-        return _attach_payload_broadcast(pairs, features, cfg)
-    return _attach_payload_join(pairs, features, cfg, num_partitions)
+        return _attach_payload_broadcast(pairs, features, cfg, restore_urls)
+    return _attach_payload_join(pairs, features, cfg, num_partitions, restore_urls)
 
 
 def _pairs_to_uids(pairs: ray.data.Dataset) -> ray.data.Dataset:
@@ -350,46 +357,82 @@ def _pairs_to_uids(pairs: ray.data.Dataset) -> ray.data.Dataset:
 
     def conv(t: pa.Table) -> pa.Table:
         cols = {n: t.column(n) for n in t.schema.names}
-        cols["left"] = pa.array(page_uids(t.column("left").to_pylist()), pa.uint64())
-        cols["right"] = pa.array(page_uids(t.column("right").to_pylist()), pa.uint64())
+        cols["left"] = pa.array(page_uids(t.column("left").to_pylist()), pa.int64())
+        cols["right"] = pa.array(page_uids(t.column("right").to_pylist()), pa.int64())
         return pa.table(cols)
 
     return pairs.map_batches(conv, batch_format="pyarrow")
 
 
+def _pack_payload_batch(t: pa.Table) -> pa.Table:
+    """Distributed prep for the broadcast build side: pack fixed-size-list
+    columns to binary blobs and add uids — runs in map_batches tasks so
+    the driver only concatenates Arrow tables."""
+    cols = {
+        "url": t.column("url"),
+        "name": t.column("name"),
+        "year": t.column("year").cast(pa.float64()),
+        "uid": pa.array(page_uids(t.column("url").to_pylist()), pa.int64()),
+    }
+    for name in ("embedding", "minhash"):
+        col = t.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = col.type.list_size
+        mat = col.flatten().to_numpy(zero_copy_only=False)
+        if name == "embedding":
+            mat = mat.astype(np.float32)
+        else:
+            # byte-pack: the scorer only tests per-perm AGREEMENT, so the
+            # low byte of each minhash value suffices (spurious agreement
+            # adds (1-j)/256 bias — negligible). 512B -> 64B per side of
+            # every pair, the largest single payload saving.
+            mat = (mat & np.uint64(0xFF)).astype(np.uint8)
+        cols[name] = pa.array(
+            [mat[i * dim : (i + 1) * dim].tobytes() for i in range(t.num_rows)],
+            pa.binary(),
+        )
+    return pa.table(cols)
+
+
 def _attach_payload_broadcast(
-    pairs: ray.data.Dataset, features: ray.data.Dataset, cfg: PipelineConfig
+    pairs: ray.data.Dataset,
+    features: ray.data.Dataset,
+    cfg: PipelineConfig,
+    restore_urls: bool = True,
 ) -> ray.data.Dataset:
     import ray as _ray
 
-    cols = ["url"] + PAIR_PAYLOAD
-    side = {c: [] for c in cols}
-    for t in features.select_columns(cols).iter_batches(
-        batch_format="pyarrow", batch_size=8192
-    ):
-        for fixed_col in ("embedding", "minhash"):
-            col = t.column(fixed_col)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            dim = col.type.list_size
-            mat = col.flatten().to_numpy(zero_copy_only=False)
-            if fixed_col == "embedding":
-                mat = mat.astype(np.float32)
-            side[fixed_col].extend(
-                mat[i * dim : (i + 1) * dim].tobytes() for i in range(t.num_rows)
-            )
-        side["url"].extend(t.column("url").to_pylist())
-        side["name"].extend(t.column("name").to_pylist())
-        side["year"].extend(t.column("year").to_pylist())
-    uids = page_uids(side["url"])
-    index = {int(u): i for i, u in enumerate(uids)}
-    payload = {
-        "url": np.asarray(side["url"], dtype=object),
-        "name": np.asarray(side["name"], dtype=object),
-        "minhash": np.asarray(side["minhash"], dtype=object),
-        "year": np.asarray(side["year"], dtype=np.float64),
-        "embedding": np.asarray(side["embedding"], dtype=object),
-    }
+    packed = features.select_columns(["url"] + PAIR_PAYLOAD).map_batches(
+        _pack_payload_batch, batch_format="pyarrow"
+    )
+    tables = [
+        t
+        for t in packed.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if tables:
+        side = pa.concat_tables(tables)
+        uids = side.column("uid").to_numpy(zero_copy_only=False)
+        index = dict(zip((int(u) for u in uids), range(len(uids))))
+        payload = {
+            "url": np.asarray(side.column("url").to_pylist(), dtype=object),
+            "name": np.asarray(side.column("name").to_pylist(), dtype=object),
+            "minhash": np.asarray(side.column("minhash").to_pylist(), dtype=object),
+            "year": side.column("year").to_numpy(zero_copy_only=False),
+            "embedding": np.asarray(
+                side.column("embedding").to_pylist(), dtype=object
+            ),
+        }
+    else:
+        index = {}
+        payload = {
+            "url": np.empty(0, dtype=object),
+            "name": np.empty(0, dtype=object),
+            "minhash": np.empty(0, dtype=object),
+            "year": np.empty(0, dtype=np.float64),
+            "embedding": np.empty(0, dtype=object),
+        }
     ref = _ray.put((index, payload))
 
     def attach(t: pa.Table) -> pa.Table:
@@ -402,14 +445,18 @@ def _attach_payload_broadcast(
         )
         # every extra input pair column passes through (e.g. the labeled
         # `match` column used by train_weights_from_labeled); left/right
-        # are restored to url strings
+        # restored to url strings on request, else kept as uids
         cols = {
             name: t.column(name)
             for name in t.schema.names
             if name not in ("left", "right")
         }
-        cols["left"] = pa.array(pl["url"][li], pa.string())
-        cols["right"] = pa.array(pl["url"][ri], pa.string())
+        if restore_urls:
+            cols["left"] = pa.array(pl["url"][li], pa.string())
+            cols["right"] = pa.array(pl["url"][ri], pa.string())
+        else:
+            cols["left"] = t.column("left")
+            cols["right"] = t.column("right")
         for name, arr in pl.items():
             if name == "url":
                 continue
@@ -428,6 +475,7 @@ def _attach_payload_join(
     features: ray.data.Dataset,
     cfg: PipelineConfig,
     num_partitions: int = 32,
+    restore_urls: bool = True,
 ) -> ray.data.Dataset:
     """Shuffle-join plan (build side too large to broadcast)."""
 
@@ -439,6 +487,8 @@ def _attach_payload_join(
             mat = col.flatten().to_numpy(zero_copy_only=False)
             if name == "embedding":
                 mat = mat.astype(np.float32)
+            else:
+                mat = (mat & np.uint64(0xFF)).astype(np.uint8)  # see broadcast pack
             dim = col.type.list_size
             blobs = pa.array(
                 [mat[i * dim : (i + 1) * dim].tobytes() for i in range(t.num_rows)],
@@ -449,7 +499,7 @@ def _attach_payload_join(
 
     def add_uid(t: pa.Table) -> pa.Table:
         return t.append_column(
-            "uid", pa.array(page_uids(t.column("url").to_pylist()), pa.uint64())
+            "uid", pa.array(page_uids(t.column("url").to_pylist()), pa.int64())
         )
 
     side = features.select_columns(["url"] + PAIR_PAYLOAD).map_batches(
@@ -475,14 +525,18 @@ def _attach_payload_join(
         right_on=("uid",),
     ).rename_columns({c: f"{c}_r" for c in PAIR_PAYLOAD + ["url"]})
 
-    def restore_urls(t: pa.Table) -> pa.Table:
+    def finalize(t: pa.Table) -> pa.Table:
         cols = {
             n: t.column(n)
             for n in t.schema.names
             if n not in ("left", "right", "url_l", "url_r")
         }
-        cols["left"] = t.column("url_l")
-        cols["right"] = t.column("url_r")
+        if restore_urls:
+            cols["left"] = t.column("url_l")
+            cols["right"] = t.column("url_r")
+        else:
+            cols["left"] = t.column("left")
+            cols["right"] = t.column("right")
         return pa.table(cols)
 
-    return both.map_batches(restore_urls, batch_format="pyarrow")
+    return both.map_batches(finalize, batch_format="pyarrow")

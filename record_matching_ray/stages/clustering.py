@@ -36,15 +36,21 @@ from record_matching_ray.functions.hashing import _U64, hash_strings, mix64
 from record_matching_ray.functions.union_find import UnionFind
 
 
+def _col_hash(col: pa.ChunkedArray | pa.Array) -> "np.ndarray":
+    """64-bit hash of a key column — string or integer (uid) keys."""
+    import numpy as np
+
+    if pa.types.is_string(col.type):
+        return hash_strings(col.to_pylist())
+    return mix64(col.to_numpy(zero_copy_only=False).astype(_U64))
+
+
 def _label_checksum(labels: ray.data.Dataset) -> int:
     """Order-independent uint64 checksum of the (node, label) relation —
     fixpoint detection without joining against the previous round."""
 
     def partial(t: pa.Table) -> pa.Table:
-        h = mix64(
-            hash_strings(t.column("node").to_pylist())
-            ^ mix64(hash_strings(t.column("label").to_pylist()))
-        )
+        h = mix64(_col_hash(t.column("node")) ^ mix64(_col_hash(t.column("label"))))
         return pa.table({"partial": pa.array([int(h.sum(dtype=_U64))], pa.uint64())})
 
     total = 0
@@ -53,7 +59,9 @@ def _label_checksum(labels: ray.data.Dataset) -> int:
     return total
 
 
-def _min_label_per_node(candidates: ray.data.Dataset) -> ray.data.Dataset:
+def _min_label_per_node(
+    candidates: ray.data.Dataset, key_type: pa.DataType
+) -> ray.data.Dataset:
     """groupby(node).min(label), with a per-batch partial combine first so
     the shuffle moves one row per (node, batch), not one per candidate."""
 
@@ -71,12 +79,15 @@ def _min_label_per_node(candidates: ray.data.Dataset) -> ray.data.Dataset:
     from record_matching_ray.stages.util import conformed
 
     return conformed(
-        out, pa.schema([("node", pa.string()), ("label", pa.string())])
+        out, pa.schema([("node", key_type), ("label", key_type)])
     )
 
 
 def _propagate_round(
-    labels: ray.data.Dataset, directed_edges: ray.data.Dataset, num_partitions: int
+    labels: ray.data.Dataset,
+    directed_edges: ray.data.Dataset,
+    num_partitions: int,
+    key_type: pa.DataType,
 ) -> ray.data.Dataset:
     """One round: every node's label flows to its aug-neighborhood.
 
@@ -108,7 +119,7 @@ def _propagate_round(
         lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
         batch_format="pyarrow",
     )
-    return _min_label_per_node(msgs.union(labels))
+    return _min_label_per_node(msgs.union(labels), key_type)
 
 
 def _contract_batch(t: pa.Table) -> pa.Table:
@@ -127,24 +138,32 @@ def _contract_batch(t: pa.Table) -> pa.Table:
         if node != rep:
             lefts.append(rep)
             rights.append(node)
+    key_type = t.schema.field("left").type
     return pa.table(
         {
-            "left": pa.array(lefts, pa.string()),
-            "right": pa.array(rights, pa.string()),
+            "left": pa.array(lefts, key_type),
+            "right": pa.array(rights, key_type),
         }
     )
 
 
-def contract_edges(edges: ray.data.Dataset, rounds: int = 2) -> ray.data.Dataset:
+def contract_edges(edges: ray.data.Dataset, rounds: int = 3) -> ray.data.Dataset:
     """Shrink an edge set while preserving connectivity: per-block
-    union-find contraction, then sort by node to co-locate each node's
-    remaining edges and contract again. Output is typically one star edge
-    per non-singleton node; correctness does NOT depend on convergence —
-    the label-propagation loop finishes whatever remains."""
+    union-find contraction, then alternate sort orientations and contract
+    again. Output approaches one star edge per non-singleton node;
+    correctness does NOT depend on convergence — the hybrid finish
+    (driver union-find or label propagation) absorbs whatever remains.
+
+    The orientation alternation matters: round 1 emits star edges
+    (rep -> node); a node shared by two stars appears on the RIGHT side
+    under different reps, so co-locating by `right` is what lets the next
+    per-block union-find merge those stars. Sorting by `left` twice (the
+    original bug) left ~4.5M of 17.8M edges uncontracted and pushed the
+    clustering onto the slow loop."""
     out = edges.select_columns(["left", "right"])
     for r in range(rounds):
         if r > 0:
-            out = out.sort("left")
+            out = out.sort("right" if r % 2 == 1 else "left")
         out = out.map_batches(_contract_batch, batch_format="pyarrow")
     return out
 
@@ -173,10 +192,13 @@ def connected_components(
     over ALL edges (record_matching/main.py:629-651) — here the driver
     only ever sees the contracted remainder.
     """
+    sch = edges.schema()
+    key_type = sch.types[sch.names.index("left")]
+
     if pre_contract:
         edges = contract_edges(edges).materialize()
         if driver_max_edges is not None and edges.count() <= driver_max_edges:
-            return _finish_on_driver(edges, nodes)
+            return _finish_on_driver(edges, nodes, key_type)
 
     def directed(t: pa.Table) -> pa.Table:
         l = t.column("left").combine_chunks()
@@ -219,12 +241,14 @@ def connected_components(
     # repartition before materialize: merges away the zero-column empty
     # blocks hash-shuffle groupbys emit for empty partitions, which would
     # otherwise poison the next round's Acero join (first-block schema)
-    labels = _min_label_per_node(seeds).repartition(num_partitions).materialize()
+    labels = (
+        _min_label_per_node(seeds, key_type).repartition(num_partitions).materialize()
+    )
     checksum = _label_checksum(labels)
 
     for _ in range(max_iters):
         new_labels = (
-            _propagate_round(labels, directed_edges, num_partitions)
+            _propagate_round(labels, directed_edges, num_partitions, key_type)
             .repartition(num_partitions)
             .materialize()
         )
@@ -238,7 +262,9 @@ def connected_components(
 
 
 def _finish_on_driver(
-    contracted: ray.data.Dataset, nodes: ray.data.Dataset | None
+    contracted: ray.data.Dataset,
+    nodes: ray.data.Dataset | None,
+    key_type: pa.DataType,
 ) -> ray.data.Dataset:
     """Union-find over the (small, counted) contracted edge set; labels
     broadcast back and applied to the node Dataset distributed."""
@@ -253,8 +279,8 @@ def _finish_on_driver(
         return ray.data.from_arrow(
             pa.table(
                 {
-                    "url": pa.array([k for k, _ in items], pa.string()),
-                    "cluster_id": pa.array([v for _, v in items], pa.string()),
+                    "url": pa.array([k for k, _ in items], key_type),
+                    "cluster_id": pa.array([v for _, v in items], key_type),
                 }
             )
         )
@@ -264,8 +290,8 @@ def _finish_on_driver(
         urls = t.column("url").to_pylist()
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
-                "cluster_id": pa.array([m.get(u, u) for u in urls], pa.string()),
+                "url": pa.array(urls, key_type),
+                "cluster_id": pa.array([m.get(u, u) for u in urls], key_type),
             }
         )
 

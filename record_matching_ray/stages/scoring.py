@@ -69,8 +69,8 @@ def compute_pair_features(
     caches = caches if caches is not None else {"jw": {}, "lev": {}}
     emb_l = _unpack_blobs(batch.column("embedding_l"), np.float32)
     emb_r = _unpack_blobs(batch.column("embedding_r"), np.float32)
-    mh_l = _unpack_blobs(batch.column("minhash_l"), np.uint64)
-    mh_r = _unpack_blobs(batch.column("minhash_r"), np.uint64)
+    mh_l = _unpack_blobs(batch.column("minhash_l"), np.uint8)
+    mh_r = _unpack_blobs(batch.column("minhash_r"), np.uint8)
     name_l = batch.column("name_l").to_pylist()
     name_r = batch.column("name_r").to_pylist()
     year_l = batch.column("year_l").to_numpy(zero_copy_only=False)
@@ -126,8 +126,9 @@ class PairScorer:
             "left": batch.column("left"),
             "right": batch.column("right"),
         }
-        for i, fname in enumerate(FEATURE_NAMES):
-            cols[fname] = pa.array(feats[:, i].astype(np.float32), pa.float32())
+        if self.cfg.emit_features:
+            for i, fname in enumerate(FEATURE_NAMES):
+                cols[fname] = pa.array(feats[:, i].astype(np.float32), pa.float32())
         cols["score"] = pa.array(score.astype(np.float32), pa.float32())
         return pa.table(cols)
 

@@ -88,3 +88,13 @@ def read_stage(stage_dir: str) -> ray.data.Dataset:
 def read_manifest(stage_dir: str) -> dict:
     with open(_manifest_path(stage_dir)) as f:
         return json.load(f)
+
+
+def update_counters(stage_dir: str, counters: dict) -> dict:
+    """Merge extra counters into an existing manifest (e.g. stage wall
+    time, which is only known after the write completes)."""
+    m = read_manifest(stage_dir)
+    m.setdefault("counters", {}).update(counters)
+    with open(_manifest_path(stage_dir), "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    return m

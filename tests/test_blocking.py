@@ -120,5 +120,5 @@ def test_attach_pair_payload_roundtrip():
         emb = np.frombuffer(row["embedding_l"], dtype=np.float32)
         assert emb.shape == (cfg.embed_dim,)
         assert abs(np.linalg.norm(emb) - 1.0) < 1e-4
-        mh = np.frombuffer(row["minhash_l"], dtype=np.uint64)
+        mh = np.frombuffer(row["minhash_l"], dtype=np.uint8)  # byte-packed
         assert mh.shape == (cfg.num_perm,)
