@@ -161,9 +161,9 @@ def main_worker(num_cpus: int) -> None:
 def main_scaling() -> None:
     """Fresh process per CPU count (sandbox proxy for N vs 4N nodes).
 
-    Uses a 4x corpus (24k pages) so per-stage scheduling latency doesn't
-    drown the scalable work at 32 CPUs."""
-    env = dict(os.environ, RMRAY_BENCH_PAGES=os.environ.get("RMRAY_BENCH_PAGES", "24000"))
+    Uses a 16x corpus (96k pages / ~19M scored pairs) so per-stage
+    scheduling latency doesn't drown the scalable work at 32 CPUs."""
+    env = dict(os.environ, RMRAY_BENCH_PAGES=os.environ.get("RMRAY_BENCH_PAGES", "96000"))
     results = {}
     for cpus in (8, 32):
         p = subprocess.run(
@@ -189,7 +189,7 @@ def main_scaling() -> None:
         "throughput_8": t8,
         "throughput_32": t32,
         "pairs_scored": results[32]["pairs_scored"],
-        "sf": f"synthetic pages n={PAGES_N}",
+        "sf": f"synthetic pages n={results[32]['pages']}",
         "num_cpus": 32,
     }
     print(json.dumps(out))

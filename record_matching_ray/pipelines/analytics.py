@@ -152,7 +152,7 @@ def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
         ),
     )
     joined = per_cust.join(
-        customer, join_type="inner", num_partitions=8,
+        customer, join_type="inner", num_partitions=min(8, __import__("record_matching_ray.stages.util", fromlist=["u"]).shuffle_partitions()),
         on=("o_custkey",), right_on=("c_custkey",),
     )
     top = joined.sort(["revenue_c", "o_custkey"], descending=[True, False]).limit(k)
@@ -271,7 +271,7 @@ def customers_no_orders(sf_dir: str, min_price: float = 400_000.0) -> ray.data.D
         buyers, pa.schema([("o_custkey", pa.int64()), ("sum(cnt)", pa.int64())])
     )
     left = customer.join(
-        buyers, join_type="left_outer", num_partitions=8,
+        buyers, join_type="left_outer", num_partitions=min(8, __import__("record_matching_ray.stages.util", fromlist=["u"]).shuffle_partitions()),
         on=("c_custkey",), right_on=("o_custkey",),
     )
     return left.map_batches(
@@ -341,7 +341,7 @@ def events_by_type(sf_dir: str) -> ray.data.Dataset:
         nusers, pa.schema([("event_type", pa.string()), ("sum(n_users)", pa.int64())])
     )
     out = base.join(
-        nusers, join_type="inner", num_partitions=4, on=("event_type",),
+        nusers, join_type="inner", num_partitions=min(4, __import__("record_matching_ray.stages.util", fromlist=["u"]).shuffle_partitions()), on=("event_type",),
     ).rename_columns({"sum(n_users)": "n_users"})
     return conformed(
         out,

@@ -57,7 +57,7 @@ def train_weights_from_labeled(
     features: ray.data.Dataset,
     labeled_pairs: ray.data.Dataset,
     cfg: PipelineConfig,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> tuple[float, np.ndarray, float]:
     """Logistic-regression weights from the labeled pair sample.
 

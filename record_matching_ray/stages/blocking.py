@@ -314,7 +314,7 @@ def attach_pair_payload(
     pairs: ray.data.Dataset,
     features: ray.data.Dataset,
     cfg: PipelineConfig,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     broadcast_max_rows: int = 1_000_000,
     restore_urls: bool = True,
 ) -> ray.data.Dataset:
@@ -342,6 +342,10 @@ def attach_pair_payload(
     hash join (Ray's per-partition join kernel) rejects fixed_size_list
     payload columns; float32-bytes round-trip losslessly via np.frombuffer
     in the scorer."""
+    if num_partitions is None:
+        from record_matching_ray.stages.util import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
     n_features = features.count()
     if n_features <= broadcast_max_rows:
         return _attach_payload_broadcast(pairs, features, cfg, restore_urls)
@@ -474,10 +478,14 @@ def _attach_payload_join(
     pairs: ray.data.Dataset,
     features: ray.data.Dataset,
     cfg: PipelineConfig,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     restore_urls: bool = True,
 ) -> ray.data.Dataset:
     """Shuffle-join plan (build side too large to broadcast)."""
+    if num_partitions is None:
+        from record_matching_ray.stages.util import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
 
     def pack_fixed_lists(t: pa.Table) -> pa.Table:
         for name in ("embedding", "minhash"):

@@ -73,9 +73,11 @@ def _canonical_segments(g: pa.Table) -> pa.Table:
 def canonicalize(
     clusters: ray.data.Dataset,
     features: ray.data.Dataset,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """clusters(url, cluster_id) ⋈ features -> one canonical row per cluster."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
     joined = clusters.join(
         features.select_columns(["url", "name", "year", "lang"]),
         join_type="inner",

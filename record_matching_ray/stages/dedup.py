@@ -312,11 +312,17 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     lsh_threshold: float = 0.35,
     threshold: float = 0.5,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """MinHash-LSH candidates re-verified with EXACT token n-gram Jaccard.
     Two-stage: cheap sketch recall, exact verify only on candidates.
     Output: (left, right, jaccard) with jaccard >= threshold."""
+    if num_partitions is None:
+        from record_matching_ray.stages.util import shuffle_partitions
+
+        # partition count must track the session's CPUs: a 16-aggregator
+        # hash join on a 4-CPU session stalls behind slot contention
+        num_partitions = shuffle_partitions()
     cand = minhash_neardup_pairs(
         docs, shingle_k=shingle_k, threshold=lsh_threshold
     ).select_columns(["left", "right"])

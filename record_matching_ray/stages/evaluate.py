@@ -50,12 +50,16 @@ class PairMetrics:
 def attach_cluster_ids(
     labeled_pairs: ray.data.Dataset,
     clusters: ray.data.Dataset,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """labeled (left, right, match) ⋈ clusters(url, cluster_id) twice ->
     (left, right, match, cid_l, cid_r). Distributed hash joins — the
     cluster map is NOT collected to the driver (poc2 does the equivalent
     lookup per pair in pandas, poc2:2253-2299; that can't scale)."""
+    if num_partitions is None:
+        from record_matching_ray.stages.util import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
     side = clusters.select_columns(["url", "cluster_id"])
     out = labeled_pairs.join(
         side,
@@ -77,7 +81,7 @@ def attach_cluster_ids(
 def pairwise_metrics_on_labeled(
     labeled_pairs: ray.data.Dataset,
     clusters: ray.data.Dataset,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> PairMetrics:
     """Confusion counts over the labeled pairs: predicted-match iff both
     urls landed in the same cluster (same-cluster ⇔ match evaluation,
@@ -113,7 +117,7 @@ def pairwise_metrics_on_labeled(
 def adjusted_rand_vs_truth(
     clusters: ray.data.Dataset,
     truth: ray.data.Dataset,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     sample_n: int | None = None,
 ) -> float:
     """ARI of predicted cluster_id vs truth entity_id, joined on url.
@@ -121,6 +125,10 @@ def adjusted_rand_vs_truth(
     The contingency table needs aligned label vectors; they are collected
     to the driver (bounded: one small row per url — at true web scale pass
     sample_n to compute a sampled ARI, SURVEY.md §2.5)."""
+    if num_partitions is None:
+        from record_matching_ray.stages.util import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
     joined = clusters.join(
         truth.select_columns(["url", "entity_id"]),
         join_type="inner",

@@ -1,0 +1,102 @@
+"""Dedup operator family: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (SURVEY.md §2.7 + training-data ops)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from record_matching_ray.stages import dedup
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill and the rain falls softly on the old roof "
+    "of the quiet house near the river bend in early autumn light"
+)
+
+
+def _docs_table():
+    """10 docs: 0=1 (identical), 2 near-dup of 0 (one token changed),
+    3 near-dup of 2, rest unrelated."""
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    texts = [
+        _BASE,
+        _BASE,
+        _BASE.replace("lazy", "sleepy"),
+        _BASE.replace("lazy", "sleepy").replace("rain", "snow"),
+    ]
+    for _ in range(6):
+        texts.append(" ".join(rng.choice(vocab, 40)))
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+
+
+def test_exact_dedup_groups_identical_texts():
+    docs = rd.from_arrow(_docs_table())
+    out = dedup.exact_dedup(docs).take_all()
+    by_hash = {r["text_hash"]: r for r in out}
+    assert len(out) == 9  # 10 docs, one exact duplicate pair
+    dups = [r for r in out if r["cnt"] == 2]
+    assert len(dups) == 1 and dups[0]["keep_id"] == 0
+
+
+def test_minhash_neardup_finds_near_duplicates():
+    docs = rd.from_arrow(_docs_table())
+    pairs = {
+        (r["left"], r["right"]): r["est_jaccard"]
+        for r in dedup.minhash_neardup_pairs(docs, threshold=0.5).take_all()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs  # one-token edit
+    assert (2, 3) in pairs
+    # unrelated random docs never pair
+    assert all(l < 4 and r < 4 for l, r in pairs)
+
+
+def test_simhash_neardup_hamming():
+    docs = rd.from_arrow(_docs_table())
+    pairs = {
+        (r["left"], r["right"]): r["hamming"]
+        for r in dedup.simhash_neardup_pairs(docs, max_hamming=3).take_all()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert all(h <= 3 for h in pairs.values())
+    assert all(l < 4 and r < 4 for l, r in pairs)
+
+
+def test_ngram_jaccard_exact_verification():
+    docs = rd.from_arrow(_docs_table())
+    pairs = {
+        (r["left"], r["right"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).take_all()
+    }
+    assert pairs.get((0, 1)) == 1.0
+    # exact jaccard of the one-token edit: most 3-token shingles shared
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+
+
+def test_embedding_neardup_cosine():
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal(32).astype(np.float32)
+    vecs = [base, base + rng.standard_normal(32).astype(np.float32) * 0.05]
+    for _ in range(20):
+        vecs.append(rng.standard_normal(32).astype(np.float32))
+    embs = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.concatenate(vecs).astype(np.float32), pa.float32()), 32
+                ),
+            }
+        )
+    )
+    pairs = {
+        (r["left"], r["right"]): r["cos_sim"]
+        for r in dedup.embedding_neardup_pairs(
+            embs, dim=32, threshold=0.95, n_bits=16, band_bits=4, n_tables=4
+        ).take_all()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.95
+    assert all((l, r) == (0, 1) for l, r in pairs)

@@ -1,0 +1,101 @@
+"""KNN search (brute-force exact + LSH recall) and text-analysis ops."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from record_matching_ray.stages import knn, textstats
+
+
+def _embs(n=200, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    return mat, rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel(), pa.float32()), dim
+                ),
+            }
+        )
+    ).repartition(4)
+
+
+def _numpy_topk(mat, qi, k):
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(unit @ unit[qi], 6)
+    order = np.lexsort((np.arange(len(mat)), -sims))
+    return [int(i) for i in order if i != qi][:k]
+
+
+def test_knn_bruteforce_matches_numpy():
+    mat, embs = _embs()
+    Q, qids = knn.load_query_matrix(embs, n_queries=3)
+    out = knn.knn_bruteforce(embs, Q, qids, k=5)
+    for qi in range(3):
+        got = [
+            r["nid"]
+            for r in out.to_pylist()
+            if r["qid"] == qi
+        ]
+        assert got == _numpy_topk(mat, qi, 5), f"query {qi}"
+
+
+def test_knn_lsh_recall():
+    mat, embs = _embs(n=400)
+    Q, qids = knn.load_query_matrix(embs, n_queries=5)
+    exact = knn.knn_bruteforce(embs, Q, qids, k=10).to_pylist()
+    approx = knn.knn_lsh(embs, Q, qids, k=10, n_bits=8, n_tables=16).to_pylist()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["nid"])
+    hit = total = 0
+    for r in approx:
+        total += 1
+        hit += r["nid"] in exact_sets[r["qid"]]
+    # top-1 neighbors are near; random gaussian vectors have weak structure,
+    # so demand moderate recall from the bucketed search
+    assert total > 0 and hit / max(total, 1) >= 0.5
+
+
+def test_token_stats_and_quality():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["the cat sat.", "a of and in the x y!?"],
+        }
+    )
+    ts = textstats.token_stats(t).to_pylist()
+    assert ts[0]["n_tokens"] == 3 and ts[0]["n_chars"] == len("the cat sat.")
+    q = textstats.quality_stats(t).to_pylist()
+    assert q[0]["stop_cnt"] == 1  # "the"
+    assert q[0]["punct_cnt"] == 1  # "."
+    assert q[1]["stop_cnt"] == 5
+    assert q[1]["punct_cnt"] == 2  # "!" and "?"
+    assert abs(q[1]["stop_ratio"] - round(5 / 7, 6)) < 1e-9
+
+
+def test_langid_heuristic():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "the house of the king and the queen is in the town",
+                "der Hund und die Katze sind nicht in der Stadt",
+                "这是一个中文文档 的 测试 内容 很多汉字",
+            ],
+        }
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in textstats.langid(t).to_pylist()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "zh"
+
+
+def test_winnow_fingerprints_deterministic_and_robust():
+    a = textstats.winnow_fingerprints("the quick brown fox jumps over the dog")
+    b = textstats.winnow_fingerprints("the quick brown fox jumps over the dog")
+    assert np.array_equal(a, b)
+    # local edit changes only some fingerprints
+    c = textstats.winnow_fingerprints("the quick brown fox jumps over the cat")
+    shared = len(np.intersect1d(a, c))
+    assert 0 < shared < len(a) + 1 and shared >= len(a) // 2
