@@ -169,6 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": an.events_by_type,
         "orders_by_month": an.orders_by_month,
         "part_type_stats": an.part_type_stats,
+        "distinct_part_types": an.distinct_part_types,
+        "all_account_names": an.all_account_names,
+        "user_activity": an.user_activity,
+        "top_lineitems": an.top_lineitems,
         # training-data ops over documents/embeddings — SQL-checked
         "exact_dedup_docs": _exact_dedup_docs,
         "doc_token_stats": _doc_token_stats,
@@ -199,6 +203,10 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": an.EVENTS_BY_TYPE_SQL,
         "orders_by_month": an.ORDERS_BY_MONTH_SQL,
         "part_type_stats": an.PART_TYPE_STATS_SQL,
+        "distinct_part_types": an.DISTINCT_PART_TYPES_SQL,
+        "all_account_names": an.ALL_ACCOUNT_NAMES_SQL,
+        "user_activity": an.USER_ACTIVITY_SQL,
+        "top_lineitems": an.TOP_LINEITEMS_SQL,
         "exact_dedup_docs": """
             SELECT md5(text) AS text_hash, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
             FROM documents GROUP BY text

@@ -38,6 +38,9 @@ class PipelineConfig:
     # --- S2 blocking -------------------------------------------------------
     use_host_blocks: bool = True
     use_lsh_blocks: bool = True
+    use_name_blocks: bool = True  # exact normalized-name key (reference:
+                                  # person-field ANN blocking main.py:552-577;
+                                  # poc2 name|birth|death pre-cluster :1883-1918)
     hot_block_limit: int = 256    # block size above which the host block is salted
     n_salts: int = 8              # salt fan-out for hot blocks
     max_pairs_per_block: int = 65536  # hard cap; overflow counted, never silent

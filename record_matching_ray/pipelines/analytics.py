@@ -458,3 +458,149 @@ SELECT p_type, COUNT(*) AS cnt, MIN(p_retailprice) AS min_price,
        MAX(p_retailprice) AS max_price, MAX(p_size) AS max_size
 FROM part GROUP BY p_type
 """
+
+# ---------------------------------------------------------------------------
+# §2.7 distinct (hash-partitioned)
+
+
+def distinct_part_types(sf_dir: str) -> ray.data.Dataset:
+    part = _read(sf_dir, "part", ["p_type", "p_brand"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["p_type", "p_brand"]).aggregate([([], "count_all")])
+        return g.rename_columns(["p_type", "p_brand", "c"])
+
+    out = (
+        part.map_batches(partial, batch_format="pyarrow")
+        .groupby(["p_type", "p_brand"])
+        .sum("c")
+    )
+    return conformed(
+        out,
+        pa.schema(
+            [("p_type", pa.string()), ("p_brand", pa.string()), ("sum(c)", pa.int64())]
+        ),
+    ).map_batches(lambda t: t.select(["p_type", "p_brand"]), batch_format="pyarrow")
+
+
+DISTINCT_PART_TYPES_SQL = """
+SELECT DISTINCT p_type, p_brand FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# set-op: union of two name relations (Dataset.union)
+
+
+def all_account_names(sf_dir: str) -> ray.data.Dataset:
+    cust = _read(sf_dir, "customer", ["c_name", "c_acctbal"])
+    supp = _read(sf_dir, "supplier", ["s_name", "s_acctbal"])
+
+    def c_shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "name": t.column("c_name"),
+                "kind": pa.array(["customer"] * t.num_rows, pa.string()),
+                "acctbal_c": pa.array(_cents(t.column("c_acctbal")), pa.int64()),
+            }
+        )
+
+    def s_shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "name": t.column("s_name"),
+                "kind": pa.array(["supplier"] * t.num_rows, pa.string()),
+                "acctbal_c": pa.array(_cents(t.column("s_acctbal")), pa.int64()),
+            }
+        )
+
+    return cust.map_batches(c_shape, batch_format="pyarrow").union(
+        supp.map_batches(s_shape, batch_format="pyarrow")
+    )
+
+
+ALL_ACCOUNT_NAMES_SQL = """
+SELECT c_name AS name, 'customer' AS kind, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c FROM customer
+UNION ALL
+SELECT s_name AS name, 'supplier' AS kind, CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-user activity (int-keyed groupby, min/max timestamps)
+
+
+def user_activity(sf_dir: str) -> ray.data.Dataset:
+    events = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "user_id").aggregate(
+            [([], "count_all"), ("ts", "min"), ("ts", "max")]
+        )
+        return g.rename_columns(["user_id", "cnt", "first_ts", "last_ts"])
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum(on="cnt", alias_name="cnt"),
+            Min(on="first_ts", alias_name="first_ts"),
+            Max(on="last_ts", alias_name="last_ts"),
+        )
+    )
+    return conformed(
+        out,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("cnt", pa.int64()),
+                ("first_ts", pa.timestamp("us")),
+                ("last_ts", pa.timestamp("us")),
+            ]
+        ),
+    )
+
+
+USER_ACTIVITY_SQL = """
+SELECT user_id, COUNT(*) AS cnt, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# filter + sort + top-k on a unique key (deterministic ordering)
+
+
+def top_lineitems(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["l_discount"], 0.05)
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "price_c": pa.array(_cents(t.column("l_extendedprice")), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort(["price_c", "l_orderkey", "l_linenumber"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+TOP_LINEITEMS_SQL = """
+SELECT l_orderkey, l_linenumber, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c
+FROM lineitem WHERE l_discount > 0.05
+ORDER BY price_c DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""

@@ -99,6 +99,20 @@ def emit_block_keys(
         out_keys.append(salted[keep])
         out_idx.append(np.nonzero(keep)[0])
 
+    if cfg.use_name_blocks and "name" in batch.column_names:
+        # Exact-key family on the normalized name: catches cross-host pages
+        # of the same entity even when every MinHash band misses (bands are
+        # probabilistic; at J~=0.7 a 16x4 scheme misses ~0.7% of true
+        # pairs). XOR namespace constant keeps name keys disjoint from
+        # host keys. Hot names (the "john smith" problem) are bounded by
+        # the oversized-block core+spokes cap downstream, with overflow
+        # counted — never silent.
+        names = batch.column("name").to_pylist()
+        name_hash = mix64(hash_strings(names) ^ _U64(0xC2B2AE3D27D4EB4F))
+        keep = np.fromiter((bool(nm) for nm in names), dtype=bool, count=n)
+        out_keys.append(name_hash[keep])
+        out_idx.append(np.nonzero(keep)[0])
+
     if cfg.use_lsh_blocks:
         sigs = minhash_matrix(batch.column("minhash"), cfg.num_perm)
         bands = _hasher(cfg.num_perm).band_keys(sigs, cfg.lsh_bands)  # (n, bands)

@@ -1,0 +1,164 @@
+"""Multimodal (image/audio/video) column processing — Ray-side plumbing.
+
+Treats media as opaque ``binary`` columns with typed metadata, processed
+by actor-pool ``map_batches`` stages exactly like the text pipeline. The
+actual codec work (JPEG decode, resampling, frame extraction) needs
+libraries not present in this container, so the decode kernels are
+STUBBED: ``DecodeKernel`` raises ``NotImplementedError`` unless
+constructed with ``fake=True``, in which case a deterministic fake
+decoder (seeded by the content hash) produces stable tensors — the Ray
+plumbing (schemas, batch sizing, actor signatures, output layout) is real
+and tested either way.
+
+Scale notes (these defaults are the point of the module):
+- media batches are SMALL (``batch_size=16``): a batch is
+  ``batch_size x payload`` bytes in the worker heap; 16 x 4MB images
+  ~= 64MB per in-flight batch, x concurrency fits a 4GB worker.
+- decode is a stateful actor pool (model/codec init once per actor).
+- outputs are fixed_size_list tensors + metadata columns, so downstream
+  embedding/dedup stages reuse the text pipeline machinery unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from record_matching_ray.stages.util import cluster_parallelism
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("url", pa.string()),
+        ("media_type", pa.string()),  # "image" | "audio" | "video"
+        ("payload", pa.binary()),
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+
+def make_fake_media(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table matching MEDIA_SCHEMA."""
+    rng = np.random.RandomState(seed)
+    types = ["image", "audio", "video"]
+    payloads = [
+        rng.bytes(int(rng.randint(1_000, 20_000))) for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "url": pa.array([f"media://blob/{i:08d}" for i in range(n)], pa.string()),
+            "media_type": pa.array([types[i % 3] for i in range(n)], pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
+class DecodeKernel:
+    """Per-actor decode state. Real implementation would hold the codec /
+    model handles; here it is a deterministic fake or an explicit stub."""
+
+    def __init__(self, feature_dim: int = 64, fake: bool = False):
+        self.feature_dim = feature_dim
+        self.fake = fake
+
+    def decode_features(self, payload: bytes, media_type: str) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "media codecs are not available in this environment; "
+                "construct MediaFeaturizer(..., fake=True) for the "
+                "deterministic stand-in decoder"
+            )
+        # deterministic pseudo-features seeded by content hash — stable
+        # across processes/runs, so tests and resume checks hold
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
+        v = rng.standard_normal(self.feature_dim).astype(np.float32)
+        return v / max(np.linalg.norm(v), 1e-30)
+
+
+class MediaFeaturizer:
+    """Actor-pool callable: media rows -> (media_id, media_type,
+    n_bytes, feature fixed_size_list<float32, dim>).
+
+    Setup (codec/model) happens ONCE per actor in __init__; __call__ only
+    decodes the batch."""
+
+    def __init__(self, feature_dim: int = 64, fake: bool = False):
+        self.kernel = DecodeKernel(feature_dim, fake)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        mtypes = batch.column("media_type").to_pylist()
+        feats = np.stack(
+            [self.kernel.decode_features(p, m) for p, m in zip(payloads, mtypes)]
+        ) if payloads else np.empty((0, self.kernel.feature_dim), dtype=np.float32)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "media_type": batch.column("media_type"),
+                "n_bytes": batch.column("n_bytes"),
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.ravel(), pa.float32()), self.kernel.feature_dim
+                ),
+            }
+        )
+
+
+def featurize_media(
+    media: ray.data.Dataset,
+    feature_dim: int = 64,
+    fake: bool = False,
+    batch_size: int = 16,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Media table -> per-item feature vectors via a stateful actor pool.
+
+    batch_size is deliberately tiny: payload bytes dominate worker heap
+    (see module docstring)."""
+    return media.map_batches(
+        MediaFeaturizer,
+        fn_constructor_kwargs={"feature_dim": feature_dim, "fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency or cluster_parallelism()),
+    )
+
+
+def media_type_stats(media: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-type counts + byte totals (partial-aggregate pattern)."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["media_type", "n_bytes"]), "media_type"
+        ).aggregate([([], "count_all"), ("n_bytes", "sum"), ("n_bytes", "max")])
+        return g.rename_columns(["media_type", "cnt", "total_bytes", "max_bytes"])
+
+    out = (
+        media.map_batches(partial, batch_format="pyarrow")
+        .groupby("media_type")
+        .aggregate(
+            Sum(on="cnt", alias_name="cnt"),
+            Sum(on="total_bytes", alias_name="total_bytes"),
+            Max(on="max_bytes", alias_name="max_bytes"),
+        )
+    )
+    from record_matching_ray.stages.util import conformed
+
+    return conformed(
+        out,
+        pa.schema(
+            [
+                ("media_type", pa.string()),
+                ("cnt", pa.int64()),
+                ("total_bytes", pa.int64()),
+                ("max_bytes", pa.int64()),
+            ]
+        ),
+    )

@@ -23,8 +23,10 @@ def test_emit_block_keys_shape():
     cfg, feats, _ = _features()
     batch = feats.take_batch(50, batch_format="pyarrow")
     out = emit_block_keys(batch, cfg)
-    # each page emits 1 host key + lsh_bands band keys
-    assert out.num_rows == 50 * (1 + cfg.lsh_bands)
+    # each page emits 1 host key + lsh_bands band keys + 1 name key when
+    # the normalized name is non-empty
+    n_named = sum(1 for nm in batch.column("name").to_pylist() if nm)
+    assert out.num_rows == 50 * (1 + cfg.lsh_bands) + n_named
     assert out.schema.names == ["block_key", "uid"]
 
 

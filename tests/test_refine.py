@@ -1,0 +1,45 @@
+"""Cluster refinement: year-conflict splitting (poc2:1640-1853 analog)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from record_matching_ray.stages.refine import refine_clusters
+
+
+def _ds(table):
+    return rd.from_arrow(table)
+
+
+def test_refine_splits_year_conflicts():
+    clusters = _ds(
+        pa.table(
+            {
+                "url": [f"u{i}" for i in range(6)],
+                "cluster_id": ["u0"] * 5 + ["u5"],
+            }
+        )
+    )
+    feats = _ds(
+        pa.table(
+            {
+                "url": [f"u{i}" for i in range(6)],
+                "year": [1900.0, 1901.0, 1900.0, 1950.0, None, 1960.0],
+            }
+        )
+    )
+    out = {r["url"]: r["cluster_id"] for r in refine_clusters(clusters, feats).take_all()}
+    # dominant year 1900: u0,u1,u2 stay; unknown year u4 stays; u3 splits
+    assert out["u0"] == out["u1"] == out["u2"] == out["u4"] == "u0"
+    assert out["u3"] == "u3"  # its own sub-cluster (min url of bucket)
+    assert out["u5"] == "u5"  # singleton untouched
+
+
+def test_refine_preserves_coherent_clusters():
+    clusters = _ds(
+        pa.table({"url": ["a", "b", "c"], "cluster_id": ["a", "a", "a"]})
+    )
+    feats = _ds(
+        pa.table({"url": ["a", "b", "c"], "year": [1900.0, 1900.0, 1902.0]})
+    )
+    out = {r["url"]: r["cluster_id"] for r in refine_clusters(clusters, feats).take_all()}
+    assert set(out.values()) == {"a"}
