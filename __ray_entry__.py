@@ -145,6 +145,71 @@ def _knn_lsh(sf_dir: str):
     return knn_lsh(embs, Q, qids, k=10)
 
 
+def _embedding_label_averages(sf_dir: str):
+    from record_matching_ray.stages.impute import mean_embeddings_long
+
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    out = mean_embeddings_long(embs, "label", dim=64)
+    return out.rename_columns(["label", "pos", "mean_v"])
+
+
+def _doc_domains(sf_dir: str):
+    from record_matching_ray.stages.domains import run_domains
+
+    return run_domains(_docs(sf_dir))
+
+
+def _doc_mentions(sf_dir: str):
+    from record_matching_ray.stages.domains import run_mentions
+
+    # corpus-matched mention vocabulary (the default capitalized-phrase
+    # pattern is exercised in tests; this corpus is lowercase)
+    out = run_mentions(_docs(sf_dir), pattern=r"\b(spark|vector|stream)\b")
+    return out.select_columns(["doc_id", "n_mentions"])
+
+
+def _doc_completeness(sf_dir: str):
+    from record_matching_ray.stages.domains import run_completeness
+
+    return run_completeness(
+        _docs(sf_dir, columns=("doc_id", "text", "lang", "source"))
+    )
+
+
+def _semantic_search_docs(sf_dir: str):
+    from record_matching_ray.stages.search import semantic_search
+
+    return semantic_search(_docs(sf_dir), "spark table join window agg", k=10)
+
+
+def _media_type_stats_docs(sf_dir: str):
+    """Multimodal plumbing driven by real testdata: documents' text bytes
+    stand in for opaque media payloads (media_type = doc_id % 3)."""
+    import pyarrow as pa
+
+    from record_matching_ray.stages.multimodal import media_type_stats
+
+    docs = _docs(sf_dir)
+
+    def to_media(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = t.column("text")
+        types = ["image", "audio", "video"]
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "media_type": pa.array([types[i % 3] for i in ids], pa.string()),
+                "n_bytes": pc.cast(pc.binary_length(pc.cast(texts, pa.binary())),
+                                   pa.int64()),
+            }
+        )
+
+    return media_type_stats(docs.map_batches(to_media, batch_format="pyarrow"))
+
+
 def _langid_docs(sf_dir: str):
     from record_matching_ray.stages.textstats import run_langid
 
@@ -179,6 +244,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _doc_quality,
         "lang_source_counts": _lang_source_counts,
         "knn_bruteforce": _knn_bruteforce,
+        "embedding_label_averages": _embedding_label_averages,
+        "doc_domains": _doc_domains,
+        "doc_mentions": _doc_mentions,
+        "doc_completeness": _doc_completeness,
+        "media_type_stats_docs": _media_type_stats_docs,
         # ER + sketch near-dup family — rows-only (non-SQL-expressible)
         "er_clusters_documents": _er_clusters_documents,
         "canonical_documents": _canonical_documents,
@@ -189,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _knn_lsh,
         "langid_docs": _langid_docs,
         "doc_fingerprints": _doc_fingerprints,
+        "semantic_search_docs": _semantic_search_docs,
     }
 
 
@@ -229,6 +300,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_source_counts": """
             SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source
+        """,
+        "embedding_label_averages": """
+            SELECT label, g - 1 AS pos,
+                   round(avg(CAST(embedding[g] AS DOUBLE)), 6) AS mean_v
+            FROM embeddings, generate_series(1, 64) t(g)
+            GROUP BY label, g
+        """,
+        "doc_domains": r"""
+            WITH s AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '\b(join|scan|filter|agg|group|sort)\b')) AS s_query,
+                len(regexp_extract_all(text, '\b(stream|window|batch)\b')) AS s_streaming,
+                len(regexp_extract_all(text, '\b(table|row|column|hash)\b')) AS s_storage,
+                len(regexp_extract_all(text, '\b(vector|spark|data)\b')) AS s_ml
+              FROM documents)
+            SELECT doc_id, s_query, s_streaming, s_storage, s_ml,
+              CASE WHEN greatest(s_query, s_streaming, s_storage, s_ml) = 0 THEN 'unknown'
+                   WHEN s_query >= s_streaming AND s_query >= s_storage AND s_query >= s_ml THEN 'query'
+                   WHEN s_streaming >= s_storage AND s_streaming >= s_ml THEN 'streaming'
+                   WHEN s_storage >= s_ml THEN 'storage'
+                   ELSE 'ml' END AS primary_domain
+            FROM s
+        """,
+        "doc_mentions": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\b(spark|vector|stream)\b')) AS n_mentions
+            FROM documents
+        """,
+        "doc_completeness": """
+            SELECT doc_id,
+                   (CASE WHEN text   IS NULL OR text   = '' THEN 1 ELSE 0 END
+                  + CASE WHEN lang   IS NULL OR lang   = '' THEN 1 ELSE 0 END
+                  + CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END)
+                     AS null_field_count,
+                   round(1.0 - (CASE WHEN text   IS NULL OR text   = '' THEN 1 ELSE 0 END
+                              + CASE WHEN lang   IS NULL OR lang   = '' THEN 1 ELSE 0 END
+                              + CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END)
+                               / 3.0, 6) AS completeness
+            FROM documents
+        """,
+        "media_type_stats_docs": """
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS media_type,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+                   CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes
+            FROM documents GROUP BY 1
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -1,0 +1,100 @@
+"""Interactive semantic search: text query -> top-k similar documents.
+
+Reference path replaced: embed the query string with the remote model,
+beam-search the CUDA ANN graph, then two equi-joins back to records
+(record_matching/main.py:504-549); and Qdrant ``search`` with payload
+filters (claude_poc_v2/...v2.py:1284-1431).
+
+Here: the query embeds locally with the same deterministic hashing-trick
+encoder used for documents (functions/embed.py), so query and corpus live
+in the same space; the corpus side embeds per batch on the fly (zero
+stored index — the "index" IS the dataset) and keeps only its local
+top-k, merged on the driver (knn.py machinery). An optional
+``where_lang`` payload filter maps the reference's Qdrant metadata filter
+to a pushed-down column predicate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from record_matching_ray.functions.embed import hashing_embed
+from record_matching_ray.functions.hashing import hash_strings
+from record_matching_ray.stages.knn import _topk_merge
+
+
+def embed_texts(texts: list[str], dim: int = 64) -> np.ndarray:
+    """Deterministic (n, dim) float32 embeddings: lowercase whitespace
+    tokens -> hashing trick. Pure function — identical for query and
+    corpus sides, across processes and runs."""
+    toks: list[str] = []
+    offsets = [0]
+    for s in texts:
+        tt = (s or "").lower().split()
+        toks.extend(tt)
+        offsets.append(len(toks))
+    hashes = hash_strings(toks)
+    return hashing_embed(hashes, np.asarray(offsets, dtype=np.int64), dim)
+
+
+def semantic_search(
+    docs: ray.data.Dataset,
+    query: str,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    where_lang: str | None = None,
+    lang_col: str = "lang",
+) -> pa.Table:
+    """Top-k (doc_id, cos_sim, rank) for one text query.
+
+    Each batch embeds its rows (vectorized), scores against the broadcast
+    query vector and keeps a local top-k; only batches*k candidate rows
+    reach the driver merge. With ``where_lang`` the filter applies before
+    embedding (the Qdrant payload-filter analog, poc2:1363-1376)."""
+    q = embed_texts([query], dim)[0].astype(np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    q_ref = ray.put(qn)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        if where_lang is not None:
+            t = t.filter(pc.equal(t.column(lang_col), where_lang))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "nid": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        mat = embed_texts(t.column(text_col).to_pylist(), dim).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = np.round((mat / norms) @ qv, 6)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        kk = min(k, len(ids))
+        order = np.lexsort((ids, -sims))[:kk]
+        return pa.table(
+            {
+                "qid": pa.array(np.zeros(kk, dtype=np.int64), pa.int64()),
+                "nid": pa.array(ids[order], pa.int64()),
+                "cos_sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    cols = [id_col, text_col] + ([lang_col] if where_lang is not None else [])
+    cands = (
+        docs.select_columns(cols)
+        .map_batches(local_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    out = _topk_merge(cands, k)
+    return out.rename_columns(["qid", "doc_id", "cos_sim", "rank"]).drop_columns(
+        ["qid"]
+    )

@@ -1,0 +1,104 @@
+"""Domain classification, mentions, completeness; sinks; sources."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from record_matching_ray.config import PipelineConfig
+from record_matching_ray.stages.domains import (
+    classify_domains,
+    completeness_flags,
+    extract_mentions,
+)
+from record_matching_ray.stages.sinks import (
+    read_weights,
+    write_graphml,
+    write_weights,
+)
+from record_matching_ray.sources import read_pages, read_table
+
+
+def _docs():
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "join scan filter join",      # query x4
+                "stream window stream data",  # streaming x3 beats ml x1
+                "zzz qqq",                    # nothing
+            ],
+            "lang": ["en", "en", ""],
+            "source": ["s1", None, "s3"],
+        }
+    )
+
+
+def test_classify_domains_argmax_and_unknown():
+    out = classify_domains(_docs())
+    assert out.column("primary_domain").to_pylist() == [
+        "query", "streaming", "unknown",
+    ]
+    assert out.column("s_query").to_pylist() == [4, 0, 0]
+
+
+def test_extract_mentions_caps():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["met Alan Turing and Grace Hopper today", "no caps here"],
+        }
+    )
+    out = extract_mentions(t)
+    assert out.column("mentions")[0].as_py() == ["Alan Turing", "Grace Hopper"]
+    assert out.column("n_mentions").to_pylist() == [2, 0]
+
+
+def test_completeness_flags():
+    out = completeness_flags(_docs())
+    assert out.column("null_field_count").to_pylist() == [0, 1, 1]
+    assert out.column("completeness").to_pylist() == [1.0, 0.666667, 0.666667]
+
+
+def test_weights_roundtrip(tmp_path):
+    cfg = PipelineConfig()
+    w = np.array([1.5, -2.0, 0.5, 3.0, 0.25])
+    p = str(tmp_path / "weights.parquet")
+    write_weights(p, -4.5, w, cfg)
+    intercept, got = read_weights(p, cfg)
+    assert intercept == pytest.approx(-4.5)
+    assert np.allclose(got, w)
+
+
+def test_graphml_export(tmp_path):
+    edges = rd.from_items(
+        [
+            {"left": "a", "right": "b", "score": 0.9},
+            {"left": "b", "right": "c", "score": 0.8},
+            {"left": "x", "right": "y", "score": 0.7},
+        ]
+    )
+    p = str(tmp_path / "g.graphml")
+    stats = write_graphml(edges, p)
+    assert stats == {"nodes": 5, "edges": 3, "components": 2, "max_component": 3}
+    content = open(p).read()
+    assert content.count("<node") == 5 and content.count("<edge") == 3
+    with pytest.raises(ValueError):
+        write_graphml(edges, p, max_edges=2)
+
+
+def test_sources_schema_assertion(tmp_path):
+    import pyarrow.parquet as pq
+
+    from record_matching_ray.testgen import make_pages
+
+    pages, _, _ = make_pages(50, 10, 5)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    ds = read_pages(p, columns=["url", "text"])
+    assert ds.schema().names == ["url", "text"]
+    bad = pa.table({"url": pa.array([1, 2], pa.int64())})
+    pb = str(tmp_path / "bad.parquet")
+    pq.write_table(bad, pb)
+    with pytest.raises((TypeError, ValueError)):
+        read_table(pb, schema=pa.schema([("url", pa.string())]))
