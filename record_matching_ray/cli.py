@@ -1,0 +1,311 @@
+"""CLI stage registry — one subcommand per pipeline stage.
+
+Mirrors the reference's 18 console scripts (pyproject.toml:22-41), where
+each stage is an idempotent read-Parquet -> write-Parquet step and
+``run-all`` chains them (record_matching/main.py:858-871). Here every
+stage writes through the manifest layer (state/manifest.py), so rerunning
+any command with the same inputs/config is a no-op skip and ``run-all``
+resumes from the last complete stage.
+
+    python -m record_matching_ray gen-corpus --out /tmp/corpus --pages 5000 --entities 800
+    python -m record_matching_ray run-all   --pages /tmp/corpus/pages --out /tmp/run
+    python -m record_matching_ray extract   --pages /tmp/corpus/pages --out /tmp/run
+    python -m record_matching_ray block     --out /tmp/run
+    python -m record_matching_ray score     --out /tmp/run [--weights w.parquet]
+    python -m record_matching_ray cluster   --out /tmp/run
+    python -m record_matching_ray canonicalize --out /tmp/run
+    python -m record_matching_ray refine    --out /tmp/run
+    python -m record_matching_ray evaluate  --out /tmp/run --labeled .../labeled_pairs.parquet
+    python -m record_matching_ray search    --docs .../documents.parquet --query "..." -k 10
+    python -m record_matching_ray export-graphml --out /tmp/run --path graph.graphml
+
+Ray session: owned HERE (scripts own sessions; library code never calls
+ray.init — driver contract in __ray_entry__.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_up() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+
+def _cfg(args) -> "object":
+    from record_matching_ray.config import PipelineConfig
+
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            return PipelineConfig(**json.load(f))
+    return PipelineConfig()
+
+
+def _fp(args) -> str:
+    return _cfg(args).fingerprint() + ":" + (getattr(args, "input_key", "") or "")
+
+
+def _stage_dir(args, stage: str) -> str:
+    return os.path.join(args.out, stage)
+
+
+def cmd_gen_corpus(args) -> None:
+    from record_matching_ray.testgen import write_pages_dir
+
+    paths = write_pages_dir(args.out, args.pages, args.entities, args.seed)
+    print(json.dumps(paths))
+
+
+def cmd_extract(args) -> None:
+    _ray_up()
+    from record_matching_ray.pipelines.er import build_features
+    from record_matching_ray.sources import read_pages
+    from record_matching_ray.state import manifest as mf
+
+    sdir = _stage_dir(args, "features")
+    if mf.is_complete(sdir, _fp(args)):
+        print(f"features complete: {sdir}")
+        return
+    ds = build_features(read_pages(args.pages), _cfg(args))
+    mf.write_stage(ds, sdir, _fp(args))
+    print(f"features -> {sdir}")
+
+
+def cmd_block(args) -> None:
+    _ray_up()
+    from record_matching_ray.stages import blocking
+    from record_matching_ray.state import manifest as mf
+
+    cfg = _cfg(args)
+    sdir = _stage_dir(args, "pairs")
+    if mf.is_complete(sdir, _fp(args)):
+        print(f"pairs complete: {sdir}")
+        return
+    features = mf.read_stage(_stage_dir(args, "features"))
+    hot = blocking.compute_hot_hosts(features, cfg)
+    pairs = blocking.generate_candidate_pairs(features, cfg, hot)
+    mf.write_stage(pairs, sdir, _fp(args))
+    print(f"pairs -> {sdir}")
+
+
+def cmd_score(args) -> None:
+    _ray_up()
+    from record_matching_ray.stages import blocking, scoring
+    from record_matching_ray.state import manifest as mf
+
+    cfg = _cfg(args)
+    sdir = _stage_dir(args, "edges")
+    if mf.is_complete(sdir, _fp(args)):
+        print(f"edges complete: {sdir}")
+        return
+    features = mf.read_stage(_stage_dir(args, "features"))
+    pairs = mf.read_stage(_stage_dir(args, "pairs"))
+    weights = None
+    if args.weights:
+        from record_matching_ray.stages.sinks import read_weights
+
+        weights = read_weights(args.weights, cfg)
+    wide = blocking.attach_pair_payload(pairs, features, cfg, restore_urls=False)
+    scored = scoring.score_pairs(wide, cfg, weights)
+    mf.write_stage(scoring.edges_from_scores(scored, cfg), sdir, _fp(args))
+    print(f"edges -> {sdir}")
+
+
+def cmd_cluster(args) -> None:
+    _ray_up()
+    import pyarrow as pa
+
+    from record_matching_ray.pipelines.er import _restore_cluster_urls
+    from record_matching_ray.stages import blocking
+    from record_matching_ray.stages.clustering import connected_components
+    from record_matching_ray.state import manifest as mf
+
+    sdir = _stage_dir(args, "clusters")
+    if mf.is_complete(sdir, _fp(args)):
+        print(f"clusters complete: {sdir}")
+        return
+    features = mf.read_stage(_stage_dir(args, "features"))
+    edges = mf.read_stage(_stage_dir(args, "edges"))
+
+    def uid_nodes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pa.array(
+                    blocking.page_uids(t.column("url").to_pylist()), pa.int64()
+                )
+            }
+        )
+
+    ucl = connected_components(
+        edges,
+        nodes=features.select_columns(["url"]).map_batches(
+            uid_nodes, batch_format="pyarrow"
+        ),
+        max_iters=_cfg(args).max_cc_iters,
+    )
+    mf.write_stage(_restore_cluster_urls(ucl, features, 16), sdir, _fp(args))
+    print(f"clusters -> {sdir}")
+
+
+def cmd_canonicalize(args) -> None:
+    _ray_up()
+    from record_matching_ray.stages.canonicalize import canonicalize
+    from record_matching_ray.state import manifest as mf
+
+    sdir = _stage_dir(args, "canonical")
+    if mf.is_complete(sdir, _fp(args)):
+        print(f"canonical complete: {sdir}")
+        return
+    clusters = mf.read_stage(_stage_dir(args, "clusters"))
+    features = mf.read_stage(_stage_dir(args, "features"))
+    mf.write_stage(canonicalize(clusters, features), sdir, _fp(args))
+    print(f"canonical -> {sdir}")
+
+
+def cmd_refine(args) -> None:
+    _ray_up()
+    from record_matching_ray.stages.refine import refine_clusters
+    from record_matching_ray.state import manifest as mf
+
+    sdir = _stage_dir(args, "refined")
+    if mf.is_complete(sdir, _fp(args)):
+        print(f"refined complete: {sdir}")
+        return
+    clusters = mf.read_stage(_stage_dir(args, "clusters"))
+    features = mf.read_stage(_stage_dir(args, "features"))
+    mf.write_stage(refine_clusters(clusters, features), sdir, _fp(args))
+    print(f"refined -> {sdir}")
+
+
+def cmd_run_all(args) -> None:
+    _ray_up()
+    from record_matching_ray.pipelines.er import run_er
+    from record_matching_ray.sources import read_pages
+
+    res = run_er(
+        read_pages(args.pages),
+        _cfg(args),
+        out_dir=args.out,
+        input_key=args.input_key or "",
+    )
+    n = res["clusters"].count()
+    print(json.dumps({"clusters_rows": n, "out": args.out}))
+
+
+def cmd_evaluate(args) -> None:
+    _ray_up()
+    from record_matching_ray.sources import read_labeled_pairs
+    from record_matching_ray.stages.evaluate import pairwise_metrics_on_labeled
+    from record_matching_ray.state import manifest as mf
+
+    clusters = mf.read_stage(_stage_dir(args, "clusters"))
+    labeled = read_labeled_pairs(args.labeled)
+    m = pairwise_metrics_on_labeled(labeled, clusters)
+    out = {
+        "tp": m.tp, "fp": m.fp, "fn": m.fn, "tn": m.tn,
+        "precision": m.precision, "recall": m.recall, "f1": m.f1,
+    }
+    if args.metrics_json:
+        from record_matching_ray.stages.sinks import write_metrics_json
+
+        write_metrics_json(args.metrics_json, out)
+    print(json.dumps(out))
+
+
+def cmd_search(args) -> None:
+    _ray_up()
+    import ray.data
+
+    from record_matching_ray.stages.search import semantic_search
+
+    docs = ray.data.read_parquet(args.docs)
+    out = semantic_search(docs, args.query, k=args.k, where_lang=args.lang)
+    print(out.to_pandas().to_json(orient="records"))
+
+
+def cmd_export_graphml(args) -> None:
+    _ray_up()
+    from record_matching_ray.stages.sinks import write_graphml
+    from record_matching_ray.state import manifest as mf
+
+    edges = mf.read_stage(_stage_dir(args, "edges"))
+    stats = write_graphml(edges, args.path, max_edges=args.max_edges)
+    print(json.dumps(stats))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="record_matching_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, out=True):
+        if out:
+            sp.add_argument("--out", required=True)
+        sp.add_argument("--config", help="JSON file of PipelineConfig overrides")
+        sp.add_argument("--input-key", dest="input_key", default="")
+
+    sp = sub.add_parser("gen-corpus")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--pages", type=int, default=5000)
+    sp.add_argument("--entities", type=int, default=800)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.set_defaults(fn=cmd_gen_corpus)
+
+    sp = sub.add_parser("extract")
+    sp.add_argument("--pages", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_extract)
+
+    for name, fn in [
+        ("block", cmd_block),
+        ("cluster", cmd_cluster),
+        ("canonicalize", cmd_canonicalize),
+        ("refine", cmd_refine),
+    ]:
+        sp = sub.add_parser(name)
+        common(sp)
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("score")
+    common(sp)
+    sp.add_argument("--weights", help="weights parquet (stages/sinks.py)")
+    sp.set_defaults(fn=cmd_score)
+
+    sp = sub.add_parser("run-all")
+    sp.add_argument("--pages", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_run_all)
+
+    sp = sub.add_parser("evaluate")
+    common(sp)
+    sp.add_argument("--labeled", required=True)
+    sp.add_argument("--metrics-json", dest="metrics_json")
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("search")
+    sp.add_argument("--docs", required=True)
+    sp.add_argument("--query", required=True)
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--lang")
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("export-graphml")
+    common(sp)
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--max-edges", dest="max_edges", type=int, default=1_000_000)
+    sp.set_defaults(fn=cmd_export_graphml)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv if argv is not None else sys.argv[1:])
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

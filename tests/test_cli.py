@@ -1,0 +1,44 @@
+"""CLI stage registry: stage-by-stage run == run-all, idempotent skips."""
+
+import json
+import os
+
+from record_matching_ray.cli import main
+
+
+def test_cli_stagewise_pipeline(tmp_path, capsys):
+    corpus = str(tmp_path / "corpus")
+    run = str(tmp_path / "run")
+    main(["gen-corpus", "--out", corpus, "--pages", "300", "--entities", "60",
+          "--seed", "5"])
+    main(["extract", "--pages", f"{corpus}/pages", "--out", run])
+    main(["block", "--out", run])
+    main(["score", "--out", run])
+    main(["cluster", "--out", run])
+    main(["canonicalize", "--out", run])
+    main(["evaluate", "--out", run, "--labeled", f"{corpus}/labeled_pairs.parquet",
+          "--metrics-json", str(tmp_path / "m.json")])
+    out = capsys.readouterr().out.strip().splitlines()
+    metrics = json.loads(out[-1])
+    assert metrics["f1"] >= 0.99
+    assert json.load(open(tmp_path / "m.json"))["f1"] == metrics["f1"]
+    # idempotent: rerunning a complete stage is a skip, not a rebuild
+    mtime = os.path.getmtime(f"{run}/pairs/_MANIFEST.json")
+    main(["block", "--out", run])
+    assert "complete" in capsys.readouterr().out
+    assert os.path.getmtime(f"{run}/pairs/_MANIFEST.json") == mtime
+
+
+def test_cli_graphml_and_refine(tmp_path, capsys):
+    corpus = str(tmp_path / "corpus")
+    run = str(tmp_path / "run")
+    main(["gen-corpus", "--out", corpus, "--pages", "200", "--entities", "40",
+          "--seed", "6"])
+    main(["run-all", "--pages", f"{corpus}/pages", "--out", run])
+    main(["refine", "--out", run])
+    main(["export-graphml", "--out", run, "--path", str(tmp_path / "g.graphml")])
+    out = capsys.readouterr().out.strip().splitlines()
+    stats = json.loads(out[-1])
+    assert stats["edges"] > 0 and stats["components"] > 0
+    assert os.path.exists(tmp_path / "g.graphml")
+    assert os.path.isdir(f"{run}/refined")
