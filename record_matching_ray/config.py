@@ -23,6 +23,11 @@ FEATURE_NAMES: tuple[str, ...] = (
     "f_jaro_winkler",    # Jaro-Winkler similarity of the extracted name/title
     "f_token_levenshtein",  # token-set Levenshtein ratio of names
     "f_temporal",        # year-compatibility score
+    "f_name_content",    # jaro_winkler x jaccard interaction — the
+                         # "adaptive weights for identical names" rule
+                         # (claude_poc_v2/...v2.py:1582-1632): an identical
+                         # name only counts when the page CONTENT also
+                         # agrees, separating shared-name distinct entities
 )
 
 
@@ -50,7 +55,11 @@ class PipelineConfig:
     # regression, main.py:444-486; sensible prior here, overridable by
     # train_weights()).
     intercept: float = -6.0
-    weights: tuple[float, ...] = (4.0, 3.0, 2.0, 2.0, 1.0)  # FEATURE_NAMES order
+    weights: tuple[float, ...] = (4.0, 3.0, 1.0, 1.0, 1.0, 4.0)  # FEATURE_NAMES order:
+    # name-string features carry little weight on their own (1.0 each);
+    # the name x content interaction carries it instead, so identical
+    # names over disjoint text (score ~4.9) stay below the 6.0 edge bar
+    # while true cross-host duplicates (~11+) clear it easily
     edge_threshold: float = 0.5   # score >= tau becomes a cluster edge
                                   # (reference: 0.97 on its own calibration,
                                   # main.py:630 — tau is calibration-specific)

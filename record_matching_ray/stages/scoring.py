@@ -88,6 +88,10 @@ def compute_pair_features(
     feats[:, FEATURE_NAMES.index("f_temporal")] = strsim.year_compat_batch(
         year_l, year_r
     )
+    feats[:, FEATURE_NAMES.index("f_name_content")] = (
+        feats[:, FEATURE_NAMES.index("f_jaro_winkler")]
+        * feats[:, FEATURE_NAMES.index("f_jaccard")]
+    )
     return feats
 
 

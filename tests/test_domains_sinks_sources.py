@@ -62,7 +62,7 @@ def test_completeness_flags():
 
 def test_weights_roundtrip(tmp_path):
     cfg = PipelineConfig()
-    w = np.array([1.5, -2.0, 0.5, 3.0, 0.25])
+    w = np.array([1.5, -2.0, 0.5, 3.0, 0.25, 4.0])
     p = str(tmp_path / "weights.parquet")
     write_weights(p, -4.5, w, cfg)
     intercept, got = read_weights(p, cfg)
