@@ -145,6 +145,92 @@ def _knn_lsh(sf_dir: str):
     return knn_lsh(embs, Q, qids, k=10)
 
 
+def _events_order_asof(sf_dir: str):
+    """Backward as-of join: each event -> the user's latest order at or
+    before the event time (custom temporal operator, stages/temporal.py)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Max
+
+    from record_matching_ray.stages.temporal import asof_join
+    from record_matching_ray.stages.util import conformed
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["o_custkey", "o_orderdate"]).aggregate(
+            [("o_orderkey", "max")]
+        )
+        return g.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
+
+    dedup = conformed(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max(on="o_orderkey", alias_name="o_orderkey")),
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderkey", pa.int64()),
+            ]
+        ),
+    )
+    return asof_join(
+        events,
+        dedup,
+        on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey", "o_orderdate"],
+    )
+
+
+def _events_hourly(sf_dir: str):
+    from record_matching_ray.stages.temporal import tumbling_window
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return tumbling_window(events)
+
+
+def _top_orders_per_customer(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from record_matching_ray.stages.temporal import topk_per_group
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return topk_per_group(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        group_col="o_custkey",
+        order_col="price_c",
+        k=2,
+        tie_col="o_orderkey",
+        keep_cols=["o_orderkey"],
+    )
+
+
 def _embedding_label_averages(sf_dir: str):
     from record_matching_ray.stages.impute import mean_embeddings_long
 
@@ -245,6 +331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": _lang_source_counts,
         "knn_bruteforce": _knn_bruteforce,
         "embedding_label_averages": _embedding_label_averages,
+        "events_order_asof": _events_order_asof,
+        "events_hourly": _events_hourly,
+        "top_orders_per_customer": _top_orders_per_customer,
         "doc_domains": _doc_domains,
         "doc_mentions": _doc_mentions,
         "doc_completeness": _doc_completeness,
@@ -300,6 +389,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_source_counts": """
             SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source
+        """,
+        "events_order_asof": """
+            WITH r AS (
+              SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_orderdate
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS window, event_type,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_c
+            FROM events GROUP BY 1, 2
+        """,
+        "top_orders_per_customer": """
+            WITH p AS (
+              SELECT o_custkey, o_orderkey,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+              FROM orders
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY price_c DESC, o_orderkey
+              ) AS rank FROM p
+            )
+            SELECT o_custkey, o_orderkey, price_c, rank
+            FROM ranked WHERE rank <= 2
         """,
         "embedding_label_averages": """
             SELECT label, g - 1 AS pos,

@@ -1,0 +1,235 @@
+"""Temporal operators Ray Data lacks natively: as-of join, tumbling-window
+aggregate, per-group top-k.
+
+The reference has no event-time semantics (SURVEY.md §2.13: batch only),
+but a web-scale pipeline over (url, warc_ts, …) needs them; these follow
+the custom-operator recipe from the build brief: express as
+map_batches + groupby().map_groups compositions, and document the
+partitioning assumption.
+
+Partitioning assumptions:
+- ``asof_join``: both sides hash-partition by join key (one shuffle each);
+  the per-key time-merge happens inside a partition. Assumes a single
+  key's rows fit one partition (keys are users/customers — bounded).
+- ``tumbling_window``: two-level aggregate, batch partials then one
+  shuffle keyed by (window, group) — never materializes raw events per
+  window.
+- ``topk_per_group``: batch-local top-k prune first (only k rows per key
+  per batch shuffle), exact merge per key after.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from record_matching_ray.functions.hashing import _U64, mix64
+from record_matching_ray.stages.util import shuffle_partitions
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """For every left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` for the same key (nulls when none) — the
+    classic backward as-of join (DuckDB ``ASOF LEFT JOIN`` semantics).
+
+    The right side must be deterministic per (key, ts): pre-dedup it
+    upstream if (key, ts) repeats. Implementation: both sides tagged and
+    hash-partitioned by key (pk = mix64(key) mod P), one map_groups per
+    partition runs a vectorized sort + per-key searchsorted merge.
+    """
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+
+    lcols = [c for c in left.schema().names]
+    rpay = right_payload
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        keys = t.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            "pk": pa.array(
+                (mix64(keys.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+            ),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8), pa.int8()),
+            "k": pa.array(keys, pa.int64()),
+            "t": t.column(left_ts),
+        }
+        for c in lcols:
+            cols[f"l_{c}"] = t.column(c)
+        for c in rpay:
+            cols[f"r_{c}"] = pa.nulls(t.num_rows, right.schema().base_schema.field(c).type)
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = t.column(right_on).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            "pk": pa.array(
+                (mix64(keys.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+            ),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8()),
+            "k": pa.array(keys, pa.int64()),
+            "t": t.column(right_ts),
+        }
+        for c in lcols:
+            cols[f"l_{c}"] = pa.nulls(t.num_rows, left.schema().base_schema.field(c).type)
+        for c in rpay:
+            cols[f"r_{c}"] = t.column(c)
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("k").to_numpy(zero_copy_only=False)
+        ts = g.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        l_idx = np.nonzero(side == 0)[0]
+        r_idx = np.nonzero(side == 1)[0]
+        # right side sorted by (key, ts)
+        r_order = r_idx[np.lexsort((ts[r_idx], keys[r_idx]))]
+        rk, rt = keys[r_order], ts[r_order]
+        lk, lt = keys[l_idx], ts[l_idx]
+        match = np.full(len(l_idx), -1, dtype=np.int64)
+        lo = np.searchsorted(rk, lk, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        has = hi > lo
+        if has.any():
+            # per-row: last right ts <= left ts within [lo, hi)
+            sub = np.nonzero(has)[0]
+            # searchsorted over the full rt with bounds per row (rt is
+            # globally sorted only within key segments, but lo/hi confine
+            # each lookup to one segment)
+            pos = np.empty(len(sub), dtype=np.int64)
+            for ii, i in enumerate(sub):
+                pos[ii] = (
+                    lo[i]
+                    + np.searchsorted(rt[lo[i] : hi[i]], lt[i], side="right")
+                    - 1
+                )
+            ok = pos >= lo[sub]
+            match[sub[ok]] = r_order[pos[ok]]
+        cols = {}
+        for c in lcols:
+            cols[c] = g.column(f"l_{c}").take(pa.array(l_idx, pa.int64()))
+        matched = pa.array(
+            [int(m) if m >= 0 else None for m in match], pa.int64()
+        )
+        for c in rpay:
+            cols[c] = g.column(f"r_{c}").take(matched)
+        return pa.table(cols)
+
+    return tagged.groupby("pk").map_groups(merge, batch_format="pyarrow")
+
+
+def tumbling_window(
+    events: ray.data.Dataset,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> ray.data.Dataset:
+    """Tumbling event-time windows: floor(ts, unit) x group ->
+    (window, group, cnt, sum_value_c). Batch partials first — the shuffle
+    moves one row per (window, group) per batch, not raw events. Value
+    sums are exact integer cents (float-parity convention,
+    pipelines/analytics.py)."""
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.util import conformed
+
+    def partial(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t.column(ts_col), unit=unit)
+        cents = pc.cast(pc.round(pc.multiply(t.column(value_col), 100.0)), pa.int64())
+        tt = pa.table(
+            {
+                "window": win,
+                group_col: t.column(group_col),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64), pa.int64()),
+                "value_c": cents,
+            }
+        )
+        g = pa.TableGroupBy(tt, ["window", group_col]).aggregate(
+            [("one", "sum"), ("value_c", "sum")]
+        )
+        return g.rename_columns(["window", group_col, "cnt", "sum_value_c"])
+
+    out = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window", group_col])
+        .aggregate(
+            Sum(on="cnt", alias_name="cnt"),
+            Sum(on="sum_value_c", alias_name="sum_value_c"),
+        )
+    )
+    return conformed(
+        out,
+        pa.schema(
+            [
+                ("window", pa.timestamp("us")),
+                (group_col, pa.string()),
+                ("cnt", pa.int64()),
+                ("sum_value_c", pa.int64()),
+            ]
+        ),
+    )
+
+
+def topk_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    k: int,
+    tie_col: str,
+    keep_cols: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact top-k rows per group by (order_col desc, tie_col asc) — the
+    window-function ``row_number() OVER (PARTITION BY g ORDER BY v DESC)``
+    shape. Batch-local prune to k rows per (batch, group) bounds the
+    shuffle payload; the per-group merge is exact."""
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        gk = t.column(group_col).to_numpy(zero_copy_only=False)
+        ov = t.column(order_col).to_numpy(zero_copy_only=False)
+        tv = t.column(tie_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tv, -ov, gk))
+        gk_s = gk[order]
+        bounds = np.nonzero(np.concatenate(([True], gk_s[1:] != gk_s[:-1], [True])))[0]
+        keep: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            keep.append(order[s : min(s + k, e)])
+        idx = np.concatenate(keep) if keep else np.empty(0, dtype=np.int64)
+        return t.take(pa.array(idx, pa.int64()))
+
+    def final(g: pa.Table) -> pa.Table:
+        t = local_prune(g)
+        ov = t.column(order_col).to_numpy(zero_copy_only=False)
+        tv = t.column(tie_col).to_numpy(zero_copy_only=False)
+        rank = np.empty(t.num_rows, dtype=np.int64)
+        gk = t.column(group_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tv, -ov, gk))
+        r = 0
+        prev = None
+        for i in order:
+            r = r + 1 if gk[i] == prev else 1
+            prev = gk[i]
+            rank[i] = r
+        return t.append_column("rank", pa.array(rank, pa.int64()))
+
+    pruned = ds.select_columns(
+        list(dict.fromkeys([group_col, order_col, tie_col] + keep_cols))
+    ).map_batches(local_prune, batch_format="pyarrow")
+    return pruned.groupby(group_col).map_groups(final, batch_format="pyarrow")

@@ -1,0 +1,100 @@
+"""Temporal operators: as-of join, tumbling windows, per-group top-k."""
+
+import datetime as dt
+
+import pyarrow as pa
+import ray.data as rd
+
+from record_matching_ray.stages.temporal import (
+    asof_join,
+    topk_per_group,
+    tumbling_window,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive():
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([10, 10, 10, 99], pa.int64()),
+                "ts": pa.array(
+                    [_ts("2024-03-01"), _ts("2024-01-15"), _ts("2024-01-01"),
+                     _ts("2024-06-01")],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    ).repartition(2)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "o_custkey": pa.array([10, 10, 10], pa.int64()),
+                "o_orderdate": pa.array(
+                    [_ts("2024-01-01"), _ts("2024-02-01"), _ts("2024-04-01")],
+                    pa.timestamp("us"),
+                ),
+                "o_orderkey": pa.array([100, 200, 300], pa.int64()),
+            }
+        )
+    )
+    out = {
+        r["event_id"]: r["o_orderkey"]
+        for r in asof_join(
+            left, right, on="user_id", right_on="o_custkey",
+            left_ts="ts", right_ts="o_orderdate",
+            right_payload=["o_orderkey"], num_partitions=3,
+        ).take_all()
+    }
+    assert out[1] == 200   # 2024-03-01 -> latest at/before is 02-01
+    assert out[2] == 100   # 01-15 -> 01-01
+    assert out[3] == 100   # exact boundary (inclusive)
+    assert out[4] is None  # key never seen on the right
+
+
+def test_tumbling_window_hourly():
+    events = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [_ts("2024-01-01T10:15"), _ts("2024-01-01T10:45"),
+                     _ts("2024-01-01T11:05"), _ts("2024-01-01T10:59")],
+                    pa.timestamp("us"),
+                ),
+                "event_type": ["a", "a", "a", "b"],
+                "value": [1.25, 2.50, 4.00, 8.00],
+            }
+        )
+    ).repartition(2)
+    rows = {
+        (r["window"], r["event_type"]): r
+        for r in tumbling_window(events).take_all()
+    }
+    k10a = (_ts("2024-01-01T10:00"), "a")
+    assert rows[k10a]["cnt"] == 2 and rows[k10a]["sum_value_c"] == 375
+    assert rows[(_ts("2024-01-01T11:00"), "a")]["cnt"] == 1
+    assert rows[(_ts("2024-01-01T10:00"), "b")]["sum_value_c"] == 800
+
+
+def test_topk_per_group_exact_with_ties():
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "v": pa.array([5, 9, 9, 3, 1], pa.int64()),
+            "id": pa.array([11, 12, 13, 21, 22], pa.int64()),
+        }
+    )
+    out = topk_per_group(
+        rd.from_arrow(t).repartition(3), group_col="g", order_col="v",
+        k=2, tie_col="id", keep_cols=["id"],
+    ).take_all()
+    got = {(r["g"], r["rank"]): (r["id"], r["v"]) for r in out}
+    assert got[(1, 1)] == (12, 9)  # tie on v=9 -> lower id first
+    assert got[(1, 2)] == (13, 9)
+    assert got[(2, 1)] == (21, 3)
+    assert got[(2, 2)] == (22, 1)
+    assert len(out) == 4
