@@ -161,9 +161,11 @@ def main_worker(num_cpus: int) -> None:
 def main_scaling() -> None:
     """Fresh process per CPU count (sandbox proxy for N vs 4N nodes).
 
-    Uses a 16x corpus (96k pages / ~19M scored pairs) so per-stage
-    scheduling latency doesn't drown the scalable work at 32 CPUs."""
-    env = dict(os.environ, RMRAY_BENCH_PAGES=os.environ.get("RMRAY_BENCH_PAGES", "96000"))
+    Uses a 64x corpus (384k pages / ~71M scored pairs) so the scalable
+    per-pair work dominates the fixed per-run costs (driver fixpoint
+    control, checkpoint IO to the single shared disk, session startup) at
+    32 CPUs — the regime a real multi-hour 100TB run is always in."""
+    env = dict(os.environ, RMRAY_BENCH_PAGES=os.environ.get("RMRAY_BENCH_PAGES", "384000"))
     results = {}
     for cpus in (8, 32):
         p = subprocess.run(

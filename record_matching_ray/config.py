@@ -70,7 +70,11 @@ class PipelineConfig:
     # --- execution ---------------------------------------------------------
     keep_scored: bool = False     # checkpoint the full scored-pairs table
     emit_features: bool = False   # include per-pair f_* columns in scorer output
-    scorer_batch_size: int = 8192
+    scorer_batch_size: int = 16384  # fused-scorer input is 16B/row uid
+                                    # pairs; 16k amortizes per-batch
+                                    # dispatch without the tail-latency
+                                    # imbalance 64k batches showed (A/B:
+                                    # 8k/16k/64k -> 10.8/10.4/19.8s edges)
     scorer_concurrency: int = 4   # actor-pool size for the scorer stage
     extract_batch_size: int = 2048
 

@@ -166,7 +166,10 @@ def run_er(
     """Run S1..S5. If out_dir is set, every stage checkpoints to
     out_dir/<stage>/ with a manifest and a rerun skips complete stages
     (same config fingerprint + input_key). Returns dict of Datasets:
-    features, pairs, scored, edges, clusters, canonical."""
+    features, pairs, scored, edges, clusters, canonical ("scored" is None
+    on the fused-scorer path, where per-pair scores below tau are never
+    materialized — set cfg.keep_scored/emit_features to force the
+    two-stage join plan)."""
     cfg = cfg or PipelineConfig()
     if num_partitions is None:
         from record_matching_ray.stages.util import shuffle_partitions
@@ -202,24 +205,41 @@ def run_er(
     pairs = checkpoint(
         blocking.generate_candidate_pairs(features, cfg, hot), "pairs"
     )
-    # spread pairs over >= 2 blocks per scorer actor — the pair-dedup
+    # Scoring, edges and clustering all run in uid space (8B keys);
+    # urls are restored once on the final cluster table. Two scoring
+    # plans, picked by the counted feature size (same bound as
+    # attach_pair_payload's broadcast gate):
+    # - fused broadcast scorer: bare uid pairs stream into an actor pool
+    #   holding the whole payload; attach + features + edge filter happen
+    #   in one pass and the wide pair table never exists.
+    # - join plan (payload too big to broadcast — the 100TB path): hash-
+    #   join payloads onto pairs, then the scorer actor pool.
+    # Pairs spread over >= 2 blocks per scorer actor — the pair-dedup
     # stage emits shuffle_partitions() blocks, which under-subscribes a
     # 32-actor scorer pool (narrow repartition: left/right only).
-    # Scoring, edges and clustering all run in uid space (8B keys);
-    # urls are restored once on the final cluster table.
-    wide = blocking.attach_pair_payload(
-        pairs.repartition(scorer_blocks), features, cfg, num_partitions,
-        restore_urls=False,
-    )
-    # scoring fuses into the edge filter — persisting the full scored
-    # table would write+read ~150B x |pairs| for a stage whose only
-    # consumer keeps score >= tau rows; pairs-scored count lives in the
-    # pairs manifest. Set keep_scored=True (cfg) to checkpoint it for
-    # re-thresholding experiments.
-    scored = scoring.score_pairs(wide, cfg, weights)
-    if out_dir is not None and cfg.keep_scored:
-        scored = checkpoint(scored, "scored")
-    edges = checkpoint(scoring.edges_from_scores(scored, cfg), "edges")
+    scored = None
+    if (
+        features.count() <= 1_000_000
+        and not cfg.keep_scored
+        and not cfg.emit_features
+    ):
+        edges_ds = scoring.score_pairs_fused(
+            pairs.repartition(scorer_blocks), features, cfg, weights
+        )
+    else:
+        wide = blocking.attach_pair_payload(
+            pairs.repartition(scorer_blocks), features, cfg, num_partitions,
+            restore_urls=False,
+        )
+        # persisting the full scored table would write+read ~150B x
+        # |pairs| for a stage whose only consumer keeps score >= tau
+        # rows; set keep_scored=True (cfg) to checkpoint it for
+        # re-thresholding experiments.
+        scored = scoring.score_pairs(wide, cfg, weights)
+        if out_dir is not None and cfg.keep_scored:
+            scored = checkpoint(scored, "scored")
+        edges_ds = scoring.edges_from_scores(scored, cfg)
+    edges = checkpoint(edges_ds, "edges")
 
     def uid_nodes(t):
         import pyarrow as pa

@@ -226,9 +226,9 @@ def generate_candidate_pairs(
     # share a partition), but Ray dispatches Python once per partition,
     # not once per tiny block; inside, _emit_pairs_segments lexsorts and
     # emits every block's pairs in one numpy pass.
-    from record_matching_ray.stages.util import shuffle_partitions
+    from record_matching_ray.stages.util import coarse_groupby_partitions
 
-    n_parts = shuffle_partitions()
+    n_parts = coarse_groupby_partitions()
 
     def add_pk(t: pa.Table) -> pa.Table:
         bk = t.column("block_key").to_numpy(zero_copy_only=False)

@@ -85,7 +85,9 @@ def canonicalize(
         on=("url",),
         right_on=("url",),
     )
-    n_parts = shuffle_partitions()
+    from record_matching_ray.stages.util import coarse_groupby_partitions
+
+    n_parts = coarse_groupby_partitions()
 
     def add_pk(t: pa.Table) -> pa.Table:
         h = mix64(hash_strings(t.column("cluster_id").to_pylist()))

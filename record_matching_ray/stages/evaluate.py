@@ -142,3 +142,64 @@ def adjusted_rand_vs_truth(
     pred = np.array([r["cluster_id"] for r in rows], dtype=object)
     true = np.array([r["entity_id"] for r in rows])
     return adjusted_rand_index(true, pred)
+
+
+def cluster_error_taxonomy(
+    clusters: ray.data.Dataset,
+    truth: ray.data.Dataset,
+    num_partitions: int | None = None,
+) -> dict:
+    """Split/merge error taxonomy of a predicted clustering vs truth
+    entities (poc2:2322-2374's error breakdown, distributed).
+
+    Joins (url -> cluster_id) with (url -> entity_id), then aggregates
+    distinct-count relations both ways:
+      - split_entities:  truth entities spanning >1 predicted cluster
+      - merged_clusters: predicted clusters containing >1 truth entity
+      - entities_merged_away: sum(max(entities_per_cluster - 1, 0))
+      - pure_clusters:   clusters containing exactly one truth entity
+    Only per-group distinct counts reach the driver."""
+    if num_partitions is None:
+        from record_matching_ray.stages.util import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
+    joined = clusters.join(
+        truth,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("url",),
+        right_on=("url",),
+    )
+
+    def _distinct_counts(ds, key, other):
+        def partial(t: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(
+                t.select([key, other]), [key, other]
+            ).aggregate([([], "count_all")])
+            return g.rename_columns([key, other, "c"]).select([key, other])
+
+        pairs = ds.map_batches(partial, batch_format="pyarrow")
+
+        def per_key(g: pa.Table) -> pa.Table:
+            vals = set(g.column(other).to_pylist())
+            return pa.table(
+                {
+                    key: g.column(key).slice(0, 1),
+                    "n_distinct": pa.array([len(vals)], pa.int64()),
+                }
+            )
+
+        return pairs.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+    per_entity = _distinct_counts(joined, "entity_id", "cluster_id").to_pandas()
+    per_cluster = _distinct_counts(joined, "cluster_id", "entity_id").to_pandas()
+    return {
+        "entities": int(len(per_entity)),
+        "clusters": int(len(per_cluster)),
+        "split_entities": int((per_entity["n_distinct"] > 1).sum()),
+        "merged_clusters": int((per_cluster["n_distinct"] > 1).sum()),
+        "entities_merged_away": int(
+            (per_cluster["n_distinct"] - 1).clip(lower=0).sum()
+        ),
+        "pure_clusters": int((per_cluster["n_distinct"] == 1).sum()),
+    }

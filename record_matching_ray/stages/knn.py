@@ -211,6 +211,101 @@ def knn_lsh(
     return _topk_merge(cands, k)
 
 
+def train_ivf_centroids(
+    embs: ray.data.Dataset,
+    n_centroids: int = 64,
+    sample_n: int = 2048,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids from a deterministic sample (the
+    lowest ids — stable across runs/partitionings). Lloyd iterations on
+    the driver: the sample is bounded, the full dataset never leaves its
+    blocks. Returns (n_centroids, dim) unit-norm float64."""
+    t = pa.Table.from_pylist(
+        embs.select_columns([id_col, emb_col]).sort(id_col).limit(sample_n).take_all()
+    )
+    X = _emb_matrix(t.column(emb_col))
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    k = min(n_centroids, len(X))
+    # deterministic init: evenly spaced sample rows
+    C = X[np.linspace(0, len(X) - 1, k).astype(np.int64)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.sum(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    return C
+
+
+def knn_ivf(
+    embs: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """IVF ANN: rows are assigned to their nearest centroid; each query
+    scores only rows whose centroid is among its ``n_probe`` closest —
+    the inverted-file pruning that replaces the reference's global HNSW /
+    CUDA-beam index (main.py:175-191; poc1:278-300) without any shared
+    mutable index: the 'index' is a broadcast centroid matrix plus a
+    per-batch argmax. Same output schema/ranking as knn_bruteforce."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embs, n_centroids, id_col=id_col,
+                                        emb_col=emb_col)
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    q_probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    ref = ray.put((qn, query_ids, q_probe, centroids))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        Q, qids, probe, C = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        mat = _emb_matrix(t.column(emb_col))
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        assign = np.argmax(unit @ C.T, axis=1)  # (n,)
+        out_q, out_n, out_c = [], [], []
+        for j in range(Q.shape[0]):
+            cand = np.isin(assign, probe[j])
+            if exclude_self:
+                cand &= ids != qids[j]
+            idx = np.nonzero(cand)[0]
+            if len(idx) == 0:
+                continue
+            s = np.round(unit[idx] @ Q[j], 6)
+            kk = min(k, len(idx))
+            order = np.lexsort((ids[idx], -s))[:kk]
+            out_q.append(np.full(kk, qids[j], dtype=np.int64))
+            out_n.append(ids[idx][order])
+            out_c.append(s[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "nid": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                "nid": pa.array(np.concatenate(out_n), pa.int64()),
+                "cos_sim": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    cands = embs.map_batches(local_topk, batch_format="pyarrow").take_all()
+    return _topk_merge(cands, k)
+
+
 def load_query_matrix(
     embs: ray.data.Dataset, n_queries: int, id_col: str = "vec_id",
     emb_col: str = "embedding",

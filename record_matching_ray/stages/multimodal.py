@@ -130,6 +130,102 @@ def featurize_media(
     )
 
 
+class MediaResizer:
+    """Actor-pool callable: image payloads -> resized payloads + new
+    dims. The real implementation holds the codec handle per actor; the
+    deterministic fake 'resize' derives output bytes from a content-hash
+    PRNG at the requested size, so schemas/batching/resume behavior are
+    exercised end to end without image libraries."""
+
+    def __init__(self, width: int = 64, height: int = 64, fake: bool = False):
+        self.width, self.height, self.fake = width, height, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "image codecs unavailable in this environment; use fake=True"
+            )
+        out = []
+        for payload in batch.column("payload").to_pylist():
+            h = hashlib.blake2b(payload, digest_size=8).digest()
+            rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
+            out.append(rng.bytes(self.width * self.height * 3))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "payload": pa.array(out, pa.binary()),
+                "width": pa.array([self.width] * batch.num_rows, pa.int32()),
+                "height": pa.array([self.height] * batch.num_rows, pa.int32()),
+            }
+        )
+
+
+def resize_media(
+    media: ray.data.Dataset,
+    width: int = 64,
+    height: int = 64,
+    fake: bool = False,
+    batch_size: int = 16,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    return media.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"width": width, "height": height, "fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency or cluster_parallelism()),
+    )
+
+
+def sample_frames(
+    media: ray.data.Dataset,
+    every_n: int = 10,
+    max_frames: int = 8,
+    fake: bool = False,
+    batch_size: int = 8,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Video payloads -> one row per sampled frame (flat_map shape:
+    map_batches emitting more rows than it receives). The fake decoder
+    derives a deterministic frame count from payload length; each frame
+    row carries (media_id, frame_idx, frame_payload)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if not fake:
+            raise NotImplementedError(
+                "video codecs unavailable in this environment; use fake=True"
+            )
+        ids, idxs, frames = [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            n_frames = max(1, len(payload) // 997)
+            h = hashlib.blake2b(payload, digest_size=8).digest()
+            rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
+            for k, f in enumerate(range(0, n_frames, every_n)):
+                if k >= max_frames:
+                    break
+                ids.append(mid)
+                idxs.append(f)
+                frames.append(rng.bytes(256))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "frame_payload": pa.array(frames, pa.binary()),
+            }
+        )
+
+    # plain-function stage: stateless task pool (tuple concurrency is an
+    # actor-pool option; decode state would go in a callable class)
+    return media.map_batches(
+        explode,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def media_type_stats(media: ray.data.Dataset) -> ray.data.Dataset:
     """Per-type counts + byte totals (partial-aggregate pattern)."""
     from ray.data.aggregate import Max, Sum

@@ -28,12 +28,33 @@ from record_matching_ray.stages.util import cluster_parallelism
 
 
 def _unpack_blobs(col, dtype) -> np.ndarray:
-    """binary blobs (fixed-width packed arrays) -> (n, dim) matrix."""
+    """binary blobs (fixed-width packed arrays) -> (n, dim) matrix.
+
+    Fast path: when the binary values are contiguous in the Arrow data
+    buffer (the normal case for a freshly-built column), the matrix is a
+    zero-copy ``np.frombuffer`` view — no per-row Python bytes objects.
+    The ``b"".join(to_pylist())`` it replaces was ~40% of scorer batch
+    time."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if col.null_count == 0 and pa.types.is_binary(col.type):
+        arr_offset = col.offset
+        offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            arr_offset : arr_offset + n + 1
+        ]
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all():
+            data = np.frombuffer(col.buffers()[2], dtype=dtype)
+            itemsize = np.dtype(dtype).itemsize
+            start = offsets[0] // itemsize
+            per = widths[0] // itemsize
+            return data[start : start + n * per].reshape(n, per)
     buf = b"".join(col.to_pylist())
     mat = np.frombuffer(buf, dtype=dtype)
-    return mat.reshape(len(col), -1)
+    return mat.reshape(n, -1)
 
 
 def _memoized_pairwise(
@@ -151,6 +172,142 @@ def score_pairs(
         batch_size=cfg.scorer_batch_size,
         # autoscaling (min 1) so the pool never starves co-scheduled
         # shuffle aggregators of CPU slots; ceiling tracks cluster CPUs
+        concurrency=(1, max(cfg.scorer_concurrency, cluster_parallelism())),
+    )
+
+
+def build_payload_arrays(features: ray.data.Dataset) -> tuple:
+    """Collect the (bounded, counted-small) feature payload into numpy
+    arrays for the fused broadcast scorer: (uids_sorted, perm, urls,
+    names, years, minhash (n,p) uint8, embedding (n,d) float32).
+
+    Packing runs distributed (map_batches); the driver only concatenates
+    Arrow tables and wraps buffers — no per-row Python work here."""
+    from record_matching_ray.stages import blocking as _b
+
+    packed = features.select_columns(["url"] + _b.PAIR_PAYLOAD).map_batches(
+        _b._pack_payload_batch, batch_format="pyarrow"
+    )
+    tables = [
+        t
+        for t in packed.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not tables:
+        z = np.empty(0, dtype=np.int64)
+        return (z, z, np.empty(0, object), np.empty(0, object),
+                np.empty(0, np.float64), np.empty((0, 0), np.uint8),
+                np.empty((0, 0), np.float32))
+    side = pa.concat_tables(tables).combine_chunks()
+    uids = side.column("uid").to_numpy(zero_copy_only=False)
+    perm = np.argsort(uids, kind="stable")
+    uids_sorted = uids[perm]
+    urls = np.asarray(side.column("url").to_pylist(), dtype=object)
+    names = np.asarray(side.column("name").to_pylist(), dtype=object)
+    years = side.column("year").to_numpy(zero_copy_only=False)
+    mh = _unpack_blobs(side.column("minhash"), np.uint8)
+    emb = _unpack_blobs(side.column("embedding"), np.float32)
+    return uids_sorted, perm, urls, names, years, mh, emb
+
+
+class FusedPairScorer:
+    """Actor-pool callable fusing payload-attach + feature computation +
+    edge thresholding: input batches are BARE uid pairs (16B/row); the
+    payload lives in actor state (broadcast ray.get once per actor), so
+    the wide intermediate pair table — 2x(name+minhash+embedding+year)
+    per pair — never exists in the object store at all. Output: edges
+    (left, right, score) in uid space, score >= tau only."""
+
+    def __init__(self, cfg: PipelineConfig, payload_ref, weights_ref=None):
+        self.cfg = cfg
+        (self.uids_sorted, self.perm, self.urls, self.names, self.years,
+         self.mh, self.emb) = (
+            ray.get(payload_ref)
+            if isinstance(payload_ref, ray.ObjectRef)
+            else payload_ref
+        )
+        # unit-normalize once per actor: per-batch cosine becomes a plain
+        # row dot of gathered unit vectors
+        norms = np.linalg.norm(self.emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        self.emb_unit = self.emb / norms
+        if weights_ref is None:
+            self.intercept = cfg.intercept
+            self.weights = np.asarray(cfg.weights, dtype=np.float64)
+        else:
+            obj = (
+                ray.get(weights_ref)
+                if isinstance(weights_ref, ray.ObjectRef)
+                else weights_ref
+            )
+            self.intercept, self.weights = float(obj[0]), np.asarray(
+                obj[1], dtype=np.float64
+            )
+        assert len(self.weights) == len(FEATURE_NAMES)
+        self._caches: dict[str, dict] = {"jw": {}, "lev": {}}
+
+    def _gather(self, uid_col) -> np.ndarray:
+        u = uid_col.to_numpy(zero_copy_only=False)
+        return self.perm[np.searchsorted(self.uids_sorted, u)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for c in self._caches.values():
+            if len(c) > 1_000_000:
+                c.clear()
+        li = self._gather(batch.column("left"))
+        ri = self._gather(batch.column("right"))
+        n = len(li)
+        w = self.weights
+        feats = np.empty((n, len(FEATURE_NAMES)), dtype=np.float64)
+        feats[:, FEATURE_NAMES.index("f_cosine")] = np.einsum(
+            "ij,ij->i", self.emb_unit[li], self.emb_unit[ri]
+        )
+        feats[:, FEATURE_NAMES.index("f_jaccard")] = (
+            self.mh[li] == self.mh[ri]
+        ).mean(axis=1)
+        name_l = self.names[li]
+        name_r = self.names[ri]
+        feats[:, FEATURE_NAMES.index("f_jaro_winkler")] = _memoized_pairwise(
+            strsim.jaro_winkler, name_l, name_r, self._caches["jw"]
+        )
+        feats[:, FEATURE_NAMES.index("f_token_levenshtein")] = _memoized_pairwise(
+            strsim.token_set_levenshtein, name_l, name_r, self._caches["lev"]
+        )
+        feats[:, FEATURE_NAMES.index("f_temporal")] = strsim.year_compat_batch(
+            self.years[li], self.years[ri]
+        )
+        feats[:, FEATURE_NAMES.index("f_name_content")] = (
+            feats[:, FEATURE_NAMES.index("f_jaro_winkler")]
+            * feats[:, FEATURE_NAMES.index("f_jaccard")]
+        )
+        score = expit(feats @ w + self.intercept)
+        keep = score >= self.cfg.edge_threshold
+        return pa.table(
+            {
+                "left": batch.column("left").filter(pa.array(keep)),
+                "right": batch.column("right").filter(pa.array(keep)),
+                "score": pa.array(score[keep].astype(np.float32), pa.float32()),
+            }
+        )
+
+
+def score_pairs_fused(
+    pairs: ray.data.Dataset,
+    features: ray.data.Dataset,
+    cfg: PipelineConfig,
+    weights: tuple[float, np.ndarray] | None = None,
+) -> ray.data.Dataset:
+    """uid pairs + broadcast feature payload -> edges (left, right,
+    score >= tau), one map_batches. Only valid when the feature payload
+    fits a broadcast (caller gates on count — run_er checks the same
+    bound attach_pair_payload uses)."""
+    payload_ref = ray.put(build_payload_arrays(features))
+    weights_ref = ray.put(weights) if weights is not None else None
+    return pairs.select_columns(["left", "right"]).map_batches(
+        FusedPairScorer,
+        fn_constructor_args=(cfg, payload_ref, weights_ref),
+        batch_format="pyarrow",
+        batch_size=cfg.scorer_batch_size,
         concurrency=(1, max(cfg.scorer_concurrency, cluster_parallelism())),
     )
 

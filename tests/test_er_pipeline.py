@@ -79,3 +79,25 @@ def test_resume_identity(tmp_path, corpus):
     assert not mf.is_complete(
         out + "/clusters", PipelineConfig(edge_threshold=0.9).fingerprint() + ":corpus1"
     )
+
+
+def test_cluster_error_taxonomy(corpus):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from record_matching_ray.stages.evaluate import cluster_error_taxonomy
+
+    # hand-built: entity 1 split into two clusters; cluster c3 merges 2+3
+    clusters = rd.from_arrow(pa.table({
+        "url": ["a", "b", "c", "d", "e"],
+        "cluster_id": ["c1", "c1x", "c3", "c3", "c4"],
+    }))
+    truth = rd.from_arrow(pa.table({
+        "url": ["a", "b", "c", "d", "e"],
+        "entity_id": [1, 1, 2, 3, 4],
+    }))
+    tx = cluster_error_taxonomy(clusters, truth, num_partitions=2)
+    assert tx == {
+        "entities": 4, "clusters": 4, "split_entities": 1,
+        "merged_clusters": 1, "entities_merged_away": 1, "pure_clusters": 3,
+    }

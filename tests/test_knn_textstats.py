@@ -99,3 +99,31 @@ def test_winnow_fingerprints_deterministic_and_robust():
     c = textstats.winnow_fingerprints("the quick brown fox jumps over the cat")
     shared = len(np.intersect1d(a, c))
     assert 0 < shared < len(a) + 1 and shared >= len(a) // 2
+
+
+def test_knn_ivf_recall():
+    import numpy as np
+    import ray.data as rd
+    from record_matching_ray.stages.knn import (
+        knn_bruteforce, knn_ivf, load_query_matrix, train_ivf_centroids,
+    )
+
+    embs = rd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    ).materialize()
+    Q, qids = load_query_matrix(embs, n_queries=5)
+    exact = knn_bruteforce(embs, Q, qids, k=10)
+    # near-uniform test vectors are IVF worst-case: neighbors sit at
+    # cos ~0.5, so recall needs probing ~half the cells (real embedding
+    # corpora concentrate neighbors far more)
+    C = train_ivf_centroids(embs, n_centroids=32, sample_n=512)
+    assert C.shape[1] == 64 and np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    approx = knn_ivf(embs, Q, qids, k=10, centroids=C, n_probe=16)
+    ex = {(r["qid"], r["nid"]) for r in exact.to_pylist()}
+    ap = {(r["qid"], r["nid"]) for r in approx.to_pylist()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, f"IVF recall@10 = {recall}"
+    # deterministic across runs
+    again = knn_ivf(embs, Q, qids, k=10, centroids=C, n_probe=16)
+    assert approx.equals(again)
