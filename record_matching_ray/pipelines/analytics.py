@@ -105,9 +105,9 @@ def q1_lineitem(sf_dir: str) -> ray.data.Dataset:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(ROUND(l_quantity*100) AS BIGINT))      AS sum_qty_c,
-       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
-       SUM(CAST(ROUND(l_discount*100) AS BIGINT))      AS sum_disc_c,
+       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)      AS sum_qty_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT)      AS sum_disc_c,
        COUNT(*)                                        AS cnt,
        ROUND(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 / COUNT(*), 6) AS avg_qty
 FROM lineitem
@@ -171,7 +171,7 @@ def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
 
 TOP_CUSTOMERS_SQL = """
 SELECT c_custkey, c_name, COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS revenue_c
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY revenue_c DESC, c_custkey
@@ -236,7 +236,7 @@ def nation_rollup(sf_dir: str) -> ray.data.Dataset:
 
 NATION_ROLLUP_SQL = """
 SELECT r_name, n_name,
-       SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS acctbal_c,
+       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_c,
        COUNT(*) AS n_customers
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
@@ -406,7 +406,7 @@ def orders_by_month(sf_dir: str, min_price: float = 100_000.0) -> ray.data.Datas
 
 ORDERS_BY_MONTH_SQL = """
 SELECT date_trunc('month', o_orderdate) AS month,
-       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS revenue_c,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
        COUNT(*) AS cnt
 FROM orders WHERE o_totalprice > 100000
 GROUP BY 1

@@ -399,7 +399,18 @@ def _pack_payload_batch(t: pa.Table) -> pa.Table:
         dim = col.type.list_size
         mat = col.flatten().to_numpy(zero_copy_only=False)
         if name == "embedding":
-            mat = mat.astype(np.float32)
+            # SQ8: unit-normalize rows then round(x*127) to int8 — cosine
+            # is scale-invariant after the scorer's re-normalization, and
+            # the per-component rounding error (<=0.5/127) moves cosine by
+            # ~4e-3, far inside the edge-threshold margins. 256B -> 64B per
+            # side cuts the scorer's DRAM gather traffic 4x (the measured
+            # 32-CPU bottleneck).
+            m2 = mat.astype(np.float32).reshape(t.num_rows, dim)
+            nrm = np.linalg.norm(m2, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            mat = np.clip(np.rint(m2 / nrm * 127.0), -127, 127).astype(
+                np.int8
+            ).ravel()
         else:
             # byte-pack: the scorer only tests per-perm AGREEMENT, so the
             # low byte of each minhash value suffices (spurious agreement
@@ -507,11 +518,16 @@ def _attach_payload_join(
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             mat = col.flatten().to_numpy(zero_copy_only=False)
+            dim = col.type.list_size
             if name == "embedding":
-                mat = mat.astype(np.float32)
+                m2 = mat.astype(np.float32).reshape(t.num_rows, dim)
+                nrm = np.linalg.norm(m2, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                mat = np.clip(np.rint(m2 / nrm * 127.0), -127, 127).astype(
+                    np.int8
+                ).ravel()  # SQ8, see broadcast pack
             else:
                 mat = (mat & np.uint64(0xFF)).astype(np.uint8)  # see broadcast pack
-            dim = col.type.list_size
             blobs = pa.array(
                 [mat[i * dim : (i + 1) * dim].tobytes() for i in range(t.num_rows)],
                 pa.binary(),

@@ -144,6 +144,116 @@ def mean_embeddings_long(
     )
 
 
+def neighborhood_embedding_averages(
+    features: ray.data.Dataset,
+    cfg,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-record mean of its BLOCK NEIGHBORS' embeddings — the PoC's
+    neighborhood-average imputation source (claude_poc/entity-resolution_
+    v4.py:1493-1625: ANN neighbors' field vectors averaged per record),
+    with blocking standing in for ANN neighborhoods exactly as elsewhere
+    in this engine.
+
+    Layout: block rows are (block_key, uid) ONLY (16B); the embedding
+    matrix is broadcast once (bounded feature side). Per coarse partition,
+    each block segment contributes (block_sum - self)/(m-1) per member;
+    per-uid partials are then folded by one small groupby. Output:
+    (uid, neighbor_mean list<float64>, n_neighbors)."""
+    import ray as _ray
+
+    from record_matching_ray.functions.hashing import _U64, mix64
+    from record_matching_ray.stages import blocking as _b
+    from record_matching_ray.stages.util import coarse_groupby_partitions
+
+    dim = cfg.embed_dim
+    payload = None
+    # broadcast uid -> embedding row (reuses the fused-scorer payload build)
+    from record_matching_ray.stages.scoring import build_payload_arrays
+
+    uids_sorted, perm, _urls, _names, _years, _mh, emb = build_payload_arrays(
+        features
+    )
+    ref = _ray.put((uids_sorted, perm, emb.astype(np.float64)))
+    n_parts = num_partitions or coarse_groupby_partitions()
+
+    blocks = features.map_batches(
+        _b.emit_block_keys,
+        fn_kwargs={"cfg": cfg, "hot_hosts": set()},
+        batch_format="pyarrow",
+    )
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        bk = t.column("block_key").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pk", pa.array((bk % _U64(n_parts)).astype(np.int64), pa.int64())
+        )
+
+    def partial_sums(g: pa.Table) -> pa.Table:
+        us, pm, E = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        keys = g.column("block_key").to_numpy(zero_copy_only=False)
+        uids = g.column("uid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((uids, keys))
+        keys, uids = keys[order], uids[order]
+        rows = pm[np.searchsorted(us, uids)]
+        bounds = np.nonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1], [True]))
+        )[0]
+        out_uid: list[np.ndarray] = []
+        out_sum: list[np.ndarray] = []
+        out_cnt: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg_uids, seg_idx = np.unique(uids[s:e], return_index=True)
+            m = len(seg_uids)
+            if m < 2:
+                continue
+            seg_rows = rows[s:e][seg_idx]
+            block_sum = E[seg_rows].sum(axis=0)
+            out_uid.append(seg_uids)
+            out_sum.append(block_sum[None, :] - E[seg_rows])
+            out_cnt.append(np.full(m, m - 1, dtype=np.int64))
+        if not out_uid:
+            return pa.table(
+                {
+                    "uid": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64(), dim)),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        sums = np.concatenate(out_sum, axis=0)
+        return pa.table(
+            {
+                "uid": pa.array(np.concatenate(out_uid), pa.int64()),
+                "vsum": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel(), pa.float64()), dim
+                ),
+                "cnt": pa.array(np.concatenate(out_cnt), pa.int64()),
+            }
+        )
+
+    partials = (
+        blocks.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(partial_sums, batch_format="pyarrow")
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        from record_matching_ray.stages.knn import _emb_matrix
+
+        mat = _emb_matrix(g.column("vsum"))
+        cnt = int(g.column("cnt").to_numpy(zero_copy_only=False).sum())
+        mean = mat.sum(axis=0) / max(cnt, 1)
+        return pa.table(
+            {
+                "uid": g.column("uid").slice(0, 1),
+                "neighbor_mean": pa.array([mean.tolist()], pa.list_(pa.float64())),
+                "n_neighbors": pa.array([cnt], pa.int64()),
+            }
+        )
+
+    return partials.groupby("uid").map_groups(fold, batch_format="pyarrow")
+
+
 def impute_embeddings(
     ds: ray.data.Dataset,
     averages: pa.Table,

@@ -88,8 +88,10 @@ def compute_pair_features(
     actor)."""
     n = batch.num_rows
     caches = caches if caches is not None else {"jw": {}, "lev": {}}
-    emb_l = _unpack_blobs(batch.column("embedding_l"), np.float32)
-    emb_r = _unpack_blobs(batch.column("embedding_r"), np.float32)
+    # embeddings travel SQ8-quantized (int8 unit-scaled, blocking.py pack);
+    # cosine_rows re-normalizes, so the scale cancels
+    emb_l = _unpack_blobs(batch.column("embedding_l"), np.int8).astype(np.float32)
+    emb_r = _unpack_blobs(batch.column("embedding_r"), np.int8).astype(np.float32)
     mh_l = _unpack_blobs(batch.column("minhash_l"), np.uint8)
     mh_r = _unpack_blobs(batch.column("minhash_r"), np.uint8)
     name_l = batch.column("name_l").to_pylist()
@@ -206,7 +208,7 @@ def build_payload_arrays(features: ray.data.Dataset) -> tuple:
     names = np.asarray(side.column("name").to_pylist(), dtype=object)
     years = side.column("year").to_numpy(zero_copy_only=False)
     mh = _unpack_blobs(side.column("minhash"), np.uint8)
-    emb = _unpack_blobs(side.column("embedding"), np.float32)
+    emb = _unpack_blobs(side.column("embedding"), np.int8)  # SQ8 (blocking pack)
     return uids_sorted, perm, urls, names, years, mh, emb
 
 
@@ -226,11 +228,17 @@ class FusedPairScorer:
             if isinstance(payload_ref, ray.ObjectRef)
             else payload_ref
         )
-        # unit-normalize once per actor: per-batch cosine becomes a plain
-        # row dot of gathered unit vectors
-        norms = np.linalg.norm(self.emb, axis=1, keepdims=True)
+        # embeddings stay int8 (SQ8) in actor state so the per-pair DRAM
+        # gather is 64B/row, not 256B — the 32-CPU run is bandwidth-bound
+        # on exactly this access. Cosine = float32 dot of the gathered
+        # (cache-resident) batch / precomputed norms.
+        self.emb_q = np.ascontiguousarray(self.emb, dtype=np.int8)
+        norms = np.sqrt(
+            np.einsum("ij,ij->i", self.emb_q.astype(np.int32),
+                      self.emb_q.astype(np.int32)).astype(np.float64)
+        )
         norms[norms == 0] = 1.0
-        self.emb_unit = self.emb / norms
+        self.emb_norm = norms
         if weights_ref is None:
             self.intercept = cfg.intercept
             self.weights = np.asarray(cfg.weights, dtype=np.float64)
@@ -259,8 +267,16 @@ class FusedPairScorer:
         n = len(li)
         w = self.weights
         feats = np.empty((n, len(FEATURE_NAMES)), dtype=np.float64)
-        feats[:, FEATURE_NAMES.index("f_cosine")] = np.einsum(
-            "ij,ij->i", self.emb_unit[li], self.emb_unit[ri]
+        # gather stays int8 (64B/row from the big payload matrix — the
+        # DRAM-bound access); the cache-resident BATCH upcasts to float32
+        # so the dot takes numpy's SIMD float path (int einsum has none)
+        dots = np.einsum(
+            "ij,ij->i",
+            self.emb_q[li].astype(np.float32),
+            self.emb_q[ri].astype(np.float32),
+        )
+        feats[:, FEATURE_NAMES.index("f_cosine")] = dots / (
+            self.emb_norm[li] * self.emb_norm[ri]
         )
         feats[:, FEATURE_NAMES.index("f_jaccard")] = (
             self.mh[li] == self.mh[ri]

@@ -119,8 +119,9 @@ def test_attach_pair_payload_roundtrip():
         row = wide.take(1)[0]
         for col in ("name_l", "name_r", "minhash_l", "minhash_r"):
             assert col in row
-        emb = np.frombuffer(row["embedding_l"], dtype=np.float32)
+        # embeddings travel SQ8-quantized: int8 unit-scaled by 127
+        emb = np.frombuffer(row["embedding_l"], dtype=np.int8)
         assert emb.shape == (cfg.embed_dim,)
-        assert abs(np.linalg.norm(emb) - 1.0) < 1e-4
+        assert abs(np.linalg.norm(emb.astype(np.float32)) - 127.0) < 2.0
         mh = np.frombuffer(row["minhash_l"], dtype=np.uint8)  # byte-packed
         assert mh.shape == (cfg.num_perm,)

@@ -92,3 +92,41 @@ def test_semantic_search_ranks_exact_match_first():
     de = semantic_search(rd.from_arrow(docs), "spark table join agg",
                          k=5, where_lang="de")
     assert de.column("doc_id").to_pylist() == [3]
+
+
+def test_neighborhood_embedding_averages_host_blocks():
+    import ray
+    from record_matching_ray.config import PipelineConfig
+    from record_matching_ray.pipelines.er import build_features
+    from record_matching_ray.stages import blocking
+    from record_matching_ray.stages.impute import neighborhood_embedding_averages
+    from record_matching_ray.stages.scoring import build_payload_arrays
+    from record_matching_ray.testgen import make_pages
+
+    pages, _, _ = make_pages(120, 25, 13)
+    cfg = PipelineConfig(use_lsh_blocks=False, use_name_blocks=False)
+    feats = build_features(rd.from_arrow(pages), cfg, concurrency=2).materialize()
+    out = {
+        r["uid"]: (np.array(r["neighbor_mean"]), r["n_neighbors"])
+        for r in neighborhood_embedding_averages(feats, cfg, num_partitions=4).take_all()
+    }
+    # expected: per host group, neighbor mean = (sum - self) / (m-1)
+    uids_sorted, perm, urls, _n, _y, _mh, emb = build_payload_arrays(feats)
+    hosts = {r["url"]: r["host"] for r in feats.select_columns(["url", "host"]).take_all()}
+    by_host = {}
+    for i, u in enumerate(urls):
+        by_host.setdefault(hosts[u], []).append(i)
+    checked = 0
+    for h, members in by_host.items():
+        if len(members) < 2 or not h:
+            continue
+        E = emb[members].astype(np.float64)
+        total = E.sum(axis=0)
+        for j, i in enumerate(members):
+            uid = int(blocking.page_uids([urls[i]])[0])
+            want = (total - E[j]) / (len(members) - 1)
+            got, n_nb = out[uid]
+            assert n_nb == len(members) - 1
+            assert np.allclose(got, want, atol=1e-9)
+            checked += 1
+    assert checked > 10
