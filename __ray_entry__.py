@@ -145,12 +145,21 @@ def _knn_lsh(sf_dir: str):
     return knn_lsh(embs, Q, qids, k=10)
 
 
+def _knn_ivf(sf_dir: str):
+    from record_matching_ray.stages.knn import knn_ivf, load_query_matrix
+
+    embs = _embs(sf_dir)
+    Q, qids = load_query_matrix(embs, n_queries=5)
+    # near-uniform testdata vectors need wide probing (see test notes);
+    # clustered real embeddings probe far fewer cells
+    return knn_ivf(embs, Q, qids, k=10, n_centroids=32, n_probe=16)
+
+
 def _events_order_asof(sf_dir: str):
     """Backward as-of join: each event -> the user's latest order at or
     before the event time (custom temporal operator, stages/temporal.py)."""
     import pyarrow as pa
 
-    from ray.data.aggregate import Max
 
     from record_matching_ray.stages.temporal import asof_join
     from record_matching_ray.stages.util import conformed
@@ -162,16 +171,37 @@ def _events_order_asof(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
     )
 
+    # dedup to one row per (custkey, orderdate): batch partials, then an
+    # int-keyed partition sweep — Ray's native aggregate on a composite
+    # key is the measured ~100x-slow path (see blocking.dedup_pairs note)
+    import numpy as np
+
+    from record_matching_ray.functions.hashing import _U64, mix64
+    from record_matching_ray.stages.util import coarse_groupby_partitions
+
+    n_parts = coarse_groupby_partitions()
+
     def partial(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t, ["o_custkey", "o_orderdate"]).aggregate(
             [("o_orderkey", "max")]
         )
-        return g.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
+        g = g.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
+        ck = g.column("o_custkey").to_numpy(zero_copy_only=False).astype(_U64)
+        return g.append_column(
+            "pk", pa.array((mix64(ck) % _U64(n_parts)).astype(np.int64), pa.int64())
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(
+            g.select(["o_custkey", "o_orderdate", "o_orderkey"]),
+            ["o_custkey", "o_orderdate"],
+        ).aggregate([("o_orderkey", "max")])
+        return out.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
 
     dedup = conformed(
         orders.map_batches(partial, batch_format="pyarrow")
-        .groupby(["o_custkey", "o_orderdate"])
-        .aggregate(Max(on="o_orderkey", alias_name="o_orderkey")),
+        .groupby("pk")
+        .map_groups(final, batch_format="pyarrow"),
         pa.schema(
             [
                 ("o_custkey", pa.int64()),
@@ -346,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": _ngram_jaccard,
         "embedding_neardup": _embedding_neardup,
         "knn_lsh": _knn_lsh,
+        "knn_ivf": _knn_ivf,
         "langid_docs": _langid_docs,
         "doc_fingerprints": _doc_fingerprints,
         "semantic_search_docs": _semantic_search_docs,

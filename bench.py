@@ -169,6 +169,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embedding_neardup",
         "knn_bruteforce",
         "knn_lsh",
+        "knn_ivf",
         "doc_quality",
         "doc_domains",
         "events_order_asof",

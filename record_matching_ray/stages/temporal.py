@@ -53,7 +53,13 @@ def asof_join(
         num_partitions = shuffle_partitions()
     P = num_partitions
 
-    lcols = [c for c in left.schema().names]
+    # resolve schemas ONCE on the driver: the tag closures must capture
+    # plain type objects, never the Dataset handles (a captured Dataset
+    # re-resolves .schema() inside every task — measured as the whole
+    # right-side pipeline re-executing per batch)
+    lcols = list(left.schema().names)
+    l_types = {c: left.schema().base_schema.field(c).type for c in lcols}
+    r_types = {c: right.schema().base_schema.field(c).type for c in right_payload}
     rpay = right_payload
 
     def tag_left(t: pa.Table) -> pa.Table:
@@ -69,7 +75,7 @@ def asof_join(
         for c in lcols:
             cols[f"l_{c}"] = t.column(c)
         for c in rpay:
-            cols[f"r_{c}"] = pa.nulls(t.num_rows, right.schema().base_schema.field(c).type)
+            cols[f"r_{c}"] = pa.nulls(t.num_rows, r_types[c])
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
@@ -83,7 +89,7 @@ def asof_join(
             "t": t.column(right_ts),
         }
         for c in lcols:
-            cols[f"l_{c}"] = pa.nulls(t.num_rows, left.schema().base_schema.field(c).type)
+            cols[f"l_{c}"] = pa.nulls(t.num_rows, l_types[c])
         for c in rpay:
             cols[f"r_{c}"] = t.column(c)
         return pa.table(cols)
