@@ -66,6 +66,9 @@ class PipelineConfig:
 
     # --- S4 clustering -----------------------------------------------------
     max_cc_iters: int = 50        # label-propagation fixpoint bound
+    refine_year_tolerance: float | None = None  # when set, run_er appends the
+                                  # S5b year-conflict refinement stage
+                                  # (stages/refine.py, poc2:1640-1853 analog)
 
     # --- execution ---------------------------------------------------------
     keep_scored: bool = False     # checkpoint the full scored-pairs table

@@ -258,6 +258,16 @@ def run_er(
     clusters = checkpoint(
         _restore_cluster_urls(uclusters, features, num_partitions), "clusters"
     )
+    refined = None
+    if cfg.refine_year_tolerance is not None:
+        from record_matching_ray.stages.refine import refine_clusters
+
+        refined = checkpoint(
+            refine_clusters(clusters, features, cfg.refine_year_tolerance,
+                            num_partitions),
+            "refined",
+        )
+        clusters = refined
     canonical = checkpoint(canonicalize(clusters, features, num_partitions), "canonical")
     return {
         "features": features,
@@ -265,6 +275,7 @@ def run_er(
         "scored": scored,
         "edges": edges,
         "clusters": clusters,
+        "refined": refined,
         "canonical": canonical,
         "hot_hosts": hot,
     }

@@ -236,3 +236,59 @@ def train_test_split(
     shuffled = ds.random_shuffle(seed=seed)
     train, test = shuffled.split_proportionately([1.0 - test_frac])
     return train, test
+
+
+def stratified_kfold_indices(
+    labels: np.ndarray, n_splits: int = 5, seed: int = 42
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Deterministic stratified k-fold (train_idx, test_idx) pairs —
+    driver-side CV over the (small) labeled matrix, the poc2:2479-2496
+    StratifiedKFold role without sklearn. Each class's indices are
+    shuffled with the seed and dealt round-robin to folds, so fold class
+    ratios track the global ratio."""
+    y = np.asarray(labels).astype(bool)
+    rng = np.random.RandomState(seed)
+    folds: list[list[int]] = [[] for _ in range(n_splits)]
+    for cls in (False, True):
+        idx = np.nonzero(y == cls)[0]
+        rng.shuffle(idx)
+        for i, j in enumerate(idx):
+            folds[i % n_splits].append(int(j))
+    out = []
+    all_idx = np.arange(len(y))
+    for k in range(n_splits):
+        test = np.array(sorted(folds[k]), dtype=np.int64)
+        mask = np.ones(len(y), dtype=bool)
+        mask[test] = False
+        out.append((all_idx[mask], test))
+    return out
+
+
+def cross_validated_f1(
+    X: np.ndarray, y: np.ndarray, n_splits: int = 5, seed: int = 42,
+    threshold: float = 0.5,
+) -> float:
+    """Mean F1 over stratified folds with a fresh logistic fit per fold
+    (poc2:2479-2496's CV estimate, logistic instead of RandomForest)."""
+    from record_matching_ray.functions.logistic import fit_logistic, predict_proba
+
+    scores = []
+    for train_idx, test_idx in stratified_kfold_indices(y, n_splits, seed):
+        b, w = fit_logistic(X[train_idx], y[train_idx].astype(np.float64))
+        pred = predict_proba(X[test_idx], b, w) >= threshold
+        yy = y[test_idx].astype(bool)
+        tp = int((pred & yy).sum()); fp = int((pred & ~yy).sum())
+        fn = int((~pred & yy).sum())
+        scores.append(2 * tp / max(2 * tp + fp + fn, 1))
+    return float(np.mean(scores))
+
+
+def feature_importance(
+    weights: np.ndarray, feature_names: tuple[str, ...]
+) -> dict[str, float]:
+    """Normalized |weight| shares — the role of poc1's printed feature
+    importances (poc1:955-984) and poc2's RF feature_importances ->
+    metric weights (poc2:2511-2532)."""
+    w = np.abs(np.asarray(weights, dtype=np.float64))
+    total = w.sum() or 1.0
+    return {n: float(v / total) for n, v in zip(feature_names, w)}

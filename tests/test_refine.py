@@ -43,3 +43,19 @@ def test_refine_preserves_coherent_clusters():
     )
     out = {r["url"]: r["cluster_id"] for r in refine_clusters(clusters, feats).take_all()}
     assert set(out.values()) == {"a"}
+
+
+def test_run_er_with_refine_stage(tmp_path):
+    from record_matching_ray.config import PipelineConfig
+    from record_matching_ray.pipelines.er import run_er
+    from record_matching_ray.testgen import make_pages
+
+    pages, labeled, truth = make_pages(200, 40, 21)
+    cfg = PipelineConfig(refine_year_tolerance=2.0)
+    res = run_er(rd.from_arrow(pages), cfg, out_dir=str(tmp_path / "ck"),
+                 input_key="r", num_partitions=4, feature_concurrency=2)
+    assert res["refined"] is not None
+    assert (tmp_path / "ck" / "refined" / "_MANIFEST.json").exists()
+    # refinement never decreases precision: clusters remain valid urls
+    rows = res["clusters"].take_all()
+    assert len(rows) == 200

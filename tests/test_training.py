@@ -75,3 +75,33 @@ def test_train_test_split_proportions():
     assert sorted(r["id"] for r in te.take_all()) == sorted(
         r["id"] for r in te2.take_all()
     )
+
+
+def test_stratified_kfold_and_cv():
+    from record_matching_ray.pipelines.training import (
+        cross_validated_f1,
+        stratified_kfold_indices,
+    )
+
+    rng = np.random.RandomState(0)
+    y = np.concatenate([np.ones(40, bool), np.zeros(160, bool)])
+    folds = stratified_kfold_indices(y, n_splits=5, seed=1)
+    assert len(folds) == 5
+    seen = np.concatenate([t for _, t in folds])
+    assert sorted(seen) == list(range(200))  # exact partition
+    for train, test in folds:
+        assert 6 <= y[test].sum() <= 10  # stratified: ~8 positives per fold
+        assert set(train) & set(test) == set()
+    # separable data -> CV F1 ~ 1.0
+    X = np.where(y[:, None], 1.0, 0.0) + rng.normal(0, 0.05, (200, 3))
+    assert cross_validated_f1(X, y) > 0.95
+
+
+def test_feature_importance_normalized():
+    from record_matching_ray.config import PipelineConfig
+    from record_matching_ray.pipelines.training import feature_importance
+
+    cfg = PipelineConfig()
+    imp = feature_importance(np.array(cfg.weights), cfg.feature_names())
+    assert abs(sum(imp.values()) - 1.0) < 1e-12
+    assert imp["f_cosine"] == imp["f_name_content"]  # both weight 4.0
