@@ -183,6 +183,61 @@ def cmd_refine(args) -> None:
     print(f"refined -> {sdir}")
 
 
+def cmd_train(args) -> None:
+    """Fit logistic weights from labeled pairs (reference train-weights
+    console script, record_matching/main.py:444-486) -> weights parquet
+    + metrics JSON."""
+    _ray_up()
+    import numpy as np
+
+    from record_matching_ray.pipelines.er import train_weights_from_labeled
+    from record_matching_ray.pipelines.training import (
+        cross_validated_f1, feature_importance,
+    )
+    from record_matching_ray.sources import read_labeled_pairs
+    from record_matching_ray.stages.sinks import write_metrics_json, write_weights
+    from record_matching_ray.state import manifest as mf
+
+    cfg = _cfg(args)
+    features = mf.read_stage(_stage_dir(args, "features"))
+    labeled = read_labeled_pairs(args.labeled)
+    intercept, w, auc = train_weights_from_labeled(features, labeled, cfg)
+    write_weights(args.weights_out, intercept, w, cfg)
+    metrics = {
+        "auc": auc,
+        "intercept": intercept,
+        "weights": {n: float(v) for n, v in zip(cfg.feature_names(), w)},
+        "importance": feature_importance(np.asarray(w), cfg.feature_names()),
+    }
+    if args.metrics_json:
+        write_metrics_json(args.metrics_json, metrics)
+    print(json.dumps(metrics))
+
+
+def cmd_discover(args) -> None:
+    """Oracle-labeled balanced training set (reference
+    discover-training-set console script, main.py:194-260) -> labeled
+    pairs parquet."""
+    _ray_up()
+    import pyarrow.parquet as pq
+
+    from record_matching_ray.pipelines.training import discover_training_set
+    from record_matching_ray.state import manifest as mf
+
+    cfg = _cfg(args)
+    features = mf.read_stage(_stage_dir(args, "features"))
+    truth_t = pq.read_table(args.truth)
+    truth = dict(
+        zip(
+            truth_t.column("url").to_pylist(),
+            truth_t.column("entity_id").to_pylist(),
+        )
+    )
+    out = discover_training_set(features, truth, cfg, n_target=args.n_target)
+    mf.write_stage(out, _stage_dir(args, "training_set"), _fp(args))
+    print(f"training_set -> {_stage_dir(args, 'training_set')}")
+
+
 def cmd_run_all(args) -> None:
     _ray_up()
     from record_matching_ray.pipelines.er import run_er
@@ -275,6 +330,19 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--weights", help="weights parquet (stages/sinks.py)")
     sp.set_defaults(fn=cmd_score)
+
+    sp = sub.add_parser("train")
+    common(sp)
+    sp.add_argument("--labeled", required=True)
+    sp.add_argument("--weights-out", dest="weights_out", required=True)
+    sp.add_argument("--metrics-json", dest="metrics_json")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("discover")
+    common(sp)
+    sp.add_argument("--truth", required=True, help="truth parquet (url, entity_id)")
+    sp.add_argument("--n-target", dest="n_target", type=int, default=200)
+    sp.set_defaults(fn=cmd_discover)
 
     sp = sub.add_parser("run-all")
     sp.add_argument("--pages", required=True)

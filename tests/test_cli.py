@@ -42,3 +42,35 @@ def test_cli_graphml_and_refine(tmp_path, capsys):
     assert stats["edges"] > 0 and stats["components"] > 0
     assert os.path.exists(tmp_path / "g.graphml")
     assert os.path.isdir(f"{run}/refined")
+
+
+def test_cli_train_and_discover(tmp_path, capsys):
+    corpus = str(tmp_path / "corpus")
+    run = str(tmp_path / "run")
+    main(["gen-corpus", "--out", corpus, "--pages", "250", "--entities", "50",
+          "--seed", "8"])
+    main(["extract", "--pages", f"{corpus}/pages", "--out", run])
+    wpath = str(tmp_path / "w.parquet")
+    main(["train", "--out", run, "--labeled", f"{corpus}/labeled_pairs.parquet",
+          "--weights-out", wpath, "--metrics-json", str(tmp_path / "tm.json")])
+    out = capsys.readouterr().out.strip().splitlines()
+    metrics = json.loads(out[-1])
+    assert metrics["auc"] > 0.99
+    assert abs(sum(metrics["importance"].values()) - 1.0) < 1e-9
+    # weights parquet round-trips and can drive scoring
+    from record_matching_ray.config import PipelineConfig
+    from record_matching_ray.stages.sinks import read_weights
+
+    intercept, w = read_weights(wpath, PipelineConfig())
+    assert len(w) == len(PipelineConfig().feature_names())
+    main(["block", "--out", run])
+    main(["score", "--out", run, "--weights", wpath])
+    import os
+    assert os.path.isdir(f"{run}/edges")
+    # discover: oracle-labeled training set from truth
+    main(["discover", "--out", run, "--truth", f"{corpus}/truth_clusters.parquet",
+          "--n-target", "40"])
+    import pyarrow.parquet as pq, glob
+    rows = sum(pq.read_metadata(p).num_rows
+               for p in glob.glob(f"{run}/training_set/*.parquet"))
+    assert rows == 40
