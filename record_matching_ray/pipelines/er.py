@@ -193,7 +193,6 @@ def run_er(
         mf.update_counters(sdir, {"wall_s": round(time.time() - t0, 3)})
         return mf.read_stage(sdir)
 
-    scorer_blocks = 2 * cluster_parallelism()
     features = checkpoint(build_features(pages, cfg, feature_concurrency), "features")
     if out_dir is None:
         # features feed 4+ consumers (hot hosts, block keys, both payload
@@ -223,13 +222,13 @@ def run_er(
         and not cfg.keep_scored
         and not cfg.emit_features
     ):
-        edges_ds = scoring.score_pairs_fused(
-            pairs.repartition(scorer_blocks), features, cfg, weights
-        )
+        # no repartition: the dedup stage already emits
+        # coarse_groupby_partitions() (= 4x CPUs) blocks, so the scorer
+        # pool is fully subscribed without an extra 16B/pair all-to-all
+        edges_ds = scoring.score_pairs_fused(pairs, features, cfg, weights)
     else:
         wide = blocking.attach_pair_payload(
-            pairs.repartition(scorer_blocks), features, cfg, num_partitions,
-            restore_urls=False,
+            pairs, features, cfg, num_partitions, restore_urls=False,
         )
         # persisting the full scored table would write+read ~150B x
         # |pairs| for a stage whose only consumer keeps score >= tau
