@@ -2,10 +2,14 @@
 
     read_parquet(pages url,warc_ts,html,text,lang)
       S1 extract+features   map_batches (actor pool, zero-copy Arrow)
-      S2 blocking           emit block keys -> groupby(block_key) -> pairs
-      S3 scoring            actor pool with broadcast weights -> edges
-      S4 clustering         distributed label propagation -> (url, cluster_id)
+      S2 blocking           emit block keys (host|LSH band|name, salted)
+                            -> coarse groupby -> pairs -> int-keyed dedup
+      S3 scoring            fused broadcast scorer (uid pairs in, edges
+                            out) or payload-join + actor pool at scale
+      S4 clustering         vectorized contraction + hybrid components
+                            -> (url, cluster_id)
       S5 canonicalize       groupby(cluster_id) -> canonical entities
+      S5b refine (optional) year-conflict cluster splitting
 
 Reference chain replaced: record_matching/main.py:858-871 (template ->
 dedup -> vectorize -> index -> ANN -> filter -> distances -> classify ->
