@@ -183,6 +183,17 @@ def cmd_refine(args) -> None:
     print(f"refined -> {sdir}")
 
 
+def cmd_block_stats(args) -> None:
+    """Observable skew diagnostics: block-size histogram, hot blocks,
+    pair-cap overflow bound (stages/blocking.py:block_size_stats)."""
+    _ray_up()
+    from record_matching_ray.stages import blocking
+    from record_matching_ray.state import manifest as mf
+
+    features = mf.read_stage(_stage_dir(args, "features"))
+    print(json.dumps(blocking.block_size_stats(features, _cfg(args))))
+
+
 def cmd_train(args) -> None:
     """Fit logistic weights from labeled pairs (reference train-weights
     console script, record_matching/main.py:444-486) -> weights parquet
@@ -330,6 +341,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--weights", help="weights parquet (stages/sinks.py)")
     sp.set_defaults(fn=cmd_score)
+
+    sp = sub.add_parser("block-stats")
+    common(sp)
+    sp.set_defaults(fn=cmd_block_stats)
 
     sp = sub.add_parser("train")
     common(sp)

@@ -578,3 +578,54 @@ def _attach_payload_join(
         return pa.table(cols)
 
     return both.map_batches(finalize, batch_format="pyarrow")
+
+
+def block_size_stats(
+    features: ray.data.Dataset, cfg: PipelineConfig, top_k: int = 20
+) -> dict:
+    """Observable skew diagnostics (the reference silently caps neighbor
+    lists and merely LOGS lost matches, poc1:1556-1559 — here the skew is
+    measured): block-size histogram over all emitted block keys, the
+    top-k largest blocks, and how many blocks exceed the pair cap
+    (i.e. would emit core+spokes with a nonzero overflow counter).
+
+    Distributed: per-batch partial (block_key, count) -> one int-keyed
+    groupby; only per-block counts reach the driver aggregation."""
+    import numpy as np
+
+    blocks = features.map_batches(
+        emit_block_keys,
+        fn_kwargs={"cfg": cfg, "hot_hosts": set()},
+        batch_format="pyarrow",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["block_key"]), "block_key").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["block_key", "cnt"])
+
+    totals = (
+        blocks.map_batches(partial, batch_format="pyarrow")
+        .groupby("block_key")
+        .sum("cnt")
+    )
+    counts = np.array(
+        [r["sum(cnt)"] for r in totals.take_all()], dtype=np.int64
+    )
+    if len(counts) == 0:
+        return {"blocks": 0}
+    counts.sort()
+    m_cap = int((2 * cfg.max_pairs_per_block) ** 0.5) + 1
+    over = counts[counts > m_cap]
+    return {
+        "blocks": int(len(counts)),
+        "members_p50": int(np.percentile(counts, 50)),
+        "members_p99": int(np.percentile(counts, 99)),
+        "members_max": int(counts[-1]),
+        "top_blocks": [int(c) for c in counts[-top_k:][::-1]],
+        "blocks_over_pair_cap": int(len(over)),
+        "capped_pairs_lost_upper_bound": int(
+            sum(c * (c - 1) // 2 - cfg.max_pairs_per_block for c in over)
+        ),
+    }

@@ -242,7 +242,16 @@ def connected_components(
     only ever sees the contracted remainder.
     """
     sch = edges.schema()
-    key_type = sch.types[sch.names.index("left")]
+    if sch is None or "left" not in sch.names:
+        # empty edge set (no blocks carry a schema) — every node is a
+        # singleton; key type comes from the node relation
+        key_type = (
+            nodes.schema().base_schema.field("url").type
+            if nodes is not None
+            else pa.int64()
+        )
+    else:
+        key_type = sch.types[sch.names.index("left")]
 
     if pre_contract:
         edges = contract_edges(edges).materialize()
