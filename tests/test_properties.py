@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the similarity kernels, MinHash
+estimator, and clustering equivalence — the unit layer SURVEY.md §5 adds
+on top of the reference's end-to-end-only testing."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from record_matching_ray.functions import strsim
+from record_matching_ray.functions.minhash import MinHasher
+from record_matching_ray.functions.union_find import UnionFind
+
+texts = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=40)
+
+
+@given(texts, texts)
+@settings(max_examples=200, deadline=None)
+def test_jaro_winkler_bounds_symmetry_identity(a, b):
+    v = strsim.jaro_winkler(a, b)
+    assert 0.0 <= v <= 1.0
+    assert abs(v - strsim.jaro_winkler(b, a)) < 1e-12
+    if a:
+        assert strsim.jaro_winkler(a, a) == 1.0
+
+
+@given(texts, texts)
+@settings(max_examples=200, deadline=None)
+def test_levenshtein_metric_properties(a, b):
+    d = strsim.levenshtein(a, b)
+    assert d == strsim.levenshtein(b, a)
+    assert d >= abs(len(a) - len(b))
+    assert d <= max(len(a), len(b))
+    assert (d == 0) == (a == b)
+
+
+@given(texts, texts)
+@settings(max_examples=200, deadline=None)
+def test_token_set_levenshtein_order_invariant(a, b):
+    # reordering tokens must not change the token-SET similarity
+    ra = " ".join(reversed(a.split()))
+    assert abs(
+        strsim.token_set_levenshtein(a, b) - strsim.token_set_levenshtein(ra, b)
+    ) < 1e-12
+
+
+@given(st.lists(st.integers(0, 500), min_size=1, max_size=200, unique=True),
+       st.lists(st.integers(0, 500), min_size=1, max_size=200, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_minhash_estimates_jaccard(xs, ys):
+    h = MinHasher(num_perm=128, seed=3)
+
+    def sig(vals):
+        arr = np.array(vals, dtype=np.uint64)
+        return h.signatures(arr, np.array([0, len(arr)], dtype=np.int64))[0]
+
+    sa, sb = sig(xs), sig(ys)
+    est = (sa == sb).mean()
+    inter = len(set(xs) & set(ys))
+    true_j = inter / len(set(xs) | set(ys))
+    assert abs(est - true_j) < 0.30  # 128 perms: sd ~= sqrt(j(1-j)/128) < .05
+    if xs == ys:
+        assert est == 1.0
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                max_size=80))
+@settings(max_examples=100, deadline=None)
+def test_vectorized_contraction_matches_union_find(edges):
+    """_contract_batch (numpy min-label + pointer jumping) must preserve
+    exactly the components the dict union-find produces."""
+    import pyarrow as pa
+
+    from record_matching_ray.stages.clustering import _contract_batch
+
+    t = pa.table(
+        {
+            "left": pa.array([min(a, b) for a, b in edges], pa.int64()),
+            "right": pa.array([max(a, b) for a, b in edges], pa.int64()),
+        }
+    )
+    out = _contract_batch(t)
+    # components from the contracted star edges == components from raw edges
+    uf_raw, uf_con = UnionFind(), UnionFind()
+    for a, b in edges:
+        uf_raw.union(a, b)
+    for l, r in zip(out.column("left").to_pylist(), out.column("right").to_pylist()):
+        uf_con.union(l, r)
+    nodes = {n for e in edges for n in e}
+    for n in nodes:
+        uf_con.add(n)
+    assert uf_raw.components() == uf_con.components()
+
+
+@given(st.floats(1800, 2020), st.floats(1800, 2020))
+@settings(max_examples=200, deadline=None)
+def test_year_compat_bounds_and_symmetry(y1, y2):
+    v = strsim.year_compatibility(y1, y2)
+    assert 0.0 <= v <= 1.0
+    assert v == strsim.year_compatibility(y2, y1)
+    assert strsim.year_compatibility(y1, y1) == 1.0
