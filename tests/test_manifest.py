@@ -35,3 +35,31 @@ def test_incomplete_dir_not_reused(tmp_path):
     sdir = tmp_path / "stage3"
     sdir.mkdir()
     assert not mf.is_complete(str(sdir), "fp")
+
+
+def test_mid_chain_crash_resume(tmp_path):
+    """Simulated crash after the pairs stage: later stage dirs removed,
+    rerun completes from the surviving checkpoints and reproduces the
+    identical clustering (SURVEY.md §7.5 resume correctness)."""
+    import shutil
+
+    import ray.data as rd
+
+    from record_matching_ray.config import PipelineConfig
+    from record_matching_ray.pipelines.er import run_er
+    from record_matching_ray.testgen import make_pages
+
+    pages, _, _ = make_pages(200, 40, 17)
+    cfg = PipelineConfig()
+    out = str(tmp_path / "ck")
+    r1 = run_er(rd.from_arrow(pages), cfg, out_dir=out, input_key="crash",
+                num_partitions=4, feature_concurrency=2)
+    want = sorted((r["url"], r["cluster_id"]) for r in r1["clusters"].take_all())
+    # crash simulation: everything after pairs is lost (partial tmp dirs
+    # from write_stage never survive — it writes tmp + atomic rename)
+    for stage in ("edges", "clusters", "canonical"):
+        shutil.rmtree(f"{out}/{stage}")
+    r2 = run_er(rd.from_arrow(pages), cfg, out_dir=out, input_key="crash",
+                num_partitions=4, feature_concurrency=2)
+    got = sorted((r["url"], r["cluster_id"]) for r in r2["clusters"].take_all())
+    assert got == want
