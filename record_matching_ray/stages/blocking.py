@@ -315,7 +315,12 @@ def compute_hot_hosts(features: ray.data.Dataset, cfg: PipelineConfig) -> list[s
         )
         return counts.rename_columns(["host", "cnt"])
 
-    partials = features.map_batches(partial_counts, batch_format="pyarrow")
+    # select_columns BEFORE map_batches: lets Ray push the projection into
+    # the parquet read when features comes off a checkpoint — the feature
+    # table carries text/token payloads that this count never needs
+    partials = features.select_columns(["host"]).map_batches(
+        partial_counts, batch_format="pyarrow"
+    )
     totals = partials.groupby("host").sum("cnt")  # column: "sum(cnt)"
     hot = totals.map_batches(
         lambda t: t.filter(pc.greater(t["sum(cnt)"], cfg.hot_block_limit)),
