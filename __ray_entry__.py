@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "all_account_names": an.all_account_names,
         "user_activity": an.user_activity,
         "top_lineitems": an.top_lineitems,
+        "price_histogram": an.price_histogram,
         # training-data ops over documents/embeddings — SQL-checked
         "exact_dedup_docs": _exact_dedup_docs,
         "doc_token_stats": _doc_token_stats,
@@ -398,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "all_account_names": an.ALL_ACCOUNT_NAMES_SQL,
         "user_activity": an.USER_ACTIVITY_SQL,
         "top_lineitems": an.TOP_LINEITEMS_SQL,
+        "price_histogram": an.PRICE_HISTOGRAM_SQL,
         "exact_dedup_docs": """
             SELECT md5(text) AS text_hash, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
             FROM documents GROUP BY text

@@ -604,3 +604,40 @@ FROM lineitem WHERE l_discount > 0.05
 ORDER BY price_c DESC, l_orderkey, l_linenumber
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram (partial counts per batch; exact SQL parity)
+
+
+def price_histogram(sf_dir: str, bin_width_c: int = 10_000_00) -> ray.data.Dataset:
+    """lineitem extendedprice histogram in fixed cent-width bins —
+    batch partials then one small int-keyed groupby; bins are exact
+    integer arithmetic so the DuckDB oracle matches bit-for-bit."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pa.array(_cents(t.column("l_extendedprice")), pa.int64())
+        bins = pc.cast(
+            pc.floor(pc.divide(pc.cast(cents, pa.float64()), float(bin_width_c))),
+            pa.int64(),
+        )
+        g = pa.TableGroupBy(pa.table({"bin": bins}), "bin").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["bin", "cnt"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .sum("cnt")
+        .rename_columns({"sum(cnt)": "cnt"})
+    )
+    return conformed(out, pa.schema([("bin", pa.int64()), ("cnt", pa.int64())]))
+
+
+PRICE_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(CAST(ROUND(l_extendedprice*100) AS BIGINT) / 1000000.0) AS BIGINT) AS bin,
+       COUNT(*) AS cnt
+FROM lineitem GROUP BY 1
+"""

@@ -28,7 +28,6 @@ rounds in practice thanks to the label-link shortcuts.
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 

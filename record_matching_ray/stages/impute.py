@@ -162,12 +162,11 @@ def neighborhood_embedding_averages(
     (uid, neighbor_mean list<float64>, n_neighbors)."""
     import ray as _ray
 
-    from record_matching_ray.functions.hashing import _U64, mix64
+    from record_matching_ray.functions.hashing import _U64
     from record_matching_ray.stages import blocking as _b
     from record_matching_ray.stages.util import coarse_groupby_partitions
 
     dim = cfg.embed_dim
-    payload = None
     # broadcast uid -> embedding row (reuses the fused-scorer payload build)
     from record_matching_ray.stages.scoring import build_payload_arrays
 

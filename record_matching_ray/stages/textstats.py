@@ -171,3 +171,50 @@ def run_langid(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 def run_fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(fingerprint_docs, batch_format="pyarrow")
+
+
+def approx_distinct(
+    ds: "ray.data.Dataset", col: str, precision_bits: int = 12
+) -> tuple[int, float]:
+    """Approximate COUNT(DISTINCT col) via a Flajolet-Martin/HLL-style
+    register sketch — the at-scale replacement for an exact distinct
+    shuffle: each batch folds its values into 2^precision_bits max-rank
+    registers (a few KB), registers merge associatively, only one small
+    array per batch reaches the driver. Returns (estimate, relative
+    standard error ~= 1.04/sqrt(m))."""
+    import numpy as np
+
+    from record_matching_ray.functions.hashing import _U64, hash_strings, mix64
+
+    m = 1 << precision_bits
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_pylist()
+        if vals and not isinstance(vals[0], str):
+            vals = [str(v) for v in vals]
+        h = mix64(hash_strings(vals))
+        idx = (h & _U64(m - 1)).astype(np.int64)
+        rest = (h >> np.uint64(precision_bits)).astype(np.uint64)
+        # rank = leading-zero count of the remaining bits + 1
+        width = 64 - precision_bits
+        rank = np.zeros(len(h), dtype=np.int64)
+        nonzero = rest != 0
+        # log2 via float conversion is exact for < 2^53
+        rank[nonzero] = width - np.floor(np.log2(rest[nonzero].astype(np.float64))).astype(np.int64)
+        rank[~nonzero] = width + 1
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, idx, rank)
+        return pa.table({"regs": pa.array([regs.tolist()], pa.list_(pa.int64()))})
+
+    regs = np.zeros(m, dtype=np.int64)
+    for row in ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all():
+        regs = np.maximum(regs, np.asarray(row["regs"], dtype=np.int64))
+    # HLL estimate with small-range correction
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return int(round(est)), 1.04 / np.sqrt(m)

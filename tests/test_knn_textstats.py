@@ -127,3 +127,18 @@ def test_knn_ivf_recall():
     # deterministic across runs
     again = knn_ivf(embs, Q, qids, k=10, centroids=C, n_probe=16)
     assert approx.equals(again)
+
+
+def test_approx_distinct_bound():
+    import ray.data as rd
+    from record_matching_ray.stages.textstats import approx_distinct
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    est, rse = approx_distinct(docs, "doc_id", precision_bits=12)
+    true = 500
+    assert abs(est - true) / true < 5 * rse + 0.02, (est, rse)
+    # deterministic
+    est2, _ = approx_distinct(docs, "doc_id", precision_bits=12)
+    assert est == est2
