@@ -332,6 +332,21 @@ def _langid_docs(sf_dir: str):
     return run_langid(_docs(sf_dir))
 
 
+def _doc_distinct_estimate(sf_dir: str):
+    """HLL-sketch distinct count of doc text hashes (deterministic)."""
+    import pyarrow as pa
+
+    from record_matching_ray.stages.textstats import approx_distinct
+
+    est, rse = approx_distinct(_docs(sf_dir), "text", precision_bits=12)
+    return pa.table(
+        {
+            "distinct_estimate": pa.array([est], pa.int64()),
+            "relative_std_error": pa.array([round(rse, 6)], pa.float64()),
+        }
+    )
+
+
 def _doc_fingerprints(sf_dir: str):
     from record_matching_ray.stages.textstats import run_fingerprints
 
@@ -381,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": _langid_docs,
         "doc_fingerprints": _doc_fingerprints,
         "semantic_search_docs": _semantic_search_docs,
+        "doc_distinct_estimate": _doc_distinct_estimate,
     }
 
 
