@@ -101,3 +101,30 @@ def test_cluster_error_taxonomy(corpus):
         "entities": 4, "clusters": 4, "split_entities": 1,
         "merged_clusters": 1, "entities_merged_away": 1, "pure_clusters": 3,
     }
+
+
+def test_fused_and_join_scorers_agree(corpus):
+    """The fused broadcast scorer and the payload-join + PairScorer path
+    must produce the same edge set (same features, same math) — guards
+    train/serve and small/large-scale drift."""
+    import pyarrow as pa
+
+    from record_matching_ray.stages import blocking, scoring
+
+    pages_ds, _, _ = corpus
+    cfg = PipelineConfig()
+    feats = build_features(pages_ds, cfg, concurrency=2).materialize()
+    hot = blocking.compute_hot_hosts(feats, cfg)
+    pairs = blocking.generate_candidate_pairs(feats, cfg, hot).materialize()
+    fused = {
+        (r["left"], r["right"])
+        for r in scoring.score_pairs_fused(pairs, feats, cfg).take_all()
+    }
+    wide = blocking.attach_pair_payload(pairs, feats, cfg, num_partitions=4,
+                                        restore_urls=False)
+    scored = scoring.score_pairs(wide, cfg)
+    joined = {
+        (r["left"], r["right"])
+        for r in scoring.edges_from_scores(scored, cfg).take_all()
+    }
+    assert fused == joined
