@@ -204,10 +204,27 @@ def run_er(
         # pin them once in the object store instead of re-running S1 per
         # consumer. (With out_dir set, the checkpoint read serves this.)
         features = features.materialize()
-    hot = blocking.compute_hot_hosts(features, cfg)
+
+    def pruned(cols: list[str]) -> ray.data.Dataset:
+        """Feature reader pruned to `cols` AT THE PARQUET READER when
+        checkpointed — select_columns after a read is a post-read Project
+        in this Ray version, so every downstream consumer was re-reading
+        the full ~N-GB feature table (text included) to use 3 columns."""
+        if out_dir is not None:
+            import os as _os
+
+            return mf.read_stage(_os.path.join(out_dir, "features"), columns=cols)
+        return features
+
+    hot = blocking.compute_hot_hosts(pruned(["host"]), cfg)
     pairs = checkpoint(
-        blocking.generate_candidate_pairs(features, cfg, hot), "pairs"
+        blocking.generate_candidate_pairs(
+            pruned(["url", "host", "name", "minhash"]), cfg, hot
+        ),
+        "pairs",
     )
+    payload_feats = pruned(["url"] + blocking.PAIR_PAYLOAD)
+    url_feats = pruned(["url"])
     # Scoring, edges and clustering all run in uid space (8B keys);
     # urls are restored once on the final cluster table. Two scoring
     # plans, picked by the counted feature size (same bound as
@@ -222,17 +239,17 @@ def run_er(
     # 32-actor scorer pool (narrow repartition: left/right only).
     scored = None
     if (
-        features.count() <= 1_000_000
+        url_feats.count() <= 1_000_000
         and not cfg.keep_scored
         and not cfg.emit_features
     ):
         # no repartition: the dedup stage already emits
         # coarse_groupby_partitions() (= 4x CPUs) blocks, so the scorer
         # pool is fully subscribed without an extra 16B/pair all-to-all
-        edges_ds = scoring.score_pairs_fused(pairs, features, cfg, weights)
+        edges_ds = scoring.score_pairs_fused(pairs, payload_feats, cfg, weights)
     else:
         wide = blocking.attach_pair_payload(
-            pairs, features, cfg, num_partitions, restore_urls=False,
+            pairs, payload_feats, cfg, num_partitions, restore_urls=False,
         )
         # persisting the full scored table would write+read ~150B x
         # |pairs| for a stage whose only consumer keeps score >= tau
@@ -253,25 +270,29 @@ def run_er(
 
     uclusters = connected_components(
         edges,
-        nodes=features.select_columns(["url"]).map_batches(
+        nodes=url_feats.select_columns(["url"]).map_batches(
             uid_nodes, batch_format="pyarrow"
         ),
         max_iters=cfg.max_cc_iters,
     )
     clusters = checkpoint(
-        _restore_cluster_urls(uclusters, features, num_partitions), "clusters"
+        _restore_cluster_urls(uclusters, url_feats, num_partitions), "clusters"
     )
     refined = None
     if cfg.refine_year_tolerance is not None:
         from record_matching_ray.stages.refine import refine_clusters
 
         refined = checkpoint(
-            refine_clusters(clusters, features, cfg.refine_year_tolerance,
-                            num_partitions),
+            refine_clusters(clusters, pruned(["url", "name", "year", "lang"]),
+                            cfg.refine_year_tolerance, num_partitions),
             "refined",
         )
         clusters = refined
-    canonical = checkpoint(canonicalize(clusters, features, num_partitions), "canonical")
+    canonical = checkpoint(
+        canonicalize(clusters, pruned(["url", "name", "year", "lang"]),
+                     num_partitions),
+        "canonical",
+    )
     return {
         "features": features,
         "pairs": pairs,

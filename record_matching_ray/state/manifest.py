@@ -76,13 +76,17 @@ def write_stage(
             shutil.rmtree(tmp, ignore_errors=True)
 
 
-def read_stage(stage_dir: str) -> ray.data.Dataset:
+def read_stage(stage_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Read a checkpointed stage. Pass ``columns`` to prune at the parquet
+    reader — Ray's select_columns after a read is a post-read Project in
+    this version (measured: full 1.3GB feature read for a host-only count
+    without reader-level pruning)."""
     files = [
         os.path.join(stage_dir, fn)
         for fn in sorted(os.listdir(stage_dir))
         if fn.endswith(".parquet")
     ]
-    return ray.data.read_parquet(files)
+    return ray.data.read_parquet(files, columns=columns)
 
 
 def read_manifest(stage_dir: str) -> dict:
