@@ -177,6 +177,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_order_asof",
         "events_hourly",
         "top_orders_per_customer",
+        "price_histogram",
         "embedding_label_averages",
         "semantic_search_docs",
         "er_clusters_documents",

@@ -295,6 +295,24 @@ def cmd_search(args) -> None:
     print(out.to_pandas().to_json(orient="records"))
 
 
+def cmd_export_csv(args) -> None:
+    """Small-result CSV export of any checkpointed stage (reference:
+    resolved/canonical entities CSVs, poc1:1281-1366, poc2:2574-2595).
+    Size-gated: CSV is a driver-side convenience sink, not a data path."""
+    _ray_up()
+    from record_matching_ray.state import manifest as mf
+
+    ds = mf.read_stage(_stage_dir(args, args.stage))
+    n = ds.count()
+    if n > args.max_rows:
+        raise SystemExit(
+            f"stage has {n} rows > --max-rows {args.max_rows}; "
+            "use the parquet output for large results"
+        )
+    ds.to_pandas().to_csv(args.path, index=False)
+    print(json.dumps({"rows": n, "path": args.path}))
+
+
 def cmd_export_graphml(args) -> None:
     _ray_up()
     from record_matching_ray.stages.sinks import write_graphml
@@ -376,6 +394,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-k", type=int, default=10)
     sp.add_argument("--lang")
     sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("export-csv")
+    common(sp)
+    sp.add_argument("--stage", required=True)
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--max-rows", dest="max_rows", type=int, default=1_000_000)
+    sp.set_defaults(fn=cmd_export_csv)
 
     sp = sub.add_parser("export-graphml")
     common(sp)

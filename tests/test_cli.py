@@ -74,3 +74,20 @@ def test_cli_train_and_discover(tmp_path, capsys):
     rows = sum(pq.read_metadata(p).num_rows
                for p in glob.glob(f"{run}/training_set/*.parquet"))
     assert rows == 40
+
+
+def test_cli_export_csv(tmp_path, capsys):
+    corpus = str(tmp_path / "corpus")
+    run = str(tmp_path / "run")
+    main(["gen-corpus", "--out", corpus, "--pages", "120", "--entities", "25",
+          "--seed", "4"])
+    main(["run-all", "--pages", f"{corpus}/pages", "--out", run])
+    path = str(tmp_path / "canonical.csv")
+    main(["export-csv", "--out", run, "--stage", "canonical", "--path", path])
+    out = capsys.readouterr().out.strip().splitlines()
+    meta = json.loads(out[-1])
+    import csv
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == meta["rows"] > 0
+    assert "canonical_name" in rows[0]
