@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity": an.user_activity,
         "top_lineitems": an.top_lineitems,
         "price_histogram": an.price_histogram,
+        "shipping_priority": an.shipping_priority,
         # training-data ops over documents/embeddings — SQL-checked
         "exact_dedup_docs": _exact_dedup_docs,
         "doc_token_stats": _doc_token_stats,
@@ -416,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "user_activity": an.USER_ACTIVITY_SQL,
         "top_lineitems": an.TOP_LINEITEMS_SQL,
         "price_histogram": an.PRICE_HISTOGRAM_SQL,
+        "shipping_priority": an.SHIPPING_PRIORITY_SQL,
         "exact_dedup_docs": """
             SELECT md5(text) AS text_hash, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
             FROM documents GROUP BY text

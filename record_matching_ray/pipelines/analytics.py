@@ -641,3 +641,124 @@ SELECT CAST(FLOOR(CAST(ROUND(l_extendedprice*100) AS BIGINT) / 1000000.0) AS BIG
        COUNT(*) AS cnt
 FROM lineitem GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 flavor: 3-way join (broadcast semi-join + hash join) + top-k
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-06-15", k: int = 10) -> ray.data.Dataset:
+    """Top-k unshipped-revenue orders for one market segment.
+
+    Plan (SURVEY.md §2.4 join guidance): the filtered customer keys are a
+    SMALL side — broadcast once via ray.put and applied as a vectorized
+    semi-join mask inside the orders scan (no shuffle); lineitem revenue
+    pre-aggregates per order key inside map_batches before the single
+    hash join against the filtered orders."""
+    import datetime as _dt
+
+    import ray as _ray
+
+    cut = _dt.datetime.fromisoformat(cutoff)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def cust_keys(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("c_mktsegment"), segment)
+        return t.filter(keep).select(["c_custkey"])
+
+    keys = np.concatenate(
+        [
+            t.column("c_custkey").to_numpy(zero_copy_only=False)
+            for t in cust.map_batches(cust_keys, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+            if t.num_rows
+        ]
+        or [np.empty(0, dtype=np.int64)]
+    )
+    keys_ref = _ray.put(np.sort(keys.astype(np.int64)))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        ks = _ray.get(keys_ref) if isinstance(keys_ref, _ray.ObjectRef) else keys_ref
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, ck)
+        idx[idx >= len(ks)] = max(len(ks) - 1, 0)
+        mask = (len(ks) > 0) & (ks[idx] == ck) if len(ks) else np.zeros(len(ck), bool)
+        mask = mask & (
+            t.column("o_orderdate").to_numpy(zero_copy_only=False) < np.datetime64(cut)
+        )
+        return t.filter(pa.array(mask)).select(["o_orderkey", "o_orderdate"])
+
+    f_orders = orders.map_batches(filt_orders, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def revenue_partial(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t.column("l_shipdate"), pa.scalar(cut, pa.timestamp("us")))
+        t = t.filter(keep)
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_c = _cents(t.column("l_discount"))
+        # revenue in exact integer micro-units: price_c * (100 - disc_c)
+        rev = price_c * (100 - disc_c)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "rev_u": pa.array(rev, pa.int64()),
+                }
+            ),
+            "l_orderkey",
+        ).aggregate([("rev_u", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_u"])
+
+    rev = (
+        li.map_batches(revenue_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .sum("rev_u")
+        .rename_columns({"sum(rev_u)": "rev_u"})
+    )
+    joined = conformed(
+        rev, pa.schema([("l_orderkey", pa.int64()), ("rev_u", pa.int64())])
+    ).join(
+        f_orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "revenue_u": t.column("rev_u"),
+            }
+        )
+
+    return (
+        joined.map_batches(shape, batch_format="pyarrow")
+        .sort(["revenue_u", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey AS o_orderkey, o_orderdate,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_u
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate  > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_u DESC, o_orderkey
+LIMIT 10
+"""
