@@ -14,6 +14,9 @@ by Ray Data streaming execution.
 """
 
 from record_matching_ray.config import PipelineConfig
+from record_matching_ray import rayfix as _rayfix
+
+_rayfix.install()
 
 __all__ = ["PipelineConfig"]
 __version__ = "0.1.0"

@@ -162,7 +162,14 @@ def cmd_canonicalize(args) -> None:
     if mf.is_complete(sdir, _fp(args)):
         print(f"canonical complete: {sdir}")
         return
-    clusters = mf.read_stage(_stage_dir(args, "clusters"))
+    # prefer the refined checkpoint (same fingerprint) when the refine
+    # command ran — matches run_er, which canonicalizes refined clusters
+    cluster_stage = (
+        "refined"
+        if mf.is_complete(_stage_dir(args, "refined"), _fp(args))
+        else "clusters"
+    )
+    clusters = mf.read_stage(_stage_dir(args, cluster_stage))
     features = mf.read_stage(_stage_dir(args, "features"))
     mf.write_stage(canonicalize(clusters, features), sdir, _fp(args))
     print(f"canonical -> {sdir}")

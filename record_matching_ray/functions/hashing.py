@@ -48,6 +48,12 @@ def hash_strings(arr: np.ndarray | list[str]) -> np.ndarray:
 
     codes, uniq = pd.factorize(a, sort=False)
     uh = np.fromiter((blake8(u) for u in uniq), dtype=_U64, count=len(uniq))
+    if codes.min(initial=0) < 0:
+        # factorize assigns code -1 to None/NaN, which would alias uh[-1]
+        # (the last unique's hash) and IndexError on an all-null batch;
+        # give nulls their own deterministic hash instead (ADVICE r1)
+        uh = np.append(uh, _U64(blake8(b"\x00__rmray_null__")))
+        codes = np.where(codes < 0, len(uh) - 1, codes)
     return uh[codes]
 
 

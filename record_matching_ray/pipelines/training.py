@@ -174,11 +174,15 @@ def hard_negative_pairs(
     """Random cross-page pairs kept only when their strongest feature
     exceeds ``min_max_feature`` — 'hard' negatives that teach the
     classifier boundaries (poc1:684-710). Pair sampling is driver-cheap
-    (ids only); feature computation runs distributed."""
-    urls = [
-        r["url"]
-        for r in features.select_columns(["url"]).take_all()
-    ]
+    (a BOUNDED random url sample, never the full url column — at 100x the
+    old take_all() shipped every url to the driver); feature computation
+    runs distributed."""
+    target = max(8 * n_pairs, 64)
+    n_feat = features.count()
+    url_ds = features.select_columns(["url"])
+    if n_feat > target:
+        url_ds = url_ds.random_sample(target / n_feat, seed=seed).limit(target)
+    urls = [r["url"] for r in url_ds.take_all()]
     rng = np.random.RandomState(seed)
     n = len(urls)
     li = rng.randint(0, n, size=n_pairs * 2)

@@ -316,15 +316,32 @@ def ngram_jaccard_pairs(
     """MinHash-LSH candidates re-verified with EXACT token n-gram Jaccard.
     Two-stage: cheap sketch recall, exact verify only on candidates.
     Output: (left, right, jaccard) with jaccard >= threshold."""
-    if num_partitions is None:
-        from record_matching_ray.stages.util import shuffle_partitions
+    from record_matching_ray.stages.util import compact_nonempty, shuffle_partitions
 
-        # partition count must track the session's CPUs: a 16-aggregator
-        # hash join on a 4-CPU session stalls behind slot contention
-        num_partitions = shuffle_partitions()
     cand = minhash_neardup_pairs(
         docs, shingle_k=shingle_k, threshold=lsh_threshold
     ).select_columns(["left", "right"])
+    # The LSH candidate set is bounded (pairs only inside capped buckets,
+    # ~O(corpus) rows of 2 int64s) — compact it so no join input block is
+    # empty, and size the join fan-out to the actual candidate count: a
+    # 25-row sf0.01 candidate set over 16 aggregators is pure overhead
+    # (and crashed round 1, see rayfix.py).
+    cand, n_cand = compact_nonempty(cand, shuffle_partitions())
+    if n_cand == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "left": pa.array([], pa.int64()),
+                    "right": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    if num_partitions is None:
+        # partition count must track the session's CPUs AND the data: a
+        # 16-aggregator hash join on a 4-CPU session stalls behind slot
+        # contention; ~512 candidate rows per partition is plenty.
+        num_partitions = max(1, min(shuffle_partitions(), -(-n_cand // 512)))
 
     def shingle_sets(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()

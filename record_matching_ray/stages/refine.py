@@ -51,8 +51,11 @@ def _refine_segments(g: pa.Table, year_tolerance: float) -> pa.Table:
             i = j
             continue
         dominant = Counter(known).most_common(1)[0][0]
-        # url-sorted members per conflicting year bucket -> deterministic
-        # sub-cluster ids (min url of the bucket)
+        # conflicting members split into per-year-bucket sub-clusters with
+        # ids derived from (base, year) — NEVER from member urls: when the
+        # cluster id equals the min url and that url lands in a conflict
+        # bucket, min(bucket) == base and the "split" silently no-ops
+        # (round-1 ADVICE: u0@1950 stayed clustered with u1-u3@1900)
         buckets: dict[object, list[str]] = {}
         keep: list[str] = []
         for k in seg:
@@ -66,7 +69,7 @@ def _refine_segments(g: pa.Table, year_tolerance: float) -> pa.Table:
             out_url.append(u)
             out_cid.append(base)
         for y, members in buckets.items():
-            sub = min(members)
+            sub = f"{base}#y{int(y)}"
             for u in members:
                 out_url.append(u)
                 out_cid.append(sub)

@@ -16,7 +16,13 @@ Reference analogs:
 from __future__ import annotations
 
 import json
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape as _xml_escape
+
+
+def escape(s: str) -> str:
+    # saxutils.escape does NOT escape double quotes, but every value here
+    # sits inside a double-quoted XML attribute (ADVICE r1)
+    return _xml_escape(s, {'"': "&quot;"})
 
 import numpy as np
 import pyarrow as pa

@@ -29,6 +29,27 @@ def conformed(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     return ds.map_batches(conform_schema(schema), batch_format="pyarrow")
 
 
+def compact_nonempty(
+    ds: ray.data.Dataset, max_blocks: int
+) -> tuple[ray.data.Dataset, int]:
+    """Materialize a BOUNDED relation and repartition so every block is
+    non-empty. Returns (dataset, row_count).
+
+    Belt-and-braces companion to rayfix.install(): groupby outputs at high
+    parallelism are mostly-empty blocks, and Ray 2.49's hash-shuffle join
+    loses its schema broadcast when the first-shuffled block is empty (see
+    rayfix.py). Only for relations known to be small relative to the
+    corpus (candidate pair sets, cluster maps) — never mid-pipeline on the
+    full input. The count also lets callers scale join ``num_partitions``
+    to the actual data instead of fanning a 25-row input over 16
+    aggregators."""
+    m = ds.materialize()
+    n = m.count()
+    if n == 0:
+        return m, 0
+    return m.repartition(max(1, min(max_blocks, n))), n
+
+
 def shuffle_partitions() -> int:
     """Partition count for coarse-key hash shuffles (pair dedup,
     canonicalize, label propagation). Ray's hash-shuffle spins up one

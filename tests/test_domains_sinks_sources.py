@@ -87,6 +87,20 @@ def test_graphml_export(tmp_path):
         write_graphml(edges, p, max_edges=2)
 
 
+def test_graphml_escapes_quotes(tmp_path):
+    # ADVICE r1: saxutils.escape leaves double quotes alone — a node id
+    # containing '"' must not break the double-quoted XML attribute
+    edges = rd.from_items([{"left": 'a"b', "right": "c&d", "score": 0.5}])
+    p = str(tmp_path / "q.graphml")
+    write_graphml(edges, p)
+    content = open(p).read()
+    assert 'a"b' not in content
+    assert "a&quot;b" in content and "c&amp;d" in content
+    import xml.dom.minidom
+
+    xml.dom.minidom.parse(p)  # well-formed
+
+
 def test_sources_schema_assertion(tmp_path):
     import pyarrow.parquet as pq
 

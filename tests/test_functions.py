@@ -33,6 +33,20 @@ def test_hash_strings_deterministic_and_stable():
     assert np.array_equal(a, b)
 
 
+def test_hash_strings_nulls_get_distinct_hash():
+    # ADVICE r1: factorize codes None as -1, which aliased uh[-1] (the
+    # LAST unique's hash) and raised IndexError on an all-null batch
+    h = hash_strings(["foo", None, "bar"])
+    assert h[1] != h[0] and h[1] != h[2]
+    assert h[1] != blake8("foo") and h[1] != blake8("bar")
+    # deterministic across calls; all-null batch works
+    h2 = hash_strings([None, None])
+    assert h2[0] == h2[1] == h[1]
+    # NaN treated like None
+    h3 = hash_strings(["foo", float("nan")])
+    assert h3[1] == h[1]
+
+
 def test_shingle_hashes_window():
     h = hash_strings(["a", "b", "c", "d"])
     sh = shingle_hashes(h, 3)

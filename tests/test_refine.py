@@ -30,8 +30,29 @@ def test_refine_splits_year_conflicts():
     out = {r["url"]: r["cluster_id"] for r in refine_clusters(clusters, feats).take_all()}
     # dominant year 1900: u0,u1,u2 stay; unknown year u4 stays; u3 splits
     assert out["u0"] == out["u1"] == out["u2"] == out["u4"] == "u0"
-    assert out["u3"] == "u3"  # its own sub-cluster (min url of bucket)
+    assert out["u3"] == "u0#y1950"  # its own sub-cluster, id from (base, year)
     assert out["u5"] == "u5"  # singleton untouched
+
+
+def test_refine_splits_when_base_url_is_in_conflict_bucket():
+    # Round-1 ADVICE regression: the cluster id equals the min url (u0) and
+    # u0 itself carries the conflicting year. With member-url-derived sub
+    # ids, min(bucket) == "u0" == base and the split silently no-oped.
+    clusters = _ds(
+        pa.table({"url": ["u0", "u1", "u2", "u3"], "cluster_id": ["u0"] * 4})
+    )
+    feats = _ds(
+        pa.table(
+            {
+                "url": ["u0", "u1", "u2", "u3"],
+                "year": [1950.0, 1900.0, 1900.0, 1900.0],
+            }
+        )
+    )
+    out = {r["url"]: r["cluster_id"] for r in refine_clusters(clusters, feats).take_all()}
+    assert out["u1"] == out["u2"] == out["u3"] == "u0"
+    assert out["u0"] == "u0#y1950"
+    assert out["u0"] != out["u1"]
 
 
 def test_refine_preserves_coherent_clusters():
