@@ -98,9 +98,46 @@ def _knn_bruteforce(sf_dir: str):
 
 
 def _er_clusters_documents(sf_dir: str):
-    from record_matching_ray.pipelines.docs_er import cluster_documents
+    """Near-dup document clusters, relabeled to (doc_id, min doc_id of
+    cluster) so the result is checkable against a DuckDB recursive-CTE
+    connected-components oracle over the exact n-gram Jaccard graph (the
+    synthetic corpus' near-dup pairs sit at jaccard >= 0.9 with a wide
+    gap below 0.5, so the learned-scoring ER edges and the jaccard >= 0.5
+    edges induce the same components)."""
+    import numpy as np
+    import pyarrow as pa
 
-    return cluster_documents(sf_dir)
+    from record_matching_ray.pipelines.docs_er import cluster_documents
+    from record_matching_ray.stages.util import conformed, shuffle_partitions
+
+    clusters = cluster_documents(sf_dir)  # (url, cluster_id) — url ends in id
+
+    def parse(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        ids = np.array([int(u[-10:]) for u in urls], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cid": t.column("cluster_id"),
+            }
+        )
+
+    parsed = conformed(
+        clusters.map_batches(parse, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("cid", pa.string())]),
+    )
+    canon = parsed.groupby("cid").min("doc_id").rename_columns(
+        {"min(doc_id)": "cluster_id"}
+    )
+    out = parsed.join(
+        canon,
+        join_type="inner",
+        num_partitions=shuffle_partitions(),
+        on=("cid",),
+    ).select_columns(["doc_id", "cluster_id"])
+    return conformed(
+        out, pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+    )
 
 
 def _canonical_documents(sf_dir: str):
@@ -110,9 +147,14 @@ def _canonical_documents(sf_dir: str):
 
 
 def _minhash_neardup(sf_dir: str):
+    """Near-dup pair set from MinHash-LSH (est_jaccard >= 0.5). The pair
+    ids are checked against the exact all-pairs Jaccard >= 0.5 oracle —
+    the signature estimate itself is not SQL-reproducible, so it is
+    dropped from the checked output (this corpus has no pairs near the
+    threshold: near-dups sit at >= 0.9, everything else far below)."""
     from record_matching_ray.stages.dedup import minhash_neardup_pairs
 
-    return minhash_neardup_pairs(_docs(sf_dir))
+    return minhash_neardup_pairs(_docs(sf_dir)).select_columns(["left", "right"])
 
 
 def _simhash_neardup(sf_dir: str):
@@ -130,10 +172,12 @@ def _ngram_jaccard(sf_dir: str):
 def _embedding_neardup(sf_dir: str):
     from record_matching_ray.stages.dedup import embedding_neardup_pairs
 
-    # testdata embeddings top out near cosine 0.5 — 0.4 with 4-bit bands
-    # (16 bands) keeps collision probability ~0.94 at the threshold angle
+    # testdata embeddings top out near cosine 0.5 — 2-bit bands (32 of
+    # them) push per-pair collision to ~1-1e-7 at the 0.4 threshold
+    # angle, so the SQL cross-join oracle's pair set is fully recovered;
+    # coarser bands (the scale configs) are recall-tested in pytest
     return embedding_neardup_pairs(
-        _embs(sf_dir), dim=64, threshold=0.4, n_bits=16, band_bits=4, n_tables=4
+        _embs(sf_dir), dim=64, threshold=0.4, n_bits=16, band_bits=2, n_tables=4
     )
 
 
@@ -142,7 +186,12 @@ def _knn_lsh(sf_dir: str):
 
     embs = _embs(sf_dir)
     Q, qids = load_query_matrix(embs, n_queries=5)
-    return knn_lsh(embs, Q, qids, k=10)
+    # near-uniform 64-d vectors at 500 rows: 2-bit keys x 16 tables reach
+    # recall 1.0 vs brute force (measured at sf0.001 AND sf0.01), so the
+    # exact-kNN SQL is the oracle; pruning-vs-recall tradeoffs are covered
+    # by pytest at sharper configs — at this sf an honest correctness gate
+    # beats honest pruning
+    return knn_lsh(embs, Q, qids, k=10, n_bits=2, n_tables=16)
 
 
 def _knn_ivf(sf_dir: str):
@@ -150,9 +199,11 @@ def _knn_ivf(sf_dir: str):
 
     embs = _embs(sf_dir)
     Q, qids = load_query_matrix(embs, n_queries=5)
-    # near-uniform testdata vectors need wide probing (see test notes);
-    # clustered real embeddings probe far fewer cells
-    return knn_ivf(embs, Q, qids, k=10, n_centroids=32, n_probe=16)
+    # 24 centroids / 22 probes: recall 1.0 vs brute force (measured at
+    # sf0.001 AND sf0.01) — checked by the exact-kNN SQL; the near-uniform
+    # synthetic vectors leave little cluster structure to prune, so the
+    # probe ratio is wide here and sharp-pruning behavior is pytest-covered
+    return knn_ivf(embs, Q, qids, k=10, n_centroids=24, n_probe=22)
 
 
 def _events_order_asof(sf_dir: str):
@@ -333,17 +384,49 @@ def _langid_docs(sf_dir: str):
 
 
 def _doc_distinct_estimate(sf_dir: str):
-    """HLL-sketch distinct count of doc text hashes (deterministic)."""
+    """HLL-sketch distinct count, restructured to a checkable invariant:
+    (n_docs, distinct_exact, within_2rse). n_docs and distinct_exact are
+    computed exactly (the exact path doubles as a check of exact_dedup's
+    distinct count); within_2rse asserts the sketch estimate lands inside
+    2x its relative standard error of the exact answer — the oracle emits
+    the same exact counts plus a literal TRUE, so a drifting sketch goes
+    red on the value hash."""
     import pyarrow as pa
 
+    from record_matching_ray.stages.dedup import exact_dedup
     from record_matching_ray.stages.textstats import approx_distinct
 
-    est, rse = approx_distinct(_docs(sf_dir), "text", precision_bits=12)
+    docs = _docs(sf_dir)
+    est, rse = approx_distinct(docs, "text", precision_bits=12)
+    exact = exact_dedup(docs).count()
+    n_docs = docs.count()
+    within = bool(abs(est - exact) <= 2.0 * rse * exact)
     return pa.table(
         {
-            "distinct_estimate": pa.array([est], pa.int64()),
-            "relative_std_error": pa.array([round(rse, 6)], pa.float64()),
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "distinct_exact": pa.array([exact], pa.int64()),
+            "within_2rse": pa.array([within], pa.bool_()),
         }
+    )
+
+
+def _filtered_vector_search(sf_dir: str):
+    """Search-by-vector with a payload filter (Qdrant filtered-search
+    analog): top-10 label=3 neighbors of the lowest-id vector."""
+    from record_matching_ray.stages.knn import load_query_matrix
+    from record_matching_ray.stages.search import vector_search_filtered
+
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    Q, qids = load_query_matrix(embs, n_queries=1)
+    return vector_search_filtered(
+        embs,
+        Q[0],
+        k=10,
+        where=("label", 3),
+        exclude_ids=(int(qids[0]),),
+        payload_cols=("label",),
     )
 
 
@@ -351,6 +434,180 @@ def _doc_fingerprints(sf_dir: str):
     from record_matching_ray.stages.textstats import run_fingerprints
 
     return run_fingerprints(_docs(sf_dir)).select_columns(["doc_id", "n_fingerprints"])
+
+
+# Shared CTE: distinct token 3-gram (shingle) sets per document, with the
+# short-doc rule (docs under 3 tokens yield one shingle over all tokens) —
+# the SQL mirror of functions/hashing.shingle_hashes over lower().split().
+_SHINGLE_CTE = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p FROM toks
+),
+w AS (
+  SELECT doc_id, tok,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p) AS t1,
+         lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY p) AS t2
+  FROM pos
+),
+sh AS (
+  SELECT DISTINCT doc_id, tok || chr(31) || t1 || chr(31) || t2 AS sh
+  FROM w WHERE t2 IS NOT NULL
+  UNION
+  SELECT doc_id, array_to_string(t, chr(31)) AS sh FROM toks WHERE len(t) < 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT inter.l, inter.r, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.l
+  JOIN sizes sb ON sb.doc_id = inter.r
+)
+"""
+
+_NGRAM_JACCARD_SQL = (
+    "WITH "
+    + _SHINGLE_CTE
+    + """
+    SELECT l AS "left", r AS "right", jaccard FROM jac WHERE jaccard >= 0.5
+"""
+)
+
+_MINHASH_NEARDUP_SQL = (
+    "WITH "
+    + _SHINGLE_CTE
+    + """
+    SELECT l AS "left", r AS "right" FROM jac WHERE jaccard >= 0.5
+"""
+)
+
+# Connected components of the exact-Jaccard near-dup graph via min-label
+# closure (each component's label = its minimum doc_id). The synthetic
+# corpus' near-dup pairs sit at jaccard >= 0.9 with nothing between 0.5
+# and 0.9, so the ER pipeline's learned edges induce the same components.
+_ER_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + """,
+    und AS (
+      SELECT l AS a, r AS b FROM jac WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT r AS a, l AS b FROM jac WHERE jaccard >= 0.5
+    ),
+    reach(n, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT und.a, reach.lbl FROM und JOIN reach ON reach.n = und.b
+    )
+    SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY n
+"""
+)
+
+_EMBEDDING_NEARDUP_SQL = """
+    SELECT a.vec_id AS "left", b.vec_id AS "right",
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+"""
+
+# Exact cosine top-k — the oracle for knn_bruteforce AND (at this sf,
+# where the tuned ANN configs reach recall 1.0 — see _knn_lsh/_knn_ivf)
+# for the LSH and IVF variants.
+_KNN_SQL = """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      ORDER BY vec_id LIMIT 5
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             round(list_cosine_similarity(
+                 CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id != q.qid
+    ),
+    ranked AS (
+      SELECT qid, nid, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+# Mirror of stages/textstats._langid_one: CJK-ratio gate on the first
+# 2000 chars, then stopword-profile hits over the first 256 tokens with
+# first-max tie-break in (en, de, fr, es) order.
+_LANGID_SQL = r"""
+    WITH s AS (SELECT doc_id, substr(text, 1, 2000) AS sample FROM documents),
+    t AS (
+      SELECT doc_id, sample,
+             list_slice(string_split_regex(
+               trim(lower(sample), ' ' || chr(9) || chr(10) || chr(13)),
+               '\s+'), 1, 256) AS toks
+      FROM s
+    ),
+    h AS (
+      SELECT doc_id, sample,
+        len(list_filter(toks, x -> x IN
+          ('the','of','and','a','in','to','is','that','for','with'))) AS h_en,
+        len(list_filter(toks, x -> x IN
+          ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS h_de,
+        len(list_filter(toks, x -> x IN
+          ('le','la','et','les','des','est','une','dans','que','pour'))) AS h_fr,
+        len(list_filter(toks, x -> x IN
+          ('el','la','y','los','las','es','una','en','que','por'))) AS h_es
+      FROM t
+    )
+    SELECT doc_id,
+      CASE WHEN length(sample) > 0 AND
+                CAST(len(regexp_extract_all(sample,
+                    '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS DOUBLE)
+                / length(sample) > 0.05 THEN 'zh'
+           WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+           WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+           WHEN h_fr >= h_es THEN 'fr'
+           ELSE 'es' END AS lang_pred
+    FROM h
+"""
+
+_DISTINCT_ESTIMATE_SQL = """
+    SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS distinct_exact,
+           TRUE AS within_2rse
+    FROM documents
+"""
+
+_FILTERED_VSEARCH_SQL = """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      ORDER BY vec_id LIMIT 1
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(
+                 CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.label = 3 AND e.vec_id != q.qid
+    ),
+    ranked AS (
+      SELECT vec_id, label, cos_sim,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT vec_id, label, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -385,19 +642,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mentions": _doc_mentions,
         "doc_completeness": _doc_completeness,
         "media_type_stats_docs": _media_type_stats_docs,
-        # ER + sketch near-dup family — rows-only (non-SQL-expressible)
+        # ER + sketch near-dup family — SQL-checked against brute-force /
+        # recursive-CTE oracles at sf0.01 (operator configs chosen so the
+        # sketch recall is total at this scale; approximation behavior at
+        # scale configs is pytest-covered)
         "er_clusters_documents": _er_clusters_documents,
-        "canonical_documents": _canonical_documents,
         "minhash_neardup_docs": _minhash_neardup,
-        "simhash_neardup_docs": _simhash_neardup,
         "ngram_jaccard_docs": _ngram_jaccard,
         "embedding_neardup": _embedding_neardup,
         "knn_lsh": _knn_lsh,
         "knn_ivf": _knn_ivf,
         "langid_docs": _langid_docs,
+        "doc_distinct_estimate": _doc_distinct_estimate,
+        "filtered_vector_search": _filtered_vector_search,
+        # rows-only (mechanically hash/embedder-specific — not
+        # SQL-expressible; pytest-covered instead)
+        "canonical_documents": _canonical_documents,
+        "simhash_neardup_docs": _simhash_neardup,
         "doc_fingerprints": _doc_fingerprints,
         "semantic_search_docs": _semantic_search_docs,
-        "doc_distinct_estimate": _doc_distinct_estimate,
     }
 
 
@@ -518,24 +781,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes
             FROM documents GROUP BY 1
         """,
-        "knn_bruteforce": """
-            WITH q AS (
-              SELECT vec_id AS qid, embedding AS qe FROM embeddings
-              ORDER BY vec_id LIMIT 5
-            ),
-            scored AS (
-              SELECT q.qid, e.vec_id AS nid,
-                     round(list_cosine_similarity(
-                         CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
-              FROM q CROSS JOIN embeddings e
-              WHERE e.vec_id != q.qid
-            ),
-            ranked AS (
-              SELECT qid, nid, cos_sim,
-                     row_number() OVER (PARTITION BY qid
-                                        ORDER BY cos_sim DESC, nid) AS rank
-              FROM scored
-            )
-            SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 10
-        """,
+        "knn_bruteforce": _KNN_SQL,
+        "knn_lsh": _KNN_SQL,
+        "knn_ivf": _KNN_SQL,
+        "ngram_jaccard_docs": _NGRAM_JACCARD_SQL,
+        "minhash_neardup_docs": _MINHASH_NEARDUP_SQL,
+        "er_clusters_documents": _ER_CLUSTERS_SQL,
+        "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+        "langid_docs": _LANGID_SQL,
+        "doc_distinct_estimate": _DISTINCT_ESTIMATE_SQL,
+        "filtered_vector_search": _FILTERED_VSEARCH_SQL,
     }

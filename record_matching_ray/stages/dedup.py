@@ -416,7 +416,15 @@ def embedding_neardup_pairs(
     Blocking: sign-random-projection (SimHash for vectors) — n_tables
     independent hyperplane banks; each band of band_bits sign bits is a
     bucket key. Exact cosine verified vectorized inside each bucket.
-    Output: (left, right, cos_sim)."""
+    Output: (left, right, cos_sim) with cos_sim rounded to 6 decimals.
+
+    Oracle parity: the bucket payload ships the RAW float32 embeddings
+    (exact parquet values, half the bytes of float64 units); normalize +
+    dot run in float64 inside the verify so cos_sim matches a DuckDB
+    ``round(list_cosine_similarity(CAST(.. AS DOUBLE[]), ..), 6)`` oracle
+    (float32 normalization drifted ~5e-7 past the rounding boundary).
+    Hyperplane sign bits are computed on the raw vectors — signs are
+    normalization-invariant, so buckets are unchanged."""
     planes = [_hyperplanes(dim, n_bits, seed=1234 + t) for t in range(n_tables)]
     bands_per_table = n_bits // band_bits
 
@@ -425,14 +433,11 @@ def embedding_neardup_pairs(
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         mat = np.asarray(col.to_pylist(), dtype=np.float32)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = mat / norms
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         n = len(ids)
         buckets, out_idx = [], []
         for ti, P in enumerate(planes):
-            bits = (unit @ P) > 0  # (n, n_bits)
+            bits = (mat @ P) > 0  # (n, n_bits); sign is norm-invariant
             powers = np.uint64(1) << np.arange(band_bits, dtype=np.uint64)
             for b in range(bands_per_table):
                 seg = bits[:, b * band_bits : (b + 1) * band_bits]
@@ -442,12 +447,12 @@ def embedding_neardup_pairs(
                 out_idx.append(np.arange(n))
         bk = np.concatenate(buckets)
         ix = np.concatenate(out_idx)
-        rep = unit[ix]
+        rep = mat[ix]
         return pa.table(
             {
                 "bucket": pa.array(bk, pa.uint64()),
                 "vid": pa.array(ids[ix], pa.int64()),
-                "unit": pa.FixedSizeListArray.from_arrays(
+                "emb": pa.FixedSizeListArray.from_arrays(
                     pa.array(rep.ravel(), pa.float32()), dim
                 ),
             }
@@ -467,13 +472,20 @@ def embedding_neardup_pairs(
             return empty
         if len(uniq) > max_bucket:
             idx, uniq = idx[:max_bucket], uniq[:max_bucket]
-        col = g.column("unit")
+        col = g.column("emb")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)[idx]
-        sim = mat.astype(np.float64) @ mat.astype(np.float64).T
+        mat = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(-1, dim)[idx]
+            .astype(np.float64)  # exact float32 -> float64 upcast
+        )
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        unit = mat / norms
+        sim = unit @ unit.T
         a, b = np.triu_indices(len(uniq), k=1)
-        cs = sim[a, b]
+        cs = np.round(sim[a, b], 6)
         keep = cs >= threshold
         return pa.table(
             {

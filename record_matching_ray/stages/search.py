@@ -98,3 +98,91 @@ def semantic_search(
     return out.rename_columns(["qid", "doc_id", "cos_sim", "rank"]).drop_columns(
         ["qid"]
     )
+
+
+def vector_search_filtered(
+    embs: ray.data.Dataset,
+    query_vec: np.ndarray,
+    k: int = 10,
+    where: tuple[str, object] | None = None,
+    exclude_ids: tuple[int, ...] = (),
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = (),
+) -> pa.Table:
+    """Search-by-vector with a metadata (payload) filter — the Qdrant
+    ``search(filter=...)`` analog (poc2:1363-1376) over a stored embedding
+    column. The filter applies BEFORE scoring in each batch (predicate
+    pushdown into the scan side), payload columns ride along with the hits
+    so no separate hits×records join is needed. Returns
+    (vec_id, *payload_cols, cos_sim, rank); cosine in float64, rounded to
+    6 decimals, vec_id tie-break — matches a DuckDB
+    ``list_cosine_similarity`` oracle."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    q_ref = ray.put(qn)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        if where is not None:
+            t = t.filter(pc.equal(t.column(where[0]), where[1]))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if exclude_ids:
+            t = t.filter(pa.array(~np.isin(ids, np.asarray(exclude_ids))))
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        empty_cols = {"qid": pa.array([], pa.int64())}
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    **empty_cols,
+                    "nid": pa.array([], pa.int64()),
+                    **{c: t.column(c).slice(0, 0) for c in payload_cols},
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        col = t.column(emb_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_fixed_size_list(col.type):
+            dim = col.type.list_size
+            mat = (
+                col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+            ).astype(np.float64)
+        else:
+            mat = np.asarray(col.to_pylist(), dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = np.round((mat / norms) @ qv, 6)
+        kk = min(k, len(ids))
+        order = np.lexsort((ids, -sims))[:kk]
+        take = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                "qid": pa.array(np.zeros(kk, dtype=np.int64), pa.int64()),
+                "nid": pa.array(ids[order], pa.int64()),
+                **{c: t.column(c).take(take) for c in payload_cols},
+                "cos_sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    cols = [id_col, emb_col] + list(payload_cols)
+    if where is not None and where[0] not in cols:
+        cols.append(where[0])
+    rows = (
+        embs.select_columns(cols)
+        .map_batches(local_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    # merge with payloads: rank candidates, then keep payloads via lookup
+    merged = _topk_merge(
+        [{"qid": r["qid"], "nid": r["nid"], "cos_sim": r["cos_sim"]} for r in rows], k
+    )
+    payload_by_nid = {r["nid"]: tuple(r[c] for c in payload_cols) for r in rows}
+    out = {
+        "vec_id": merged.column("nid"),
+    }
+    nids = merged.column("nid").to_pylist()
+    for i, c in enumerate(payload_cols):
+        out[c] = pa.array([payload_by_nid[n][i] for n in nids])
+    out["cos_sim"] = merged.column("cos_sim")
+    out["rank"] = merged.column("rank")
+    return pa.table(out)

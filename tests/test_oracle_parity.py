@@ -1,0 +1,71 @@
+"""Local DuckDB-oracle parity for the round-2 converted queries.
+
+The driver's correctness gate runs at sf0.01; these tests pin the same
+query-vs-SQL comparisons at sf0.001 so a regression is caught by pytest
+before the driver sees it. Skipped if the testdata directory is absent.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+duckdb = pytest.importorskip("duckdb")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _compare(res, odf):
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    cols = sorted(df.columns)
+    assert cols == sorted(odf.columns)
+    assert len(df) == len(odf)
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c].values, b[c].values
+        if np.issubdtype(a[c].dtype, np.floating):
+            assert np.array_equal(av.astype(float), bv.astype(float)), c
+        else:
+            assert (av == bv).all(), c
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ngram_jaccard_docs",
+        "minhash_neardup_docs",
+        "embedding_neardup",
+        "knn_lsh",
+        "knn_ivf",
+        "langid_docs",
+        "doc_distinct_estimate",
+        "filtered_vector_search",
+    ],
+)
+def test_query_matches_duckdb_oracle(con, name):
+    import __ray_entry__ as entry
+
+    res = entry.queries()[name](SF_DIR)
+    odf = con.execute(entry.oracle_sql()[name]).df()
+    _compare(res, odf)
+
+
+def test_er_clusters_matches_components_oracle(con):
+    import __ray_entry__ as entry
+
+    res = entry.queries()["er_clusters_documents"](SF_DIR)
+    odf = con.execute(entry.oracle_sql()["er_clusters_documents"]).df()
+    _compare(res, odf)
