@@ -69,6 +69,11 @@ class PipelineConfig:
     refine_year_tolerance: float | None = None  # when set, run_er appends the
                                   # S5b year-conflict refinement stage
                                   # (stages/refine.py, poc2:1640-1853 analog)
+    refine_domain_threshold: float | None = None  # when set, run_er appends
+                                  # domain-coherence splitting: clusters with
+                                  # mean pairwise embedding cosine below the
+                                  # threshold are rebuilt without incoherent
+                                  # edges (poc2:1640-1853's 0.25 rule)
 
     # --- execution ---------------------------------------------------------
     keep_scored: bool = False     # checkpoint the full scored-pairs table

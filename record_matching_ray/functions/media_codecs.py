@@ -1,0 +1,217 @@
+"""Real, dependency-free media codecs (stdlib + numpy only).
+
+The container has no image/audio libraries, but PNG is zlib (stdlib) plus
+per-row byte filters, and WAV is raw PCM behind a RIFF header (stdlib
+``wave``) — so these two formats get REAL decode/encode paths, used by
+``stages/multimodal.DecodeKernel`` when ``fake=False``. JPEG/GIF/BMP get
+header sniffing (dimensions/type) only; full JPEG entropy decoding is out
+of scope and still raises ``NotImplementedError``.
+
+PNG support: 8-bit gray / RGB / RGBA, non-interlaced, all five filter
+types (None/Sub/Up/Average/Paeth). Sub and Up unfilter vectorized; the
+Average/Paeth rows fall back to a per-pixel loop (sequential left
+dependency) — fine for the bounded thumbnails this stage handles.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> samples/pixel
+
+
+def sniff_media(data: bytes) -> dict:
+    """Header-only media identification: kind + dimensions where cheap.
+    Returns {"kind": "png|jpeg|gif|bmp|wav|unknown", "width", "height"}
+    (dims None when the header doesn't carry them cheaply)."""
+    if data.startswith(_PNG_MAGIC) and len(data) >= 24:
+        w, h = struct.unpack(">II", data[16:24])
+        return {"kind": "png", "width": int(w), "height": int(h)}
+    if data[:3] == b"\xff\xd8\xff":
+        # scan JPEG segments for SOF0/1/2 dims
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return {"kind": "jpeg", "width": int(w), "height": int(h)}
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return {"kind": "jpeg", "width": None, "height": None}
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = struct.unpack("<HH", data[6:10])
+        return {"kind": "gif", "width": int(w), "height": int(h)}
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = struct.unpack("<ii", data[18:26])
+        return {"kind": "bmp", "width": int(w), "height": abs(int(h))}
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return {"kind": "wav", "width": None, "height": None}
+    return {"kind": "unknown", "width": None, "height": None}
+
+
+# ---------------------------------------------------------------------------
+# PNG
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """uint8 array (h, w) gray, (h, w, 3) RGB or (h, w, 4) RGBA -> PNG
+    bytes (filter 0 rows, one IDAT)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type, channels = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type, channels = 2, 3
+    elif a.ndim == 3 and a.shape[2] == 4:
+        color_type, channels = 6, 4
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = a.shape[:2]
+    raw = np.zeros((h, 1 + w * channels), dtype=np.uint8)
+    raw[:, 1:] = a.reshape(h, w * channels)  # filter byte 0 per row
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array (h, w) or (h, w, channels). Supports
+    8-bit depth, color types 0/2/4/6, non-interlaced."""
+    if not data.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant unsupported (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace}); 8-bit non-interlaced gray/RGB/RGBA only"
+        )
+    channels = _CHANNELS[color_type]
+    stride = width * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = raw.reshape(height, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(height):
+        ft = int(filters[y])
+        row = raw[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y > 0 else np.zeros(stride, np.int64)
+        if ft == 0:  # None
+            rec = row
+        elif ft == 2:  # Up — fully vectorized
+            rec = (row + prev) & 0xFF
+        elif ft == 1:  # Sub — cumsum per byte-phase is exact mod 256
+            rec = row.copy()
+            for phase in range(bpp):
+                rec[phase::bpp] = np.cumsum(rec[phase::bpp]) & 0xFF
+        else:  # Average(3) / Paeth(4): sequential left dependency
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if ft == 3:
+                    rec[x] = (row[x] + (left + up) // 2) & 0xFF
+                elif ft == 4:
+                    rec[x] = (row[x] + _paeth(int(left), int(up), int(ul))) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {ft}")
+        out[y] = rec.astype(np.uint8)
+    img = out.reshape(height, width, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of a (h, w[, c]) uint8 image."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(height) * h) // height, h - 1)
+    xs = np.minimum((np.arange(width) * w) // width, w - 1)
+    return img[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# WAV (PCM)
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples -> WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    s = np.ascontiguousarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float64 samples in [-1, 1] shaped (n, channels),
+    sample_rate). 8/16/32-bit integer PCM."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n_ch = w.getnchannels()
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 1:
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width} unsupported")
+    return x.reshape(-1, n_ch), rate

@@ -279,14 +279,24 @@ def run_er(
         _restore_cluster_urls(uclusters, url_feats, num_partitions), "clusters"
     )
     refined = None
-    if cfg.refine_year_tolerance is not None:
-        from record_matching_ray.stages.refine import refine_clusters
-
-        refined = checkpoint(
-            refine_clusters(clusters, pruned(["url", "name", "year", "lang"]),
-                            cfg.refine_year_tolerance, num_partitions),
-            "refined",
+    if cfg.refine_year_tolerance is not None or cfg.refine_domain_threshold is not None:
+        from record_matching_ray.stages.refine import (
+            refine_clusters,
+            refine_clusters_domain,
         )
+
+        ref_ds = clusters
+        if cfg.refine_year_tolerance is not None:
+            ref_ds = refine_clusters(
+                ref_ds, pruned(["url", "name", "year", "lang"]),
+                cfg.refine_year_tolerance, num_partitions,
+            )
+        if cfg.refine_domain_threshold is not None:
+            ref_ds = refine_clusters_domain(
+                ref_ds, pruned(["url", "name", "embedding"]),
+                cfg.refine_domain_threshold, num_partitions, dim=cfg.embed_dim,
+            )
+        refined = checkpoint(ref_ds, "refined")
         clusters = refined
     canonical = checkpoint(
         canonicalize(clusters, pruned(["url", "name", "year", "lang"]),

@@ -1,9 +1,22 @@
 """S5 — canonical entity forms per cluster.
 
 Reference: per-cluster canonical name by completeness priority + frequency
-aggregation of roles/subjects (claude_poc_v2/...v2.py:2038-2206). Web
-analog: per cluster pick the canonical url (min), most frequent name,
-year span, member count, language histogram top-1.
+aggregation of roles/subjects (claude_poc_v2/...v2.py:2038-2206), ported
+field-for-field to the web corpus:
+
+- canonical name priority (poc2:2106-2135): records WITH a year (the web
+  analog of complete birth/death dates) beat records without one; within
+  a tier the most metadata-complete record wins (ties -> min url). The
+  chosen record also donates the canonical ``year``.
+- frequency aggregation with the small-cluster rule (poc2:2163-2171):
+  values kept only when seen >= 2 times IF the cluster has > 5 records
+  (min_count 1 otherwise), top 5 by frequency, '; '-joined — applied to
+  names and langs (the corpus' multi-value field analogs).
+- sampled exemplars (poc2:2180-2186): first 3 member urls in url order
+  (the reference samples titles in row order; url order keeps it
+  deterministic under any partitioning).
+- mean completeness rounded to 2 decimals (poc2:2203) over the per-member
+  (name, year, lang) non-null count.
 
 Shuffle layout: ONE hash shuffle on a coarse partition key
 (hash(cluster_id) mod 4·CPUs) instead of groupby(cluster_id) — Ray's
@@ -25,6 +38,15 @@ from record_matching_ray.functions.hashing import _U64, hash_strings, mix64
 from record_matching_ray.stages.util import shuffle_partitions
 
 
+def _freq_join(values: list[str], size: int, top: int = 5) -> str:
+    """poc2's frequency aggregation: min_count 2 for clusters > 5 records,
+    1 otherwise; most-frequent-first (stable on first-seen order, which is
+    deterministic because members are swept in url order); top 5 joined."""
+    min_count = 2 if size > 5 else 1
+    kept = [v for v, c in Counter(values).most_common() if c >= min_count]
+    return "; ".join(kept[:top])
+
+
 def _canonical_segments(g: pa.Table) -> pa.Table:
     """All clusters of one hash partition, one Python sweep."""
     cids = np.asarray(g.column("cluster_id").to_pylist(), dtype=object)
@@ -32,10 +54,14 @@ def _canonical_segments(g: pa.Table) -> pa.Table:
     names = g.column("name").to_pylist()
     years = g.column("year").to_pylist()
     langs = g.column("lang").to_pylist()
-    order = np.argsort(cids, kind="stable")
+    # sort by (cluster, url): url order inside a segment makes every
+    # first-seen / sampled output deterministic under any partitioning
+    order = np.lexsort((urls, cids))
     out = {
         "cluster_id": [], "canonical_url": [], "canonical_name": [],
-        "size": [], "year_min": [], "year_max": [], "lang": [],
+        "year": [], "size": [], "year_min": [], "year_max": [],
+        "lang": [], "names": [], "langs": [], "sample_urls": [],
+        "completeness": [],
     }
     i, n = 0, len(order)
     while i < n:
@@ -43,29 +69,57 @@ def _canonical_segments(g: pa.Table) -> pa.Table:
         while j < n and cids[order[j]] == cids[order[i]]:
             j += 1
         seg = order[i:j]
-        seg_urls = urls[seg]
+        seg_urls = [urls[k] for k in seg]
         seg_names = [names[k] for k in seg if names[k]]
-        seg_years = [years[k] for k in seg if years[k] is not None and years[k] == years[k]]
+        seg_years = [
+            years[k] for k in seg if years[k] is not None and years[k] == years[k]
+        ]
         seg_langs = [langs[k] for k in seg if langs[k]]
-        out["cluster_id"].append(cids[order[i]])
-        out["canonical_url"].append(min(seg_urls))
-        out["canonical_name"].append(
-            Counter(seg_names).most_common(1)[0][0] if seg_names else ""
-        )
-        out["size"].append(len(seg))
+        size = len(seg)
+
+        # completeness per member: non-null count over (name, year, lang)
+        def compl(k: int) -> int:
+            return (
+                (1 if names[k] else 0)
+                + (1 if years[k] is not None and years[k] == years[k] else 0)
+                + (1 if langs[k] else 0)
+            )
+
+        # canonical-name priority (poc2:2106-2135): year-bearing records
+        # first, then completeness desc; seg is url-sorted so ties are
+        # deterministic (min url wins)
+        with_year = [k for k in seg if years[k] is not None and years[k] == years[k]]
+        pool = with_year if with_year else list(seg)
+        best = max(pool, key=compl)  # python max keeps FIRST of equals
+        out["cluster_id"].append(cids[seg[0]])
+        out["canonical_url"].append(seg_urls[0])
+        out["canonical_name"].append(names[best] or "")
+        out["year"].append(years[best] if with_year else None)
+        out["size"].append(size)
         out["year_min"].append(min(seg_years) if seg_years else None)
         out["year_max"].append(max(seg_years) if seg_years else None)
-        out["lang"].append(Counter(seg_langs).most_common(1)[0][0] if seg_langs else "")
+        out["lang"].append(
+            Counter(seg_langs).most_common(1)[0][0] if seg_langs else ""
+        )
+        out["names"].append(_freq_join(seg_names, size))
+        out["langs"].append(_freq_join(seg_langs, size))
+        out["sample_urls"].append("; ".join(seg_urls[:3]))
+        out["completeness"].append(round(sum(compl(k) for k in seg) / size, 2))
         i = j
     return pa.table(
         {
             "cluster_id": pa.array(out["cluster_id"], pa.string()),
             "canonical_url": pa.array(out["canonical_url"], pa.string()),
             "canonical_name": pa.array(out["canonical_name"], pa.string()),
+            "year": pa.array(out["year"], pa.float64()),
             "size": pa.array(out["size"], pa.int64()),
             "year_min": pa.array(out["year_min"], pa.float64()),
             "year_max": pa.array(out["year_max"], pa.float64()),
             "lang": pa.array(out["lang"], pa.string()),
+            "names": pa.array(out["names"], pa.string()),
+            "langs": pa.array(out["langs"], pa.string()),
+            "sample_urls": pa.array(out["sample_urls"], pa.string()),
+            "completeness": pa.array(out["completeness"], pa.float64()),
         }
     )
 

@@ -1,14 +1,20 @@
 """Multimodal (image/audio/video) column processing — Ray-side plumbing.
 
 Treats media as opaque ``binary`` columns with typed metadata, processed
-by actor-pool ``map_batches`` stages exactly like the text pipeline. The
-actual codec work (JPEG decode, resampling, frame extraction) needs
-libraries not present in this container, so the decode kernels are
-STUBBED: ``DecodeKernel`` raises ``NotImplementedError`` unless
-constructed with ``fake=True``, in which case a deterministic fake
-decoder (seeded by the content hash) produces stable tensors — the Ray
-plumbing (schemas, batch sizing, actor signatures, output layout) is real
-and tested either way.
+by actor-pool ``map_batches`` stages exactly like the text pipeline.
+
+Codec support is tiered:
+- REAL (stdlib + numpy, functions/media_codecs.py): PNG decode/encode
+  (8-bit gray/RGB/RGBA, all five filters), WAV PCM decode, and header
+  sniffing (PNG/JPEG/GIF/BMP dims). ``DecodeKernel`` featurizes PNG
+  payloads from decoded pixels and WAV payloads from segment energies;
+  ``MediaResizer`` really decodes, nearest-neighbor resizes and
+  re-encodes PNGs.
+- STUBBED: formats needing entropy decoders absent from this container
+  (JPEG pixels, video frames) raise ``NotImplementedError`` at the
+  documented injection point; ``fake=True`` substitutes a deterministic
+  content-hash decoder so schemas/batching/resume are exercised end to
+  end regardless of format.
 
 Scale notes (these defaults are the point of the module):
 - media batches are SMALL (``batch_size=16``): a batch is
@@ -60,26 +66,72 @@ def make_fake_media(n: int, seed: int = 42) -> pa.Table:
 
 
 class DecodeKernel:
-    """Per-actor decode state. Real implementation would hold the codec /
-    model handles; here it is a deterministic fake or an explicit stub."""
+    """Per-actor decode state: PNG/WAV decode REAL via
+    functions/media_codecs (stdlib zlib/wave + numpy); other formats fall
+    back to ``NotImplementedError`` (or the deterministic fake)."""
 
     def __init__(self, feature_dim: int = 64, fake: bool = False):
         self.feature_dim = feature_dim
         self.fake = fake
 
-    def decode_features(self, payload: bytes, media_type: str) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "media codecs are not available in this environment; "
-                "construct MediaFeaturizer(..., fake=True) for the "
-                "deterministic stand-in decoder"
-            )
+    def _fake_features(self, payload: bytes) -> np.ndarray:
         # deterministic pseudo-features seeded by content hash — stable
         # across processes/runs, so tests and resume checks hold
         h = hashlib.blake2b(payload, digest_size=8).digest()
         rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
         v = rng.standard_normal(self.feature_dim).astype(np.float32)
         return v / max(np.linalg.norm(v), 1e-30)
+
+    def _image_features(self, img: np.ndarray) -> np.ndarray:
+        from record_matching_ray.functions.media_codecs import resize_nearest
+
+        gray = img.astype(np.float64)
+        if gray.ndim == 3:
+            gray = gray[:, :, : min(3, gray.shape[2])].mean(axis=2)
+        sig = resize_nearest(gray.astype(np.uint8), 8, 8).astype(np.float64)
+        sig = (sig / 255.0).ravel()  # 64 pooled luma slots
+        v = np.zeros(self.feature_dim, dtype=np.float64)
+        v[: min(64, self.feature_dim)] = sig[: min(64, self.feature_dim)]
+        return (v / max(np.linalg.norm(v), 1e-30)).astype(np.float32)
+
+    def _audio_features(self, samples: np.ndarray) -> np.ndarray:
+        mono = samples.mean(axis=1)
+        d = self.feature_dim
+        n = len(mono)
+        if n == 0:
+            return np.zeros(d, dtype=np.float32)
+        # RMS energy per equal-width segment — a codec-free spectrogram
+        # stand-in that is still a real function of the decoded audio
+        edges = np.linspace(0, n, d + 1).astype(np.int64)
+        v = np.array(
+            [
+                np.sqrt(np.mean(mono[a:b] ** 2)) if b > a else 0.0
+                for a, b in zip(edges[:-1], edges[1:])
+            ]
+        )
+        return (v / max(np.linalg.norm(v), 1e-30)).astype(np.float32)
+
+    def decode_features(self, payload: bytes, media_type: str) -> np.ndarray:
+        if self.fake:
+            return self._fake_features(payload)
+        from record_matching_ray.functions.media_codecs import (
+            png_decode,
+            sniff_media,
+            wav_decode,
+        )
+
+        kind = sniff_media(payload)["kind"]
+        if kind == "png":
+            return self._image_features(png_decode(payload))
+        if kind == "wav":
+            samples, _rate = wav_decode(payload)
+            return self._audio_features(samples)
+        raise NotImplementedError(
+            f"no decoder for {kind!r} payloads in this environment (PNG and "
+            "WAV decode are real; JPEG/video need absent codec libraries); "
+            "construct MediaFeaturizer(..., fake=True) for the deterministic "
+            "stand-in decoder"
+        )
 
 
 class MediaFeaturizer:
@@ -141,15 +193,28 @@ class MediaResizer:
         self.width, self.height, self.fake = width, height, fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "image codecs unavailable in this environment; use fake=True"
-            )
         out = []
         for payload in batch.column("payload").to_pylist():
-            h = hashlib.blake2b(payload, digest_size=8).digest()
-            rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
-            out.append(rng.bytes(self.width * self.height * 3))
+            if self.fake:
+                h = hashlib.blake2b(payload, digest_size=8).digest()
+                rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
+                out.append(rng.bytes(self.width * self.height * 3))
+                continue
+            from record_matching_ray.functions.media_codecs import (
+                png_decode,
+                png_encode,
+                resize_nearest,
+                sniff_media,
+            )
+
+            if sniff_media(payload)["kind"] != "png":
+                raise NotImplementedError(
+                    "real resize supports PNG payloads only in this "
+                    "environment; use fake=True for other formats"
+                )
+            out.append(
+                png_encode(resize_nearest(png_decode(payload), self.width, self.height))
+            )
         return pa.table(
             {
                 "media_id": batch.column("media_id"),

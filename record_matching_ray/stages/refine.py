@@ -82,6 +82,162 @@ def _refine_segments(g: pa.Table, year_tolerance: float) -> pa.Table:
     )
 
 
+def _domain_refine_segments(
+    g: pa.Table, threshold: float, dim: int, max_members: int
+) -> pa.Table:
+    """Per-partition sweep: split clusters whose mean pairwise embedding
+    similarity is below ``threshold`` (poc2:1640-1853's domain-coherence
+    refinement — the reference's calculate_domain_similarity over domain
+    sets maps to embedding cosine on the web corpus). The rebuilt
+    subgraph keeps only edges with cos >= threshold; components become
+    sub-clusters. Reference fallback preserved: if the rebuild fragments
+    into singletons, regroup by normalized name instead."""
+    cids = np.asarray(g.column("cluster_id").to_pylist(), dtype=object)
+    urls = np.asarray(g.column("url").to_pylist(), dtype=object)
+    names = g.column("name").to_pylist()
+    blobs = g.column("emb").to_pylist()
+    order = np.argsort(cids, kind="stable")
+    out_url: list[str] = []
+    out_cid: list[str] = []
+
+    def emit(idxs, cid) -> None:
+        for k in idxs:
+            out_url.append(urls[k])
+            out_cid.append(cid)
+
+    n = len(order)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and cids[order[j]] == cids[order[i]]:
+            j += 1
+        seg = order[i:j]
+        base = cids[seg[0]]
+        m = len(seg)
+        # singleton clusters are coherent by definition; beyond-cap
+        # clusters mean upstream block caps were disabled — leave intact
+        # rather than doing an unbounded O(m^2) here
+        if m <= 1 or m > max_members:
+            emit(seg, base)
+            i = j
+            continue
+        seg = seg[np.argsort(urls[seg], kind="stable")]  # deterministic
+        E = np.stack(
+            [np.frombuffer(blobs[k], dtype=np.float32) for k in seg]
+        ).astype(np.float64)
+        U = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+        S = U @ U.T
+        iu, ju = np.triu_indices(m, k=1)
+        if S[iu, ju].mean() >= threshold:
+            emit(seg, base)
+            i = j
+            continue
+        # incoherent: rebuild without low-similarity edges, components
+        parent = list(range(m))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(iu, ju):
+            if S[a, b] >= threshold:
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        comps: dict[int, list[int]] = {}
+        for k in range(m):
+            comps.setdefault(find(k), []).append(k)
+        groups = list(comps.values())
+        if all(len(c) == 1 for c in groups):
+            # poc2 fallback: group by normalized name
+            by_name: dict[object, list[int]] = {}
+            for k in range(m):
+                by_name.setdefault(names[seg[k]], []).append(k)
+            groups = list(by_name.values())
+        # components ranked by min member url; rank 0 keeps the base id,
+        # the rest get collision-free (base, rank) suffixes (same id
+        # discipline as the year-split above)
+        groups.sort(key=lambda c: urls[seg[c[0]]])
+        for rank, comp in enumerate(groups):
+            cid = base if rank == 0 else f"{base}#d{rank}"
+            emit(seg[comp], cid)
+        i = j
+    return pa.table(
+        {
+            "url": pa.array(out_url, pa.string()),
+            "cluster_id": pa.array(out_cid, pa.string()),
+        }
+    )
+
+
+def refine_clusters_domain(
+    clusters: ray.data.Dataset,
+    features: ray.data.Dataset,
+    threshold: float = 0.25,
+    num_partitions: int | None = None,
+    dim: int = 64,
+    max_members: int = 1024,
+) -> ray.data.Dataset:
+    """(url, cluster_id) + features (url, name, embedding) -> refined
+    (url, cluster_id): domain-coherence splitting (poc2:1640-1853).
+
+    Shuffle layout matches refine_clusters: one join to attach the
+    per-member payload, then a coarse hash(cluster_id) partition sweep so
+    Python dispatches per partition, not per cluster. The embedding rides
+    the join as a packed float32 blob (Acero's per-partition join kernel
+    rejects list<> payload columns — same workaround as
+    blocking.attach_pair_payload)."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+
+    def pack(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(-1, dim)
+            .astype(np.float32)
+        )
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "name": t.column("name"),
+                "emb": pa.array([m.tobytes() for m in mat], pa.binary()),
+            }
+        )
+
+    sides = features.map_batches(pack, batch_format="pyarrow")
+    joined = clusters.join(
+        sides,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("url",),
+        right_on=("url",),
+    )
+    from record_matching_ray.stages.util import coarse_groupby_partitions
+
+    n_parts = coarse_groupby_partitions()
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        h = mix64(hash_strings(t.column("cluster_id").to_pylist()))
+        return t.append_column(
+            "pk", pa.array((h % _U64(n_parts)).astype(np.int64), pa.int64())
+        )
+
+    return (
+        joined.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(
+            lambda g: _domain_refine_segments(g, threshold, dim, max_members),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def refine_clusters(
     clusters: ray.data.Dataset,
     features: ray.data.Dataset,

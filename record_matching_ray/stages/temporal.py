@@ -99,40 +99,33 @@ def asof_join(
     )
 
     def merge(g: pa.Table) -> pa.Table:
+        # Fully vectorized sweep — no per-row Python: ONE lexsort of the
+        # combined partition by (key, ts, right-before-left), then a
+        # running maximum.accumulate of right-row positions gives every
+        # left row its most recent right row at or before its ts; a final
+        # key-equality check invalidates carries across key boundaries.
         side = g.column("side").to_numpy(zero_copy_only=False)
         keys = g.column("k").to_numpy(zero_copy_only=False)
         ts = g.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        l_idx = np.nonzero(side == 0)[0]
-        r_idx = np.nonzero(side == 1)[0]
-        # right side sorted by (key, ts)
-        r_order = r_idx[np.lexsort((ts[r_idx], keys[r_idx]))]
-        rk, rt = keys[r_order], ts[r_order]
-        lk, lt = keys[l_idx], ts[l_idx]
-        match = np.full(len(l_idx), -1, dtype=np.int64)
-        lo = np.searchsorted(rk, lk, side="left")
-        hi = np.searchsorted(rk, lk, side="right")
-        has = hi > lo
-        if has.any():
-            # per-row: last right ts <= left ts within [lo, hi)
-            sub = np.nonzero(has)[0]
-            # searchsorted over the full rt with bounds per row (rt is
-            # globally sorted only within key segments, but lo/hi confine
-            # each lookup to one segment)
-            pos = np.empty(len(sub), dtype=np.int64)
-            for ii, i in enumerate(sub):
-                pos[ii] = (
-                    lo[i]
-                    + np.searchsorted(rt[lo[i] : hi[i]], lt[i], side="right")
-                    - 1
-                )
-            ok = pos >= lo[sub]
-            match[sub[ok]] = r_order[pos[ok]]
+        n = len(side)
+        # right (side=1) sorts BEFORE left at equal (key, ts): backward
+        # as-of matches ts_right <= ts_left inclusively
+        order = np.lexsort(((side == 0).astype(np.int8), ts, keys))
+        o_keys = keys[order]
+        is_r = side[order] == 1
+        pos_r = np.where(is_r, np.arange(n, dtype=np.int64), -1)
+        last_r = np.maximum.accumulate(pos_r)
+        l_pos = np.nonzero(~is_r)[0]  # left rows, in (key, ts) order
+        cand = last_r[l_pos]
+        safe = np.clip(cand, 0, None)
+        valid = (cand >= 0) & (o_keys[safe] == o_keys[l_pos])
+        match = np.where(valid, order[safe], -1)
+        orig_l = order[l_pos]  # original partition indices of left rows
         cols = {}
+        take_l = pa.array(orig_l, pa.int64())
         for c in lcols:
-            cols[c] = g.column(f"l_{c}").take(pa.array(l_idx, pa.int64()))
-        matched = pa.array(
-            [int(m) if m >= 0 else None for m in match], pa.int64()
-        )
+            cols[c] = g.column(f"l_{c}").take(take_l)
+        matched = pa.array(np.where(valid, match, 0), pa.int64(), mask=~valid)
         for c in rpay:
             cols[c] = g.column(f"r_{c}").take(matched)
         return pa.table(cols)

@@ -80,3 +80,194 @@ def test_stub_raises_resize_and_frames():
 
     with pytest.raises(NotImplementedError):
         MediaResizer(fake=False)(multimodal.make_fake_media(2))
+
+
+# ---------------------------------------------------------------------------
+# real codec paths (functions/media_codecs: stdlib zlib/wave + numpy)
+
+
+def _checker(h, w, c=3):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    base = ((x + y) % 2 * 255).astype(np.uint8)
+    if c == 1:
+        return base
+    return np.stack([base, 255 - base, (x * 7 % 256).astype(np.uint8)][:c], axis=2)
+
+
+def test_png_roundtrip_gray_rgb_rgba():
+    import numpy as np
+
+    from record_matching_ray.functions.media_codecs import png_decode, png_encode
+
+    for img in [_checker(5, 7, 1), _checker(6, 4, 3), np.dstack([_checker(3, 3, 3), np.full((3, 3), 200, np.uint8)])]:
+        out = png_decode(png_encode(img))
+        assert out.shape == img.shape
+        assert (out == img).all()
+
+
+def test_png_decode_all_filter_types():
+    """Hand-filter rows with each of the 5 PNG filters and check the
+    decoder reconstructs the original pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from record_matching_ray.functions.media_codecs import png_decode
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(5, 6, 3)).astype(np.uint8)
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        row = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, np.int64)
+        filt = np.zeros(stride, np.int64)
+        for x in range(stride):
+            left = row[x - c] if x >= c else 0
+            up = prev[x]
+            ul = prev[x - c] if x >= c else 0
+            if ft == 0:
+                filt[x] = row[x]
+            elif ft == 1:
+                filt[x] = row[x] - left
+            elif ft == 2:
+                filt[x] = row[x] - up
+            elif ft == 3:
+                filt[x] = row[x] - (left + up) // 2
+            else:
+                p = left + up - ul
+                pa_, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa_ <= pb and pa_ <= pc) else (up if pb <= pc else ul)
+                filt[x] = row[x] - pred
+        raw.append(ft)
+        raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (png_decode(data) == img).all()
+
+
+def test_wav_roundtrip_and_sniff():
+    import numpy as np
+
+    from record_matching_ray.functions.media_codecs import (
+        sniff_media,
+        wav_decode,
+        wav_encode,
+    )
+
+    t = np.arange(1600)
+    samples = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16)
+    data = wav_encode(samples, 16000)
+    assert sniff_media(data)["kind"] == "wav"
+    out, rate = wav_decode(data)
+    assert rate == 16000 and out.shape == (1600, 1)
+    assert np.allclose(out[:, 0], samples / 32768.0)
+
+
+def test_sniff_headers():
+    import struct
+
+    from record_matching_ray.functions.media_codecs import sniff_media
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert sniff_media(gif) == {"kind": "gif", "width": 320, "height": 200}
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 8
+    assert sniff_media(bmp) == {"kind": "bmp", "width": 100, "height": 50}
+    jpeg = b"\xff\xd8\xff" + b"\xe0" + struct.pack(">H", 4) + b"\x00\x00" \
+        + b"\xff\xc0" + struct.pack(">H", 9) + b"\x08" + struct.pack(">HH", 30, 40) + b"\x03"
+    got = sniff_media(jpeg)
+    assert got == {"kind": "jpeg", "width": 40, "height": 30}
+    assert sniff_media(b"\x00\x01\x02")["kind"] == "unknown"
+
+
+def _png_wav_media(n):
+    import pyarrow as pa
+
+    from record_matching_ray.functions.media_codecs import png_encode, wav_encode
+    import numpy as np
+
+    payloads, types = [], []
+    for i in range(n):
+        if i % 2 == 0:
+            payloads.append(png_encode(_checker(4 + i % 3, 5, 3)))
+            types.append("image")
+        else:
+            payloads.append(
+                wav_encode((np.arange(400) * (i + 3) % 4000 - 2000).astype(np.int16))
+            )
+            types.append("audio")
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "url": pa.array([f"media://x/{i}" for i in range(n)], pa.string()),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
+def test_featurize_media_real_png_wav():
+    import numpy as np
+
+    from record_matching_ray.stages.multimodal import featurize_media
+
+    media = rd.from_arrow(_png_wav_media(8))
+    out = featurize_media(media, feature_dim=64, fake=False, concurrency=2).take_all()
+    assert len(out) == 8
+    for r in out:
+        v = np.asarray(r["feature"])
+        assert v.shape == (64,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # deterministic across runs
+    out2 = featurize_media(
+        rd.from_arrow(_png_wav_media(8)), feature_dim=64, fake=False, concurrency=2
+    ).take_all()
+    a = {r["media_id"]: list(r["feature"]) for r in out}
+    b = {r["media_id"]: list(r["feature"]) for r in out2}
+    assert a == b
+
+
+def test_resize_media_real_png():
+    from record_matching_ray.functions.media_codecs import png_decode, png_encode
+    from record_matching_ray.stages.multimodal import resize_media
+
+    import numpy as np
+    import pyarrow as pa
+
+    imgs = [_checker(10, 12, 3), _checker(7, 5, 3)]
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([0, 1], pa.int64()),
+                "payload": pa.array([png_encode(i) for i in imgs], pa.binary()),
+            }
+        )
+    )
+    out = resize_media(media, width=6, height=4, fake=False).take_all()
+    assert len(out) == 2
+    for r in out:
+        dec = png_decode(r["payload"])
+        assert dec.shape == (4, 6, 3)
+        src = imgs[r["media_id"]]
+        # nearest-neighbor: every output pixel exists in the source
+        assert all(
+            (src.reshape(-1, 3) == px).all(axis=1).any()
+            for px in dec.reshape(-1, 3)
+        )
