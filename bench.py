@@ -62,13 +62,19 @@ def _ensure_corpus() -> str:
     return out
 
 
-def run_flagship_nockpt(num_cpus: int) -> dict:
+def run_flagship_nockpt(num_cpus: int, scorer: str = "fused") -> dict:
     """Flagship chain WITHOUT per-stage parquet checkpoints — the
     compute-scaling measurement. On this single box every checkpointed
     stage writes+rereads GBs through ONE disk, a cost that is constant in
     CPU count and so dilutes measured scaling; on a real cluster that IO
     is node-local and scales with N. Reported alongside the checkpointed
-    numbers, never instead of them."""
+    numbers, never instead of them.
+
+    scorer="join" forces the non-broadcast 100TB scoring plan (double
+    hash join of payloads onto pairs, then the PairScorer actor pool)
+    regardless of the feature count — the path run_er takes when the
+    payload no longer fits a broadcast. Benched so the at-scale plan has
+    its own pairs/s evidence next to the fused number (VERDICT r1 §4)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     corpus = _ensure_corpus()
     _init_ray(num_cpus)
@@ -88,9 +94,21 @@ def run_flagship_nockpt(num_cpus: int) -> dict:
     hot = blocking.compute_hot_hosts(feats, cfg)
     pairs = blocking.generate_candidate_pairs(feats, cfg, hot).materialize()
     pairs_scored = pairs.count()
-    edges = scoring.score_pairs_fused(
-        pairs.repartition(2 * num_cpus), feats, cfg, None
-    )
+    if scorer == "join":
+        wide = blocking.attach_pair_payload(
+            pairs.repartition(2 * num_cpus),
+            feats,
+            cfg,
+            num_partitions=shuffle_partitions(),  # one aggregator actor per
+            # partition: past ~CPUs/2 they fight map tasks for slots (util.py)
+            broadcast_max_rows=0,  # force the shuffle-join (100TB) plan
+            restore_urls=False,
+        )
+        edges = scoring.edges_from_scores(scoring.score_pairs(wide, cfg, None), cfg)
+    else:
+        edges = scoring.score_pairs_fused(
+            pairs.repartition(2 * num_cpus), feats, cfg, None
+        )
 
     def uid_nodes(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -117,6 +135,7 @@ def run_flagship_nockpt(num_cpus: int) -> dict:
         "pages_per_sec": round(PAGES_N / elapsed, 1),
         "num_cpus": num_cpus,
         "checkpoints": False,
+        "scorer": scorer,
     }
 
 
@@ -202,6 +221,10 @@ def main_bench() -> None:
     qtimes = run_queries(SF_DIR)
     flagship = run_flagship(NUM_CPUS)
     qtimes["er_pages_flagship"] = flagship["elapsed_s"]
+    # the 100TB (non-broadcast join-plan) scorer leg, same corpus — so the
+    # at-scale plan has pairs/s evidence next to the fused-broadcast number
+    joinplan = run_flagship_nockpt(NUM_CPUS, scorer="join")
+    qtimes["er_pages_joinplan"] = joinplan["elapsed_s"]
     total = round(time.time() - t_start, 3)
     out = {
         "metric": "end-to-end seconds (headline queries + flagship pages-ER)",
@@ -211,6 +234,7 @@ def main_bench() -> None:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "flagship": flagship,
+        "flagship_joinplan": joinplan,
     }
     print(json.dumps(out))
     import ray
@@ -220,7 +244,9 @@ def main_bench() -> None:
 
 def main_worker(num_cpus: int) -> None:
     if os.environ.get("RMRAY_BENCH_NO_CKPT"):
-        r = run_flagship_nockpt(num_cpus)
+        r = run_flagship_nockpt(
+            num_cpus, scorer=os.environ.get("RMRAY_BENCH_SCORER", "fused")
+        )
     else:
         r = run_flagship(num_cpus)
     print(json.dumps(r))

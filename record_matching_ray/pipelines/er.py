@@ -178,7 +178,13 @@ def run_er(
     if num_partitions is None:
         from record_matching_ray.stages.util import shuffle_partitions
 
-        num_partitions = max(8, 2 * shuffle_partitions())
+        # num_partitions feeds ONLY hash-shuffle joins (payload attach,
+        # url restore, canonicalize, refine) — one aggregator ACTOR per
+        # partition, so past ~CPUs/2 they fight map tasks for slots:
+        # measured 4.7M-pair payload attach on 32 CPUs: 16 partitions
+        # 11.5s, 32 partitions 52.6s, 64 partitions >390s. Keep exactly
+        # shuffle_partitions() (CPUs/2), never a multiple of it.
+        num_partitions = max(8, shuffle_partitions())
     fp = cfg.fingerprint() + ":" + input_key
 
     def checkpoint(ds: ray.data.Dataset, stage: str) -> ray.data.Dataset:

@@ -34,8 +34,13 @@ _INSTALLED = False
 
 
 def install() -> bool:
-    """Install the shim (idempotent). Returns True if active."""
+    """Install the shim (idempotent). Returns True if active.
+    RMRAY_NO_RAYFIX=1 skips installation (debugging escape hatch)."""
     global _INSTALLED
+    import os
+
+    if os.environ.get("RMRAY_NO_RAYFIX"):
+        return False
     if _INSTALLED:
         return True
     try:
