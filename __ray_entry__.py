@@ -436,6 +436,118 @@ def _doc_fingerprints(sf_dir: str):
     return run_fingerprints(_docs(sf_dir)).select_columns(["doc_id", "n_fingerprints"])
 
 
+def _doc_repetition(sf_dir: str):
+    from record_matching_ray.stages.textstats import run_repetition
+
+    return run_repetition(_docs(sf_dir))
+
+
+def _pii_scrub_docs(sf_dir: str):
+    from record_matching_ray.stages.scrub import run_scrub
+
+    return run_scrub(_docs(sf_dir))
+
+
+def _doc_sample_hash(sf_dir: str):
+    from record_matching_ray.stages.sampling import sample_by_hash
+
+    return sample_by_hash(_docs(sf_dir), col="text", rate=0.25)
+
+
+def _doc_stratified_sample(sf_dir: str):
+    from record_matching_ray.stages.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir, columns=("doc_id", "text", "lang")),
+        strata_col="lang",
+        n_per_stratum=5,
+    )
+
+
+def _user_sessions(sf_dir: str):
+    from record_matching_ray.stages.temporal import sessionize
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return sessionize(events, gap_minutes=30)
+
+
+def _events_hopping(sf_dir: str):
+    from record_matching_ray.stages.temporal import hopping_window
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return hopping_window(events, size_hours=2, hop_hours=1)
+
+
+def _order_price_quantiles(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from record_matching_ray.stages.quantiles import group_quantiles
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "priority": t.column("o_orderpriority"),
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return group_quantiles(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        group_col="priority",
+        value_col="price_c",
+        qs=(0.25, 0.5, 0.75, 0.9),
+    )
+
+
+def _top_tokens_docs(sf_dir: str):
+    from record_matching_ray.stages.textstats import top_tokens
+
+    return top_tokens(_docs(sf_dir), k=20)
+
+
+def _value_quantile_estimate(sf_dir: str):
+    """Sketch-vs-exact invariant (same pattern as doc_distinct_estimate):
+    the coreset quantile estimate must land within 2% rank tolerance of
+    the exact distributed-histogram quantile; the oracle emits the same
+    exact value plus a literal TRUE."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from record_matching_ray.stages.textstats import approx_quantiles_invariant
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "value_c": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()
+                )
+            }
+        )
+
+    return approx_quantiles_invariant(
+        events.map_batches(cents, batch_format="pyarrow"), "value_c", q=0.9
+    )
+
+
+def _token_packing_docs(sf_dir: str):
+    from record_matching_ray.stages.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), cap=128, shard_size=100)
+
+
 # Shared CTE: distinct token 3-gram (shingle) sets per document, with the
 # short-doc rule (docs under 3 tokens yield one shingle over all tokens) —
 # the SQL mirror of functions/hashing.shingle_hashes over lower().split().
@@ -588,6 +700,186 @@ _DISTINCT_ESTIMATE_SQL = """
     FROM documents
 """
 
+# Gopher-style repetition signals — SQL mirror of textstats.repetition_stats
+# (tokens = \s+ split of trimmed text, empty tokens filtered; bigrams via a
+# lead() window; ratios/entropy rounded to 6 decimals).
+_REPETITION_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    n AS (SELECT doc_id, len(t) AS n_words FROM toks),
+    pos AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p FROM toks
+    ),
+    wc AS (SELECT doc_id, tok, count(*) AS c FROM pos GROUP BY 1, 2),
+    wagg AS (
+      SELECT doc_id, max(c) AS topc, sum(c * ln(c)) AS clnc FROM wc GROUP BY 1
+    ),
+    bg AS (
+      SELECT doc_id,
+             tok || chr(31) || lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS b
+      FROM pos
+    ),
+    bgc AS (
+      SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2
+    ),
+    bagg AS (SELECT doc_id, count(*) AS nd, max(c) AS topb FROM bgc GROUP BY 1)
+    SELECT n.doc_id, n.n_words,
+      CASE WHEN n.n_words > 0
+           THEN round(wagg.topc * 1.0 / n.n_words, 6) ELSE 0.0 END AS top_word_ratio,
+      CASE WHEN n.n_words > 1
+           THEN round(1.0 - bagg.nd * 1.0 / (n.n_words - 1), 6)
+           ELSE 0.0 END AS dup_bigram_frac,
+      CASE WHEN n.n_words > 1
+           THEN round(bagg.topb * 1.0 / (n.n_words - 1), 6)
+           ELSE 0.0 END AS top_bigram_ratio,
+      CASE WHEN n.n_words > 0
+           THEN round(greatest(ln(n.n_words) - wagg.clnc / n.n_words, 0.0), 6)
+           ELSE 0.0 END AS word_entropy
+    FROM n LEFT JOIN wagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
+"""
+
+# PII scrub — counts measured in the same email -> ipv4 -> phone replacement
+# order as stages/scrub.py (patterns are RE2-compatible string constants
+# shared verbatim with the Python side).
+def _pii_sql() -> str:
+    from record_matching_ray.stages.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+    WITH r1 AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+      FROM documents
+    ),
+    r2 AS (
+      SELECT doc_id, text, t1,
+             regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+      FROM r1
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t1, '{IPV4_RE}')) AS n_ips,
+           len(regexp_extract_all(t2, '{PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM r2
+    """
+
+
+def _sample_hash_sql() -> str:
+    from record_matching_ray.stages.sampling import rate_to_hex_threshold
+
+    thr = rate_to_hex_threshold(0.25)
+    return f"SELECT doc_id FROM documents WHERE substr(md5(text), 1, 8) < '{thr}'"
+
+
+_STRATIFIED_SAMPLE_SQL = """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(text))
+               AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= 5
+"""
+
+_SESSIONS_SQL = """
+    WITH o AS (
+      SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+    FROM s GROUP BY user_id, sess
+"""
+
+_HOPPING_SQL = """
+    SELECT ws AS window_start, event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+             event_type, value
+      FROM events
+    )
+    GROUP BY 1, 2
+"""
+
+# "lower"-method quantile: value at index floor((n-1)*q) of the sorted
+# multiset — deterministic on both sides (no interpolation).
+_PRICE_QUANTILES_SQL = """
+    WITH p AS (
+      SELECT o_orderpriority AS priority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    ),
+    r AS (
+      SELECT priority, price_c,
+             row_number() OVER (PARTITION BY priority ORDER BY price_c) AS rn,
+             count(*) OVER (PARTITION BY priority) AS n
+      FROM p
+    )
+    SELECT priority, CAST(q AS DOUBLE) AS q, price_c AS value
+    FROM r, (VALUES (0.25), (0.5), (0.75), (0.9)) qs(q)
+    WHERE rn = CAST(floor((n - 1) * CAST(q AS DOUBLE)) AS BIGINT) + 1
+"""
+
+_TOP_TOKENS_SQL = r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    c AS (SELECT unnest(t) AS token FROM toks),
+    cnt AS (SELECT token, count(*) AS cnt FROM c GROUP BY 1),
+    ranked AS (
+      SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM cnt
+    )
+    SELECT token, cnt, rank FROM ranked WHERE rank <= 20
+"""
+
+_VALUE_QUANTILE_SQL = """
+    WITH r AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             row_number() OVER (ORDER BY CAST(ROUND(value * 100) AS BIGINT)) AS rn,
+             count(*) OVER () AS n
+      FROM events
+    )
+    SELECT n AS n_rows, v AS exact_q, TRUE AS within_tol
+    FROM r WHERE rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+"""
+
+_TOKEN_PACKING_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(cum_before / 128.0) AS BIGINT) AS first_seq,
+           CAST(floor((cum_before + n_tokens - 1) / 128.0) AS BIGINT) AS last_seq
+    FROM c
+"""
+
 _FILTERED_VSEARCH_SQL = """
     WITH q AS (
       SELECT vec_id AS qid, embedding AS qe FROM embeddings
@@ -655,6 +947,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": _langid_docs,
         "doc_distinct_estimate": _doc_distinct_estimate,
         "filtered_vector_search": _filtered_vector_search,
+        # corpus-curation family (round 2): repetition/quality, PII scrub,
+        # deterministic sampling, sessions, hopping windows, quantiles,
+        # heavy hitters, sequence packing — all SQL-checked
+        "doc_repetition": _doc_repetition,
+        "pii_scrub_docs": _pii_scrub_docs,
+        "doc_sample_hash": _doc_sample_hash,
+        "doc_stratified_sample": _doc_stratified_sample,
+        "user_sessions": _user_sessions,
+        "events_hopping": _events_hopping,
+        "order_price_quantiles": _order_price_quantiles,
+        "top_tokens_docs": _top_tokens_docs,
+        "value_quantile_estimate": _value_quantile_estimate,
+        "token_packing_docs": _token_packing_docs,
         # rows-only (mechanically hash/embedder-specific — not
         # SQL-expressible; pytest-covered instead)
         "canonical_documents": _canonical_documents,
@@ -791,4 +1096,14 @@ def oracle_sql() -> dict[str, str]:
         "langid_docs": _LANGID_SQL,
         "doc_distinct_estimate": _DISTINCT_ESTIMATE_SQL,
         "filtered_vector_search": _FILTERED_VSEARCH_SQL,
+        "doc_repetition": _REPETITION_SQL,
+        "pii_scrub_docs": _pii_sql(),
+        "doc_sample_hash": _sample_hash_sql(),
+        "doc_stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "user_sessions": _SESSIONS_SQL,
+        "events_hopping": _HOPPING_SQL,
+        "order_price_quantiles": _PRICE_QUANTILES_SQL,
+        "top_tokens_docs": _TOP_TOKENS_SQL,
+        "value_quantile_estimate": _VALUE_QUANTILE_SQL,
+        "token_packing_docs": _TOKEN_PACKING_SQL,
     }

@@ -186,6 +186,144 @@ def tumbling_window(
     )
 
 
+def sessionize(
+    events: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Gap-based sessionization: a user's events belong to one session
+    while consecutive gaps are <= gap_minutes; a larger gap starts a new
+    session. Output one row per session:
+    (user, session_start, session_end, n_events, sum_value_c).
+
+    Partitioning assumption (same as asof_join): hash-partition by user,
+    so one user's events land in one partition; the per-partition sweep
+    is a single lexsort + vectorized boundary scan — session ids never
+    materialize, only per-session aggregates leave the worker. Session
+    boundaries depend only on timestamps (equal-ts ties share a session),
+    so the output is deterministic under any within-key input order."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+    gap_us = np.int64(gap_minutes * 60_000_000)
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(t.column(value_col), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(keys.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(keys, pa.int64()),
+                "t": t.column(ts_col),
+                "value_c": cents,
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        keys = g.column("k").to_numpy(zero_copy_only=False)
+        ts = g.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        vals = g.column("value_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, keys))
+        k_s, t_s, v_s = keys[order], ts[order], vals[order]
+        ti = t_s.astype(np.int64)
+        n = len(order)
+        new_sess = np.ones(n, dtype=bool)
+        if n > 1:
+            new_sess[1:] = (k_s[1:] != k_s[:-1]) | ((ti[1:] - ti[:-1]) > gap_us)
+        starts = np.nonzero(new_sess)[0]
+        ends = np.append(starts[1:], n)
+        cum = np.concatenate(([0], np.cumsum(v_s)))
+        return pa.table(
+            {
+                key_col: pa.array(k_s[starts], pa.int64()),
+                "session_start": pa.array(t_s[starts], pa.timestamp("us")),
+                "session_end": pa.array(t_s[ends - 1], pa.timestamp("us")),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "sum_value_c": pa.array(cum[ends] - cum[starts], pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+def hopping_window(
+    events: ray.data.Dataset,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    size_hours: int = 2,
+    hop_hours: int = 1,
+) -> ray.data.Dataset:
+    """Hopping (sliding) event-time windows: windows of ``size_hours``
+    starting every ``hop_hours`` on whole-hour boundaries; an event lands
+    in size/hop windows. Same partial-aggregate shape as tumbling_window
+    — events replicate size/hop times INSIDE the batch partial, so the
+    shuffle still moves one row per (window, group) per batch."""
+    assert size_hours % hop_hours == 0, "size must be a multiple of hop"
+    k = size_hours // hop_hours
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.util import conformed
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t.column(ts_col), unit="hour")
+        base64 = np.asarray(base.to_numpy(zero_copy_only=False), "datetime64[us]")
+        cents = (
+            pc.cast(pc.round(pc.multiply(t.column(value_col), 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        groups = t.column(group_col)
+        wins, cols_g, cols_v = [], [], []
+        for i in range(k):
+            wins.append(base64 - np.timedelta64(i * hop_hours, "h"))
+            cols_g.append(groups)
+            cols_v.append(cents)
+        tt = pa.table(
+            {
+                "window_start": pa.array(np.concatenate(wins), pa.timestamp("us")),
+                group_col: pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                     for c in cols_g]
+                ),
+                "one": pa.array(np.ones(k * t.num_rows, dtype=np.int64), pa.int64()),
+                "value_c": pa.array(np.concatenate(cols_v), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(tt, ["window_start", group_col]).aggregate(
+            [("one", "sum"), ("value_c", "sum")]
+        )
+        return g.rename_columns(["window_start", group_col, "cnt", "sum_value_c"])
+
+    out = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", group_col])
+        .aggregate(
+            Sum(on="cnt", alias_name="cnt"),
+            Sum(on="sum_value_c", alias_name="sum_value_c"),
+        )
+    )
+    return conformed(
+        out,
+        pa.schema(
+            [
+                ("window_start", pa.timestamp("us")),
+                (group_col, pa.string()),
+                ("cnt", pa.int64()),
+                ("sum_value_c", pa.int64()),
+            ]
+        ),
+    )
+
+
 def topk_per_group(
     ds: ray.data.Dataset,
     group_col: str,

@@ -157,6 +157,94 @@ def fingerprint_docs(batch: pa.Table, k: int = 8, window: int = 4) -> pa.Table:
     )
 
 
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    quality rules, adapted to this corpus' single-line texts):
+
+    - top_word_ratio: occurrences of the most frequent token / n_words
+    - dup_bigram_frac: 1 - distinct_bigrams / total_bigrams
+    - top_bigram_ratio: occurrences of the most frequent bigram / total
+    - word_entropy: Shannon entropy (nats) of the token distribution
+
+    High duplicate-n-gram fractions flag boilerplate / keyword-stuffed
+    pages. Fully vectorized across the batch: tokens of ALL docs are
+    factorized once; per-doc aggregates come from reduceat over the
+    doc-sorted (doc, code) key space — no per-row Python loop.
+
+    Oracle parity (__ray_entry__.REPETITION_SQL): tokenization is the
+    \\s+ split of trimmed text; ratios round(·, 6); empty/1-token docs
+    yield 0.0 ratios and 0.0 entropy.
+    """
+    import pandas as pd
+
+    texts = batch.column("text").to_pylist()
+    n_docs = len(texts)
+    token_lists = [_WS_SPLIT.split(t.strip()) if t.strip() else [] for t in texts]
+    lens = np.array([len(toks) for toks in token_lists], dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    flat = [tok for toks in token_lists for tok in toks]
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    V = max(len(uniq), 1)
+
+    def seg_stats(keys: np.ndarray, seg_of_key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """For sorted composite keys -> (per-doc n_distinct, per-doc max
+        count, per-doc entropy-sum of counts*ln(counts))."""
+        uk, counts = np.unique(keys, return_counts=True)
+        segs = seg_of_key(uk)
+        n_distinct = np.bincount(segs, minlength=n_docs)
+        maxc = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(maxc, segs, counts)
+        # sum of c*ln(c) per doc (entropy = ln(n) - sum/n)
+        clnc = np.zeros(n_docs, dtype=np.float64)
+        np.add.at(clnc, segs, counts * np.log(counts))
+        return n_distinct, maxc, clnc
+
+    # unigrams: key = doc * V + code
+    if len(codes):
+        _, top_w, w_clnc = seg_stats(
+            doc_idx * V + codes, lambda uk: (uk // V).astype(np.int64)
+        )
+    else:
+        top_w = np.zeros(n_docs, dtype=np.int64)
+        w_clnc = np.zeros(n_docs, dtype=np.float64)
+    n_words = lens
+    safe_n = np.maximum(n_words, 1)
+    top_word_ratio = np.round(top_w / safe_n, 6)
+    entropy = np.where(n_words > 0, np.log(safe_n) - w_clnc / safe_n, 0.0)
+    entropy = np.round(np.maximum(entropy, 0.0), 6)
+
+    # bigrams within doc: positions where doc_idx[i] == doc_idx[i+1]
+    n_bigrams = np.maximum(lens - 1, 0)
+    if len(codes) > 1:
+        same = doc_idx[:-1] == doc_idx[1:]
+        bdoc = doc_idx[:-1][same]
+        bkey = (bdoc * V + codes[:-1][same]) * V + codes[1:][same]
+        nd_b, top_b, _ = seg_stats(bkey, lambda uk: (uk // (V * V)).astype(np.int64))
+    else:
+        nd_b = np.zeros(n_docs, dtype=np.int64)
+        top_b = np.zeros(n_docs, dtype=np.int64)
+    safe_b = np.maximum(n_bigrams, 1)
+    dup_bigram_frac = np.round(
+        np.where(n_bigrams > 0, 1.0 - nd_b / safe_b, 0.0), 6
+    )
+    top_bigram_ratio = np.round(np.where(n_bigrams > 0, top_b / safe_b, 0.0), 6)
+
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "top_word_ratio": pa.array(top_word_ratio, pa.float64()),
+            "dup_bigram_frac": pa.array(dup_bigram_frac, pa.float64()),
+            "top_bigram_ratio": pa.array(top_bigram_ratio, pa.float64()),
+            "word_entropy": pa.array(entropy, pa.float64()),
+        }
+    )
+
+
+def run_repetition(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(repetition_stats, batch_format="pyarrow")
+
+
 def run_token_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(token_stats, batch_format="pyarrow")
 
@@ -171,6 +259,144 @@ def run_langid(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 def run_fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(fingerprint_docs, batch_format="pyarrow")
+
+
+def top_tokens(
+    docs: ray.data.Dataset, k: int = 20, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Exact corpus-wide heavy hitters: the k most frequent lowercase
+    whitespace tokens, ties broken token-ascending.
+
+    Scale shape: per-batch partial counts collapse each batch to its
+    VOCABULARY (one row per distinct token per batch) before the single
+    groupby-sum shuffle; the final top-k is a sort+limit over per-token
+    totals (vocabulary-sized, not corpus-sized). Output (token, cnt,
+    rank) with rank 1..k."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = []
+        for s in t.column(text_col).to_pylist():
+            s = s.strip().lower()
+            if s:
+                toks.extend(_WS_SPLIT.split(s))
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object), sort=False)
+        cnts = np.bincount(codes, minlength=len(uniq))
+        return pa.table(
+            {
+                "token": pa.array(list(uniq), pa.string()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    totals = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+        .rename_columns({"sum(cnt)": "cnt"})
+    )
+    top = totals.sort(key=["cnt", "token"], descending=[True, False]).limit(k)
+    rows = top.take_all()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "token": pa.array([r["token"] for r in rows], pa.string()),
+                "cnt": pa.array([r["cnt"] for r in rows], pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(rows) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def misra_gries_topk(
+    docs: ray.data.Dataset, capacity: int = 256, text_col: str = "text"
+) -> dict[str, int]:
+    """Misra-Gries heavy-hitter sketch: per-batch summaries of at most
+    ``capacity`` counters, merged associatively on the driver. Guarantee:
+    every token with true frequency > N/capacity survives, and each
+    estimate undercounts by at most N/capacity (the pytest invariant).
+    The at-scale variant of top_tokens when even the vocabulary is too
+    wide for a full groupby (e.g. n-gram keys)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        counters: dict[str, int] = {}
+        for s in t.column(text_col).to_pylist():
+            s = s.strip().lower()
+            for tok in _WS_SPLIT.split(s) if s else ():
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < capacity:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step (lazy: collect then prune)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        return pa.table(
+            {
+                "token": pa.array(list(counters.keys()), pa.string()),
+                "cnt": pa.array(list(counters.values()), pa.int64()),
+            }
+        )
+
+    merged: dict[str, int] = {}
+    for row in docs.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all():
+        tok, c = row["token"], int(row["cnt"])
+        merged[tok] = merged.get(tok, 0) + c
+    if len(merged) > capacity:
+        # keep the top `capacity` after merge (standard MG merge prune)
+        cut = sorted(merged.values(), reverse=True)[capacity - 1]
+        merged = {t: c for t, c in merged.items() if c >= cut}
+    return merged
+
+
+def approx_quantiles_invariant(
+    ds: ray.data.Dataset, value_col: str, q: float = 0.5
+) -> pa.Table:
+    """Sketch-vs-exact invariant row for the correctness gate (same shape
+    as the HLL doc_distinct_estimate): (n_rows, exact_q_value,
+    within_tol) where exact is computed by the distributed exact
+    histogram path and the sketch must land within 2%% rank tolerance."""
+    from record_matching_ray.stages.quantiles import approx_quantiles
+
+    from record_matching_ray.stages.quantiles import group_quantiles
+
+    est = approx_quantiles(ds, value_col, qs=(q,))[q]
+    # exact + rank-tolerance bounds via the DISTRIBUTED histogram path
+    # (constant group; only the value histogram reaches any single node)
+    one = ds.select_columns([value_col]).map_batches(
+        lambda t: t.append_column(
+            "g", pa.array(["all"] * t.num_rows, pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    q_lo, q_hi = max(0.0, q - 0.02), min(1.0, q + 0.02)
+    rows = {
+        round(r["q"], 6): int(r["value"])
+        for r in group_quantiles(one, "g", value_col, qs=(q_lo, q, q_hi)).take_all()
+    }
+    n = ds.count()
+    exact = rows[round(q, 6)]
+    within = bool(rows[round(q_lo, 6)] <= est <= rows[round(q_hi, 6)])
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "exact_q": pa.array([exact], pa.int64()),
+            "within_tol": pa.array([within], pa.bool_()),
+        }
+    )
 
 
 def approx_distinct(

@@ -1,0 +1,295 @@
+"""Round-2 corpus-curation operators: repetition stats, PII scrub,
+deterministic sampling, sessionization, hopping windows, distributed
+quantiles, heavy hitters, sequence packing."""
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from record_matching_ray.stages import packing, quantiles, sampling, scrub, temporal, textstats
+
+
+def _docs(texts):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+# ---------------------------------------------------------------- repetition
+
+
+def test_repetition_stats_known_values():
+    out = {
+        r["doc_id"]: r
+        for r in textstats.run_repetition(
+            _docs(["a a a a", "w x y z", "", "one"])
+        ).take_all()
+    }
+    # all-same doc: top word 4/4, bigrams all "a a" -> dup frac 1 - 1/3
+    r = out[0]
+    assert r["n_words"] == 4
+    assert r["top_word_ratio"] == 1.0
+    assert r["dup_bigram_frac"] == round(1 - 1 / 3, 6)
+    assert r["top_bigram_ratio"] == 1.0
+    assert r["word_entropy"] == 0.0
+    # all-distinct doc: no repetition, max entropy ln(4)
+    r = out[1]
+    assert r["top_word_ratio"] == 0.25
+    assert r["dup_bigram_frac"] == 0.0
+    assert r["top_bigram_ratio"] == round(1 / 3, 6)
+    assert r["word_entropy"] == round(np.log(4), 6)
+    # empty + single-token docs: zero ratios, no crash
+    assert out[2]["n_words"] == 0 and out[2]["word_entropy"] == 0.0
+    assert out[3]["n_words"] == 1 and out[3]["dup_bigram_frac"] == 0.0
+
+
+def test_repetition_matches_counter_oracle():
+    rng = np.random.RandomState(7)
+    texts = [
+        " ".join(rng.choice(list("abcdefg"), size=rng.randint(2, 30)))
+        for _ in range(50)
+    ]
+    out = {r["doc_id"]: r for r in textstats.run_repetition(_docs(texts)).take_all()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        c = Counter(toks)
+        bigrams = Counter(zip(toks, toks[1:]))
+        nb = len(toks) - 1
+        assert out[i]["top_word_ratio"] == round(max(c.values()) / len(toks), 6)
+        assert out[i]["dup_bigram_frac"] == round(1 - len(bigrams) / nb, 6)
+        assert out[i]["top_bigram_ratio"] == round(max(bigrams.values()) / nb, 6)
+        ent = -sum((v / len(toks)) * np.log(v / len(toks)) for v in c.values())
+        assert out[i]["word_entropy"] == pytest.approx(round(ent, 6), abs=2e-6)
+
+
+# ---------------------------------------------------------------- PII scrub
+
+
+def test_scrub_counts_and_redaction():
+    texts = [
+        "contact bob@example.com or alice@test.org now",
+        "server at 10.0.0.1 and phone 555-123-4567",
+        "clean text with no pii at all",
+    ]
+    out = {r["doc_id"]: r for r in scrub.run_scrub(_docs(texts)).take_all()}
+    assert out[0]["n_emails"] == 2 and out[0]["n_ips"] == 0
+    assert out[1]["n_ips"] == 1 and out[1]["n_phones"] == 1
+    assert out[2]["n_emails"] == out[2]["n_ips"] == out[2]["n_phones"] == 0
+    # unredacted text hashes unchanged; redacted text hash differs
+    assert out[2]["redacted_md5"] == hashlib.md5(texts[2].encode()).hexdigest()
+    expect = "server at <IP> and phone <PHONE>"
+    assert out[1]["redacted_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_redact_text_tokens():
+    red = scrub.redact_text(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["mail x@y.io ip 1.2.3.4 tel 555-123-4567"]),
+            }
+        )
+    )
+    assert red.column("text").to_pylist() == ["mail <EMAIL> ip <IP> tel <PHONE>"]
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_sample_by_hash_deterministic_and_content_keyed():
+    texts = [f"document number {i} padding words" for i in range(400)]
+    a = sorted(r["doc_id"] for r in sampling.sample_by_hash(_docs(texts), rate=0.2).take_all())
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.sample_by_hash(
+            _docs(texts).repartition(7), rate=0.2
+        ).take_all()
+    )
+    assert a == b  # partition-layout independent
+    assert 0.1 * 400 < len(a) < 0.3 * 400  # near the target rate
+    # selection keys off content: the python-side rule reproduces it
+    thr = sampling.rate_to_hex_threshold(0.2)
+    expect = sorted(
+        i for i, t in enumerate(texts)
+        if hashlib.md5(t.encode()).hexdigest()[:8] < thr
+    )
+    assert a == expect
+
+
+def test_stratified_sample_exact_n_per_stratum():
+    texts = [f"text {i}" for i in range(90)]
+    langs = [["en", "de", "fr"][i % 3] for i in range(90)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(90), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+    ).repartition(5)
+    out = sampling.stratified_sample(ds, "lang", 4).take_all()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "de", "fr"}
+    for lang, rows in by_lang.items():
+        assert sorted(r["sample_rank"] for r in rows) == [1, 2, 3, 4]
+        # the chosen rows are the n smallest md5s of that stratum
+        want = sorted(
+            (hashlib.md5(texts[i].encode()).hexdigest(), i)
+            for i in range(90)
+            if langs[i] == lang
+        )[:4]
+        assert sorted(r["doc_id"] for r in rows) == sorted(i for _, i in want)
+
+
+# ---------------------------------------------------------------- sessions
+
+
+def test_sessionize_gap_semantics():
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60_000_000, "us")  # one minute
+    rows = [
+        (1, base, 1.0),
+        (1, base + 10 * m, 2.0),       # same session (10 min gap)
+        (1, base + 50 * m, 3.0),       # new session (40 min gap)
+        (2, base, 5.0),                # other user, own session
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+    ).repartition(2)
+    out = sorted(
+        temporal.sessionize(ds, gap_minutes=30).take_all(),
+        key=lambda r: (r["user_id"], r["session_start"]),
+    )
+    assert len(out) == 3
+    s1, s2, s3 = out
+    assert s1["user_id"] == 1 and s1["n_events"] == 2 and s1["sum_value_c"] == 300
+    assert s2["user_id"] == 1 and s2["n_events"] == 1 and s2["sum_value_c"] == 300
+    assert s3["user_id"] == 2 and s3["n_events"] == 1
+    assert s1["session_end"] - s1["session_start"] == np.timedelta64(10, "m")
+
+
+def test_hopping_window_each_event_in_two_windows():
+    ts = [np.datetime64("2024-01-01T05:30:00", "us")]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(["click"], pa.string()),
+                "value": pa.array([1.5], pa.float64()),
+            }
+        )
+    )
+    out = sorted(
+        temporal.hopping_window(ds, size_hours=2, hop_hours=1).take_all(),
+        key=lambda r: r["window_start"],
+    )
+    assert len(out) == 2
+    assert [np.datetime64(r["window_start"], "us") for r in out] == [
+        np.datetime64("2024-01-01T04:00:00", "us"),
+        np.datetime64("2024-01-01T05:00:00", "us"),
+    ]
+    assert all(r["cnt"] == 1 and r["sum_value_c"] == 150 for r in out)
+
+
+# ---------------------------------------------------------------- quantiles
+
+
+def test_group_quantiles_match_numpy_lower():
+    rng = np.random.RandomState(11)
+    groups = rng.choice(["a", "b", "c"], size=500)
+    vals = rng.randint(0, 1000, size=500).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(groups), "v": pa.array(vals, pa.int64())})
+    ).repartition(6)
+    out = quantiles.group_quantiles(ds, "g", "v", qs=(0.25, 0.5, 0.9))
+    got = {(r["g"], r["q"]): r["value"] for r in out.take_all()}
+    for g in "abc":
+        sv = np.sort(vals[groups == g])
+        for q in (0.25, 0.5, 0.9):
+            assert got[(g, q)] == sv[int(np.floor((len(sv) - 1) * q))]
+
+
+def test_approx_quantiles_within_rank_tolerance():
+    rng = np.random.RandomState(5)
+    vals = rng.lognormal(3, 1, size=20_000)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())})).repartition(8)
+    est = quantiles.approx_quantiles(ds, "v", qs=(0.5, 0.9))
+    sv = np.sort(vals)
+    for q in (0.5, 0.9):
+        lo = sv[int(len(sv) * max(q - 0.02, 0))]
+        hi = sv[min(int(len(sv) * (q + 0.02)), len(sv) - 1)]
+        assert lo <= est[q] <= hi
+
+
+# ---------------------------------------------------------------- heavy hitters
+
+
+def test_top_tokens_exact_vs_counter():
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(30)]
+    p = np.arange(30, 0, -1.0)
+    p /= p.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=20, p=p)) for _ in range(100)
+    ]
+    out = textstats.top_tokens(_docs(texts), k=10).take_all()
+    c = Counter(tok for t in texts for tok in t.split())
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["token"], r["cnt"]) for r in out] == want
+    assert [r["rank"] for r in out] == list(range(1, 11))
+
+
+def test_misra_gries_guarantee():
+    texts = ["hot " * 50 + "warm " * 20 + " ".join(f"u{i}" for i in range(40))] * 20
+    mg = textstats.misra_gries_topk(_docs(texts), capacity=16)
+    n = sum(len(t.split()) for t in texts)
+    true = Counter(tok for t in texts for tok in t.split())
+    # every token with true freq > N/capacity must survive, undercounted
+    # by at most N/capacity
+    for tok, cnt in true.items():
+        if cnt > n / 16:
+            assert tok in mg
+            assert cnt - n / 16 <= mg[tok] <= cnt
+
+
+# ---------------------------------------------------------------- packing
+
+
+def test_pack_sequences_matches_global_prefix_sum():
+    rng = np.random.RandomState(9)
+    texts = [" ".join(["tok"] * rng.randint(1, 60)) for _ in range(200)]
+    ds = _docs(texts)
+    out = {r["doc_id"]: r for r in packing.pack_sequences(
+        ds, cap=64, shard_size=37
+    ).take_all()}
+    assert len(out) == 200
+    cum = 0
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        assert out[i]["n_tokens"] == n
+        assert out[i]["first_seq"] == cum // 64
+        assert out[i]["last_seq"] == (cum + n - 1) // 64
+        cum += n
+    # sequences cover the stream with no gaps
+    lasts = [out[i]["last_seq"] for i in range(200)]
+    firsts = [out[i]["first_seq"] for i in range(199 + 1)]
+    for a, b in zip(lasts, firsts[1:]):
+        assert b in (a, a + 1)
