@@ -542,6 +542,20 @@ def _value_quantile_estimate(sf_dir: str):
     )
 
 
+def _cluster_profile_docs(sf_dir: str):
+    """Per-cluster categorical profiles over the near-dup document
+    clusters — the SQL-checkable face of the canonical-forms family
+    (canonical_documents itself stays rows-only: its name/exemplar rules
+    depend on the custom extractor)."""
+    from record_matching_ray.stages.canonicalize import cluster_profiles
+
+    assign = _er_clusters_documents(sf_dir)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return cluster_profiles(assign, docs, cat_col="lang")
+
+
 def _token_packing_docs(sf_dir: str):
     from record_matching_ray.stages.packing import pack_sequences
 
@@ -699,6 +713,45 @@ _DISTINCT_ESTIMATE_SQL = """
            TRUE AS within_2rse
     FROM documents
 """
+
+# Per-cluster categorical profile over the connected components of the
+# exact-Jaccard near-dup graph (same component premise as _ER_CLUSTERS_SQL;
+# modal lang with lexicographic tie-break).
+_CLUSTER_PROFILE_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + """,
+    und AS (
+      SELECT l AS a, r AS b FROM jac WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT r AS a, l AS b FROM jac WHERE jaccard >= 0.5
+    ),
+    reach(n, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT und.a, reach.lbl FROM und JOIN reach ON reach.n = und.b
+    ),
+    comp AS (SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY n),
+    j AS (
+      SELECT comp.cluster_id, d.lang FROM comp
+      JOIN documents d ON d.doc_id = comp.doc_id
+    ),
+    lc AS (SELECT cluster_id, lang, count(*) AS c FROM j GROUP BY 1, 2),
+    m AS (
+      SELECT cluster_id, lang,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY c DESC, lang) AS rn
+      FROM lc
+    ),
+    agg AS (
+      SELECT cluster_id, CAST(SUM(c) AS BIGINT) AS size,
+             COUNT(*) AS n_cats
+      FROM lc GROUP BY cluster_id
+    )
+    SELECT agg.cluster_id, agg.size, m.lang AS top_cat, agg.n_cats
+    FROM agg JOIN m ON m.cluster_id = agg.cluster_id AND m.rn = 1
+"""
+)
 
 # Gopher-style repetition signals — SQL mirror of textstats.repetition_stats
 # (tokens = \s+ split of trimmed text, empty tokens filtered; bigrams via a
@@ -960,8 +1013,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_docs": _top_tokens_docs,
         "value_quantile_estimate": _value_quantile_estimate,
         "token_packing_docs": _token_packing_docs,
+        "cluster_profile_docs": _cluster_profile_docs,
         # rows-only (mechanically hash/embedder-specific — not
-        # SQL-expressible; pytest-covered instead)
+        # SQL-expressible; pytest-covered instead. simhash_neardup was
+        # evaluated for conversion: its hamming<=d pair set does not
+        # coincide with ANY exact-Jaccard threshold on this corpus
+        # (measured: d=3 misses 7/25 truth pairs with 6 extras at sf0.01;
+        # d=7 still misses 1 with 379 extras) — SimHash measures a
+        # genuinely different similarity, so its pigeonhole-recall
+        # contract is pinned by pytest instead)
         "canonical_documents": _canonical_documents,
         "simhash_neardup_docs": _simhash_neardup,
         "doc_fingerprints": _doc_fingerprints,
@@ -1106,4 +1166,5 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens_docs": _TOP_TOKENS_SQL,
         "value_quantile_estimate": _VALUE_QUANTILE_SQL,
         "token_packing_docs": _TOKEN_PACKING_SQL,
+        "cluster_profile_docs": _CLUSTER_PROFILE_SQL,
     }

@@ -124,6 +124,97 @@ def _canonical_segments(g: pa.Table) -> pa.Table:
     )
 
 
+def cluster_profiles(
+    assign: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    cat_col: str = "lang",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-cluster categorical profile: (cluster_id, size, top_cat,
+    n_cats) where top_cat is the modal ``cat_col`` value with LEXICOGRAPHIC
+    tie-break (unlike canonicalize's first-seen rule, this tie-break is
+    order-free, so a SQL ``row_number() OVER (ORDER BY c DESC, cat)``
+    oracle reproduces it exactly — the checked face of the canonical-forms
+    family).
+
+    Shuffle shape: one hash join (assign x docs on id), then per-batch
+    (cluster, cat) partial counts -> groupby sum (rows = distinct
+    (cluster, cat), not members) -> per-cluster sweep."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    joined = assign.join(
+        docs.select_columns([id_col, cat_col]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(id_col,),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["cluster_id", cat_col]), ["cluster_id", cat_col]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["cluster_id", cat_col, "c"])
+
+    counts = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cluster_id", cat_col])
+        .sum("c")
+        .rename_columns({"sum(c)": "c"})
+    )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        cids = g.column("cluster_id").to_numpy(zero_copy_only=False)
+        cats = np.asarray(g.column(cat_col).to_pylist(), dtype=object)
+        cs = g.column("c").to_numpy(zero_copy_only=False)
+        # sort by (cluster, -count, cat): first row of each cluster IS the
+        # mode with lexicographic tie-break
+        order = np.lexsort((cats, -cs, cids))
+        cid_s, cat_s, c_s = cids[order], cats[order], cs[order]
+        starts = np.nonzero(
+            np.concatenate(([True], cid_s[1:] != cid_s[:-1]))
+        )[0]
+        ends = np.append(starts[1:], len(order))
+        cum = np.concatenate(([0], np.cumsum(c_s)))
+        return pa.table(
+            {
+                "cluster_id": pa.array(cid_s[starts], pa.int64()),
+                "size": pa.array(cum[ends] - cum[starts], pa.int64()),
+                "top_cat": pa.array(list(cat_s[starts]), pa.string()),
+                "n_cats": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    from record_matching_ray.stages.util import coarse_groupby_partitions
+
+    n_parts = coarse_groupby_partitions()
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        cid = t.column("cluster_id").to_numpy(zero_copy_only=False).astype(_U64)
+        return t.append_column(
+            "pk", pa.array((mix64(cid) % _U64(n_parts)).astype(np.int64), pa.int64())
+        )
+
+    out = (
+        counts.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
+    )
+    from record_matching_ray.stages.util import conformed
+
+    return conformed(
+        out,
+        pa.schema(
+            [
+                ("cluster_id", pa.int64()),
+                ("size", pa.int64()),
+                ("top_cat", pa.string()),
+                ("n_cats", pa.int64()),
+            ]
+        ),
+    )
+
+
 def canonicalize(
     clusters: ray.data.Dataset,
     features: ray.data.Dataset,

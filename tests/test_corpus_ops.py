@@ -270,6 +270,35 @@ def test_misra_gries_guarantee():
             assert cnt - n / 16 <= mg[tok] <= cnt
 
 
+# ---------------------------------------------------------------- profiles
+
+
+def test_cluster_profiles_mode_and_ties():
+    from record_matching_ray.stages.canonicalize import cluster_profiles
+
+    assign = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+                "cluster_id": pa.array([0, 0, 0, 3, 3, 5], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+                "lang": pa.array(["en", "de", "en", "fr", "de", "zh"], pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = {r["cluster_id"]: r for r in cluster_profiles(assign, docs).take_all()}
+    assert out[0]["size"] == 3 and out[0]["top_cat"] == "en" and out[0]["n_cats"] == 2
+    # tie between fr and de (1 each) -> lexicographic min "de"
+    assert out[3]["size"] == 2 and out[3]["top_cat"] == "de" and out[3]["n_cats"] == 2
+    assert out[5]["size"] == 1 and out[5]["top_cat"] == "zh"
+
+
 # ---------------------------------------------------------------- packing
 
 
