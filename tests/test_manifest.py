@@ -63,3 +63,26 @@ def test_mid_chain_crash_resume(tmp_path):
                 num_partitions=4, feature_concurrency=2)
     got = sorted((r["url"], r["cluster_id"]) for r in r2["clusters"].take_all())
     assert got == want
+
+
+def test_partitioned_write_and_pruned_read(tmp_path):
+    t = pa.table(
+        {
+            "uid": pa.array(list(range(12)), pa.int64()),
+            "pk": pa.array([i % 3 for i in range(12)], pa.int64()),
+            "val": pa.array([f"v{i}" for i in range(12)], pa.string()),
+        }
+    )
+    sdir = str(tmp_path / "stage")
+    m = mf.write_stage(rd.from_arrow(t).repartition(4), sdir, "fp1", partition_cols=["pk"])
+    assert m["rows"] == 12 and m["partition_cols"] == ["pk"]
+    assert all("pk=" in f for f in m["files"])
+    assert mf.is_complete(sdir, "fp1")
+    # full read keeps all rows and restores the partition column
+    full = mf.read_stage(sdir).to_pandas()
+    assert len(full) == 12
+    assert "pk" in full.columns and sorted(full["pk"].astype(int).unique()) == [0, 1, 2]
+    # pruned read lists only the matching partition's files
+    pruned = mf.read_stage(sdir, partition_filter=lambda p: p["pk"] == "1")
+    pdf = pruned.to_pandas()
+    assert len(pdf) == 4 and set(pdf["uid"]) == {1, 4, 7, 10}
