@@ -562,6 +562,60 @@ def _token_packing_docs(sf_dir: str):
     return pack_sequences(_docs(sf_dir), cap=128, shard_size=100)
 
 
+def _decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 25 == 0 act as the
+    deterministic stand-in eval set; every doc is checked for 8-gram
+    overlap against it (broadcast hash-set membership, no shuffle)."""
+    import pyarrow as pa
+
+    from record_matching_ray.stages.decontaminate import decontaminate
+
+    docs = _docs(sf_dir)
+    bench = docs.map_batches(
+        lambda t: t.filter(
+            pa.array(t.column("doc_id").to_numpy(zero_copy_only=False) % 25 == 0)
+        ),
+        batch_format="pyarrow",
+    )
+    return decontaminate(docs, bench, n=8)
+
+
+# Benchmark decontamination: strict token 8-grams (lead()-chained window;
+# a doc under 8 tokens has none), benchmark = DISTINCT 8-grams of docs
+# with doc_id % 25 = 0, n_hits counts matching 8-gram POSITIONS per doc —
+# the SQL mirror of stages/decontaminate.py.
+_DECONTAMINATE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p FROM tok
+),
+ng AS (
+  SELECT doc_id,
+         tok || chr(31) || lead(tok, 1) OVER win || chr(31)
+             || lead(tok, 2) OVER win || chr(31) || lead(tok, 3) OVER win
+             || chr(31) || lead(tok, 4) OVER win || chr(31)
+             || lead(tok, 5) OVER win || chr(31) || lead(tok, 6) OVER win
+             || chr(31) || lead(tok, 7) OVER win AS g
+  FROM pos
+  WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 25 = 0 AND g IS NOT NULL),
+hits AS (
+  SELECT ng.doc_id, count(*) AS n_hits
+  FROM ng JOIN bench USING (g)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
 # Shared CTE: distinct token 3-gram (shingle) sets per document, with the
 # short-doc rule (docs under 3 tokens yield one shingle over all tokens) —
 # the SQL mirror of functions/hashing.shingle_hashes over lower().split().
@@ -1014,6 +1068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantile_estimate": _value_quantile_estimate,
         "token_packing_docs": _token_packing_docs,
         "cluster_profile_docs": _cluster_profile_docs,
+        "decontaminate_docs": _decontaminate_docs,
         # rows-only (mechanically hash/embedder-specific — not
         # SQL-expressible; pytest-covered instead. simhash_neardup was
         # evaluated for conversion: its hamming<=d pair set does not
@@ -1167,4 +1222,5 @@ def oracle_sql() -> dict[str, str]:
         "value_quantile_estimate": _VALUE_QUANTILE_SQL,
         "token_packing_docs": _TOKEN_PACKING_SQL,
         "cluster_profile_docs": _CLUSTER_PROFILE_SQL,
+        "decontaminate_docs": _DECONTAMINATE_SQL,
     }

@@ -322,3 +322,62 @@ def test_pack_sequences_matches_global_prefix_sum():
     firsts = [out[i]["first_seq"] for i in range(199 + 1)]
     for a, b in zip(lasts, firsts[1:]):
         assert b in (a, a + 1)
+
+
+# ------------------------------------------------------------ decontamination
+
+
+def test_decontaminate_flags_ngram_overlap():
+    from record_matching_ray.stages.decontaminate import decontaminate
+
+    bench = rd.from_arrow(
+        pa.table(
+            {
+                "text": pa.array(
+                    ["the quick brown fox jumps over the lazy dog"], pa.string()
+                )
+            }
+        )
+    )
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        # contains "quick brown fox jumps" (n=4, case-insensitive)
+                        "I saw the QUICK Brown fox jumps right there",
+                        # same words, different order -> clean
+                        "fox brown quick jumps dog lazy the over",
+                        # too short for any 4-gram
+                        "quick brown fox",
+                        # two hit positions: "the lazy dog" needs 4-grams --
+                        # "over the lazy dog" and "jumps over the lazy"
+                        "she ran jumps over the lazy dog home",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    ).repartition(2)
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=4).take_all()}
+    assert out[0]["contaminated"] and out[0]["n_hits"] >= 1
+    assert not out[1]["contaminated"] and out[1]["n_hits"] == 0
+    assert not out[2]["contaminated"]  # < n tokens: no strict n-grams
+    assert out[3]["contaminated"] and out[3]["n_hits"] == 2
+
+
+def test_decontaminate_empty_benchmark():
+    from record_matching_ray.stages.decontaminate import decontaminate
+
+    bench = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["some text here okay"], pa.string()),
+            }
+        )
+    )
+    rows = decontaminate(docs, bench, n=2).take_all()
+    assert rows[0]["n_hits"] == 0 and not rows[0]["contaminated"]
