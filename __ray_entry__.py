@@ -169,6 +169,19 @@ def _ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir))
 
 
+def _tfidf_pair_cosine_docs(sf_dir: str):
+    """Corpus-IDF TF-IDF cosine over the near-dup candidate pairs — the
+    at-scale version of the reference's per-pair TfidfVectorizer
+    (poc2:1172-1208); pair set = the oracle-matched exact-Jaccard>=0.5
+    candidates."""
+    from record_matching_ray.stages.dedup import ngram_jaccard_pairs
+    from record_matching_ray.stages.tfidf import tfidf_pair_cosine
+
+    docs = _docs(sf_dir)
+    pairs = ngram_jaccard_pairs(docs)
+    return tfidf_pair_cosine(pairs, docs)
+
+
 def _embedding_neardup(sf_dir: str):
     from record_matching_ray.stages.dedup import embedding_neardup_pairs
 
@@ -662,6 +675,39 @@ _NGRAM_JACCARD_SQL = (
 """
 )
 
+# Corpus-IDF TF-IDF cosine per candidate pair: tf = raw token count,
+# idf = ln((N+1)/(df+1)) smoothed, pair set = exact-Jaccard >= 0.5 (the
+# jac CTE). Mirror of stages/tfidf.py (lower().split() tokens).
+_TFIDF_PAIR_SQL = (
+    "WITH "
+    + _SHINGLE_CTE
+    + """,
+    prs AS (SELECT l, r FROM jac WHERE jaccard >= 0.5),
+    tf AS (SELECT doc_id, tok, count(*) AS c FROM pos GROUP BY 1, 2),
+    dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    wts AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.c * ln(((SELECT count(*) FROM documents) + 1.0)
+                       / (dfr.df + 1.0)) AS w
+      FROM tf JOIN dfr USING (tok)
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS s FROM wts GROUP BY 1),
+    dots AS (
+      SELECT p.l, p.r, sum(wa.w * wb.w) AS d
+      FROM prs p
+      JOIN wts wa ON wa.doc_id = p.l
+      JOIN wts wb ON wb.doc_id = p.r AND wb.tok = wa.tok
+      GROUP BY 1, 2
+    )
+    SELECT p.l AS "left", p.r AS "right",
+           round(COALESCE(d.d, 0) / (na.s * nb.s), 6) AS tfidf_cos
+    FROM prs p
+    JOIN nrm na ON na.doc_id = p.l
+    JOIN nrm nb ON nb.doc_id = p.r
+    LEFT JOIN dots d ON d.l = p.l AND d.r = p.r
+"""
+)
+
 _MINHASH_NEARDUP_SQL = (
     "WITH "
     + _SHINGLE_CTE
@@ -1069,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_packing_docs": _token_packing_docs,
         "cluster_profile_docs": _cluster_profile_docs,
         "decontaminate_docs": _decontaminate_docs,
+        "tfidf_pair_cosine_docs": _tfidf_pair_cosine_docs,
         # rows-only (mechanically hash/embedder-specific — not
         # SQL-expressible; pytest-covered instead. simhash_neardup was
         # evaluated for conversion: its hamming<=d pair set does not
@@ -1223,4 +1270,5 @@ def oracle_sql() -> dict[str, str]:
         "token_packing_docs": _TOKEN_PACKING_SQL,
         "cluster_profile_docs": _CLUSTER_PROFILE_SQL,
         "decontaminate_docs": _DECONTAMINATE_SQL,
+        "tfidf_pair_cosine_docs": _TFIDF_PAIR_SQL,
     }

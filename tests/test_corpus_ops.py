@@ -381,3 +381,82 @@ def test_decontaminate_empty_benchmark():
     )
     rows = decontaminate(docs, bench, n=2).take_all()
     assert rows[0]["n_hits"] == 0 and not rows[0]["contaminated"]
+
+
+# ---------------------------------------------------------------- tf-idf
+
+
+def test_tfidf_pair_cosine_matches_numpy_reference():
+    import math
+
+    from record_matching_ray.stages.tfidf import tfidf_pair_cosine
+
+    texts = [
+        "apple banana apple cherry",
+        "apple banana date date",
+        "cherry cherry cherry kiwi",
+        "unrelated words entirely here",
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(2)
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "left": pa.array([0, 0, 0], pa.int64()),
+                "right": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+    )
+    out = {
+        (r["left"], r["right"]): r["tfidf_cos"]
+        for r in tfidf_pair_cosine(pairs, docs).take_all()
+    }
+
+    # driver-side reference: smoothed idf ln((N+1)/(df+1)), tf = raw count
+    n = 4
+    df = {}
+    for t in texts:
+        for tok in set(t.split()):
+            df[tok] = df.get(tok, 0) + 1
+
+    def vec(t):
+        tf = {}
+        for tok in t.split():
+            tf[tok] = tf.get(tok, 0) + 1
+        return {k: v * math.log((n + 1) / (df[k] + 1)) for k, v in tf.items()}
+
+    def cos(a, b):
+        va, vb = vec(a), vec(b)
+        dot = sum(va[k] * vb.get(k, 0.0) for k in va)
+        na = math.sqrt(sum(x * x for x in va.values()))
+        nb = math.sqrt(sum(x * x for x in vb.values()))
+        return round(dot / (na * nb), 6) if na and nb else 0.0
+
+    assert abs(out[(0, 1)] - cos(texts[0], texts[1])) < 2e-6
+    assert abs(out[(0, 2)] - cos(texts[0], texts[2])) < 2e-6
+    assert out[(0, 3)] == 0.0  # no shared tokens
+
+
+def test_tfidf_empty_pairs():
+    from record_matching_ray.stages.tfidf import tfidf_pair_cosine
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["hello world"], pa.string()),
+            }
+        )
+    )
+    pairs = rd.from_arrow(
+        pa.table(
+            {"left": pa.array([], pa.int64()), "right": pa.array([], pa.int64())}
+        )
+    )
+    assert tfidf_pair_cosine(pairs, docs).count() == 0
