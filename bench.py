@@ -200,6 +200,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embedding_label_averages",
         "semantic_search_docs",
         "er_clusters_documents",
+        "decontaminate_docs",
+        "tfidf_pair_cosine_docs",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -320,6 +320,18 @@ def cmd_export_csv(args) -> None:
     print(json.dumps({"rows": n, "path": args.path}))
 
 
+def cmd_export_shards(args) -> None:
+    """Sharded training-data export of a checkpointed stage: fixed-size
+    parquet shards + shards.json index for data-loader assignment."""
+    _ray_up()
+    from record_matching_ray.sources.tables import export_training_shards
+    from record_matching_ray.state import manifest as mf
+
+    ds = mf.read_stage(_stage_dir(args, args.stage))
+    idx = export_training_shards(ds, args.path, rows_per_shard=args.rows_per_shard)
+    print(json.dumps({"shards": len(idx["shards"]), "rows": idx["total_rows"]}))
+
+
 def cmd_export_graphml(args) -> None:
     _ray_up()
     from record_matching_ray.stages.sinks import write_graphml
@@ -414,6 +426,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--path", required=True)
     sp.add_argument("--max-edges", dest="max_edges", type=int, default=1_000_000)
     sp.set_defaults(fn=cmd_export_graphml)
+
+    sp = sub.add_parser("export-shards")
+    common(sp)
+    sp.add_argument("--stage", required=True)
+    sp.add_argument("--path", required=True)
+    sp.add_argument(
+        "--rows-per-shard", dest="rows_per_shard", type=int, default=1 << 16
+    )
+    sp.set_defaults(fn=cmd_export_shards)
     return p
 
 

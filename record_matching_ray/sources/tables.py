@@ -80,3 +80,74 @@ def write_stage_parquet(
     ds: ray.data.Dataset, stage_dir: str, num_rows_per_file: int | None = None
 ) -> None:
     ds.write_parquet(stage_dir, num_rows_per_file=num_rows_per_file)
+
+
+def read_jsonl(
+    path: str,
+    schema: pa.Schema | None = None,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """JSON-lines reader (the interchange format of web-corpus tooling —
+    one JSON object per line, .jsonl/.json files or directories of them).
+    JSON has no reader-level column pruning (rows must parse whole), so
+    ``columns`` is a post-read projection — prefer parquet for wide
+    tables; this source exists for ingest boundaries."""
+    ds = ray.data.read_json(path)
+    if schema is not None:
+        check = (
+            pa.schema([schema.field(c) for c in columns]) if columns else schema
+        )
+        _assert_schema(ds, check)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_jsonl(ds: ray.data.Dataset, out_dir: str) -> None:
+    """JSON-lines sink: one .json file per block (never one giant file)."""
+    ds.write_json(out_dir)
+
+
+def export_training_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    rows_per_shard: int = 1 << 16,
+) -> dict:
+    """Training-data export: fixed-size parquet shards + a shards.json
+    index (file, rows, bytes per shard; totals) so a downstream trainer
+    can assign shards to data-loader workers and resume by skipping
+    finished ones — the deliverable format of a curation pipeline.
+
+    Row counts come from the written parquet footers (no extra dataset
+    pass). Shard size is bounded by ``rows_per_shard`` via the writer; a
+    100 TB export is many shards across many files, never one file."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    # Ray's num_rows_per_file is a floor, not a cap — split blocks to the
+    # shard size first so each written file is <= rows_per_shard.
+    ds = ds.repartition(target_num_rows_per_block=rows_per_shard)
+    ds.write_parquet(out_dir)
+    shards = []
+    for fn in sorted(os.listdir(out_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        full = os.path.join(out_dir, fn)
+        shards.append(
+            {
+                "file": fn,
+                "rows": pq.read_metadata(full).num_rows,
+                "bytes": os.path.getsize(full),
+            }
+        )
+    index = {
+        "shards": shards,
+        "total_rows": sum(s["rows"] for s in shards),
+        "total_bytes": sum(s["bytes"] for s in shards),
+        "rows_per_shard": rows_per_shard,
+    }
+    with open(os.path.join(out_dir, "shards.json"), "w") as f:
+        json.dump(index, f, indent=1, sort_keys=True)
+    return index

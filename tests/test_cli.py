@@ -91,3 +91,20 @@ def test_cli_export_csv(tmp_path, capsys):
         rows = list(csv.DictReader(f))
     assert len(rows) == meta["rows"] > 0
     assert "canonical_name" in rows[0]
+
+
+def test_cli_export_shards(tmp_path, capsys):
+    corpus = str(tmp_path / "corpus")
+    run = str(tmp_path / "run")
+    main(["gen-corpus", "--out", corpus, "--pages", "120", "--entities", "25",
+          "--seed", "4"])
+    main(["run-all", "--pages", f"{corpus}/pages", "--out", run])
+    path = str(tmp_path / "shards")
+    main(["export-shards", "--out", run, "--stage", "clusters", "--path", path,
+          "--rows-per-shard", "50"])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["rows"] == 120 and meta["shards"] >= 3
+    with open(f"{path}/shards.json") as f:
+        idx = json.load(f)
+    assert idx["total_rows"] == 120
+    assert all(s["rows"] <= 50 for s in idx["shards"])

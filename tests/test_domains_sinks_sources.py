@@ -116,3 +116,45 @@ def test_sources_schema_assertion(tmp_path):
     pq.write_table(bad, pb)
     with pytest.raises((TypeError, ValueError)):
         read_table(pb, schema=pa.schema([("url", pa.string())]))
+
+
+def test_jsonl_roundtrip(tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.sources.tables import read_jsonl, write_jsonl
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b", "c", 'quote " and \\ slash'], pa.string()),
+        }
+    )
+    out = str(tmp_path / "jl")
+    write_jsonl(rd.from_arrow(t).repartition(2), out)
+    back = read_jsonl(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(back["doc_id"]) == [1, 2, 3]
+    assert list(back["text"]) == list(t.column("text").to_pylist())
+    # column projection + schema assertion
+    only = read_jsonl(out, schema=t.schema, columns=["doc_id"]).to_pandas()
+    assert list(only.columns) == ["doc_id"]
+
+
+def test_export_training_shards(tmp_path):
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.sources.tables import export_training_shards
+
+    t = pa.table({"x": pa.array(list(range(1000)), pa.int64())})
+    out = str(tmp_path / "shards")
+    idx = export_training_shards(rd.from_arrow(t).repartition(4), out, rows_per_shard=300)
+    assert idx["total_rows"] == 1000
+    assert all(s["rows"] <= 300 for s in idx["shards"])
+    with open(os.path.join(out, "shards.json")) as f:
+        assert json.load(f)["total_rows"] == 1000
+    back = rd.read_parquet([os.path.join(out, s["file"]) for s in idx["shards"]])
+    assert back.count() == 1000
