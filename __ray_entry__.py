@@ -1072,6 +1072,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity": an.user_activity,
         "top_lineitems": an.top_lineitems,
         "price_histogram": an.price_histogram,
+        "orders_priority_pivot": an.orders_priority_pivot,
+        "orders_running_total": an.orders_running_total,
         "shipping_priority": an.shipping_priority,
         # training-data ops over documents/embeddings — SQL-checked
         "exact_dedup_docs": _exact_dedup_docs,
@@ -1147,6 +1149,8 @@ def oracle_sql() -> dict[str, str]:
         "user_activity": an.USER_ACTIVITY_SQL,
         "top_lineitems": an.TOP_LINEITEMS_SQL,
         "price_histogram": an.PRICE_HISTOGRAM_SQL,
+        "orders_priority_pivot": an.ORDERS_PRIORITY_PIVOT_SQL,
+        "orders_running_total": an.ORDERS_RUNNING_TOTAL_SQL,
         "shipping_priority": an.SHIPPING_PRIORITY_SQL,
         "exact_dedup_docs": """
             SELECT md5(text) AS text_hash, COUNT(*) AS cnt, MIN(doc_id) AS keep_id

@@ -762,3 +762,91 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue_u DESC, o_orderkey
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# pivot (categories -> columns, conditional aggregation)
+
+ORDER_PRIORITIES = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+
+
+def orders_priority_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Pivot: order counts per month x order priority, one column per
+    priority (fixed category set — a pivot's contract). The reference's
+    pandas pivots (poc result tables) map to conditional partial
+    aggregation: each batch emits one row per month with per-category
+    counts, then a single small groupby-sum — the category fan-out never
+    shuffles, only (months x batches) partial rows do."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+    cols = [f"p{i+1}" for i in range(len(ORDER_PRIORITIES))]
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        month = ts.astype("datetime64[M]")
+        prio = np.asarray(t.column("o_orderpriority").to_pylist(), dtype=object)
+        um, inv = np.unique(month, return_inverse=True)
+        data = {"month": pa.array(um.astype("datetime64[us]"), pa.timestamp("us"))}
+        for c, p in zip(cols, ORDER_PRIORITIES):
+            data[c] = pa.array(
+                np.bincount(inv, weights=(prio == p).astype(np.float64), minlength=len(um)).astype(np.int64),
+                pa.int64(),
+            )
+        return pa.table(data)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(*[Sum(on=c, alias_name=c) for c in cols])
+    )
+    return conformed(
+        out,
+        pa.schema([("month", pa.timestamp("us"))] + [(c, pa.int64()) for c in cols]),
+    )
+
+
+ORDERS_PRIORITY_PIVOT_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+FROM orders GROUP BY 1
+"""
+
+
+def orders_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Cumulative windowed sum: running total of a customer's order value
+    over time (stages/temporal.running_total)."""
+    from record_matching_ray.stages.temporal import running_total
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    )
+    return conformed(
+        running_total(orders),
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("running_cents", pa.int64()),
+            ]
+        ),
+    )
+
+
+ORDERS_RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS running_cents
+FROM orders
+"""

@@ -370,3 +370,69 @@ def topk_per_group(
         list(dict.fromkeys([group_col, order_col, tie_col] + keep_cols))
     ).map_batches(local_prune, batch_format="pyarrow")
     return pruned.groupby(group_col).map_groups(final, batch_format="pyarrow")
+
+
+def running_total(
+    ds: ray.data.Dataset,
+    key_col: str = "o_custkey",
+    order_col: str = "o_orderdate",
+    tie_col: str = "o_orderkey",
+    value_col: str = "o_totalprice",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Cumulative windowed sum per key: for each row, the running total
+    of ``value_col`` over the key's rows ordered by (order_col, tie_col)
+    — ``SUM() OVER (PARTITION BY key ORDER BY ord, tie)``.
+
+    Same partitioning contract as sessionize: hash-partition by key, one
+    vectorized lexsort + segment cumsum per partition; no sorted global
+    shuffle, no per-row loop. Values accumulate as exact integer cents so
+    the result is addition-order independent (windowed float SUM in other
+    engines uses segment trees — cents make parity exact)."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(t.column(value_col), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(keys.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(keys, pa.int64()),
+                "o": t.column(order_col),
+                "tie": t.column(tie_col),
+                "value_c": cents,
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        keys = g.column("k").to_numpy(zero_copy_only=False)
+        o = g.column("o").to_numpy(zero_copy_only=False)
+        tie = g.column("tie").to_numpy(zero_copy_only=False)
+        v = g.column("value_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, o, keys))
+        k_s, o_s, t_s, v_s = keys[order], o[order], tie[order], v[order]
+        cum = np.cumsum(v_s)
+        # subtract each key-segment's preceding total (segment cumsum)
+        new_seg = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        starts = np.nonzero(new_seg)[0]
+        seg_id = np.cumsum(new_seg) - 1
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        run = cum - base[seg_id]
+        return pa.table(
+            {
+                key_col: pa.array(k_s, pa.int64()),
+                tie_col: pa.array(t_s, pa.int64()),
+                "running_cents": pa.array(run, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, order_col, tie_col, value_col])
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
+    )

@@ -98,3 +98,29 @@ def test_topk_per_group_exact_with_ties():
     assert got[(2, 1)] == (21, 3)
     assert got[(2, 2)] == (22, 1)
     assert len(out) == 4
+
+
+def test_running_total_segments_and_negatives():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.stages.temporal import running_total
+
+    t = pa.table(
+        {
+            "o_custkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "o_orderdate": pa.array(
+                [3, 1, 2, 5, 5], pa.timestamp("us")
+            ),
+            "o_orderkey": pa.array([30, 10, 20, 51, 50], pa.int64()),
+            "o_totalprice": pa.array([5.0, -2.0, 3.5, 1.0, 2.0], pa.float64()),
+        }
+    )
+    out = {
+        r["o_orderkey"]: r["running_cents"]
+        for r in running_total(rd.from_arrow(t).repartition(3)).take_all()
+    }
+    # cust 1 ordered by date: 10 (-200), 20 (+350 -> 150), 30 (+500 -> 650)
+    assert out[10] == -200 and out[20] == 150 and out[30] == 650
+    # cust 2: same date, orderkey tie-break: 50 first (200), 51 second (300)
+    assert out[50] == 200 and out[51] == 300
