@@ -274,9 +274,10 @@ def main_scaling() -> None:
     # ±10% (page cache, hypervisor neighbors), which swamps the efficiency
     # ratio; best-of-N is the standard bench convention (SURVEY.md §7.5:
     # "fixed seeds; report medians") and is declared in the output
+    runs_per_leg = int(os.environ.get("RMRAY_SCALING_RUNS", "2"))
     for cpus in (4, 16):
         runs = []
-        for _ in range(2):
+        for _ in range(runs_per_leg):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
                 env=env,
@@ -287,7 +288,7 @@ def main_scaling() -> None:
             line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
             runs.append(json.loads(line))
         results[cpus] = max(runs, key=lambda r: r["pairs_per_sec"])
-        results[cpus]["runs_per_leg"] = 2
+        results[cpus]["runs_per_leg"] = runs_per_leg
     t_lo = results[4]["pairs_per_sec"]
     t_hi = results[16]["pairs_per_sec"]
     eff = (t_hi / t_lo) / (16 / 4)
@@ -304,7 +305,7 @@ def main_scaling() -> None:
         "pairs_scored": results[16]["pairs_scored"],
         "sf": f"synthetic pages n={results[16]['pages']}",
         "num_cpus": 16,
-        "method": "best of 2 runs per leg, fresh process each",
+        "method": f"best of {runs_per_leg} runs per leg, fresh process each",
     }
     print(json.dumps(out))
 
