@@ -1074,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": an.price_histogram,
         "orders_priority_pivot": an.orders_priority_pivot,
         "orders_running_total": an.orders_running_total,
+        "customer_names_by_nation": an.customer_names_by_nation,
         "shipping_priority": an.shipping_priority,
         # training-data ops over documents/embeddings — SQL-checked
         "exact_dedup_docs": _exact_dedup_docs,
@@ -1151,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
         "price_histogram": an.PRICE_HISTOGRAM_SQL,
         "orders_priority_pivot": an.ORDERS_PRIORITY_PIVOT_SQL,
         "orders_running_total": an.ORDERS_RUNNING_TOTAL_SQL,
+        "customer_names_by_nation": an.CUSTOMER_NAMES_BY_NATION_SQL,
         "shipping_priority": an.SHIPPING_PRIORITY_SQL,
         "exact_dedup_docs": """
             SELECT md5(text) AS text_hash, COUNT(*) AS cnt, MIN(doc_id) AS keep_id

@@ -850,3 +850,81 @@ SELECT o_custkey, o_orderkey,
                  ORDER BY o_orderdate, o_orderkey) AS running_cents
 FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# ordered per-group aggregation (array_agg / string_agg)
+
+
+def customer_names_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Ordered string_agg: per nation, all customer names joined by ','
+    in c_custkey order — the reference's array_agg pivot (SURVEY §2.5,
+    record_matching/main.py field_vectors array_agg) done as a true
+    ordered aggregation rather than the wide-layout analog.
+
+    Shape: hash-partition by nation key (int pk), one lexsort + segment
+    join per partition; the group payload (concatenated names) is built
+    worker-side, one output row per group crosses the wire. Giant groups
+    make giant strings by design — cap upstream if a group can exceed
+    worker heap (at TPC-H shape groups are ~customers/nations)."""
+    from record_matching_ray.functions.hashing import _U64, mix64
+    from record_matching_ray.stages.util import coarse_groupby_partitions
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_name"])
+    P = coarse_groupby_partitions()
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(nk.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+                ),
+                "nk": pa.array(nk, pa.int64()),
+                "ck": t.column("c_custkey"),
+                "name": t.column("c_name"),
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        nk = g.column("nk").to_numpy(zero_copy_only=False)
+        ck = g.column("ck").to_numpy(zero_copy_only=False)
+        names = np.asarray(g.column("name").to_pylist(), dtype=object)
+        order = np.lexsort((ck, nk))
+        nk_s, names_s = nk[order], names[order]
+        starts = np.nonzero(np.concatenate(([True], nk_s[1:] != nk_s[:-1])))[0]
+        ends = np.append(starts[1:], len(order))
+        return pa.table(
+            {
+                "c_nationkey": pa.array(nk_s[starts], pa.int64()),
+                "names": pa.array(
+                    [",".join(names_s[s:e]) for s, e in zip(starts, ends)],
+                    pa.string(),
+                ),
+                "n_customers": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        cust.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
+    )
+    return conformed(
+        out,
+        pa.schema(
+            [
+                ("c_nationkey", pa.int64()),
+                ("names", pa.string()),
+                ("n_customers", pa.int64()),
+            ]
+        ),
+    )
+
+
+CUSTOMER_NAMES_BY_NATION_SQL = """
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_custkey) AS names,
+       COUNT(*) AS n_customers
+FROM customer GROUP BY c_nationkey
+"""

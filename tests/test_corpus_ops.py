@@ -460,3 +460,31 @@ def test_tfidf_empty_pairs():
         )
     )
     assert tfidf_pair_cosine(pairs, docs).count() == 0
+
+
+# ------------------------------------------------------------- string_agg
+
+
+def test_customer_names_by_nation_ordered(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from record_matching_ray.pipelines.analytics import customer_names_by_nation
+
+    t = pa.table(
+        {
+            "c_custkey": pa.array([5, 1, 3, 2, 4], pa.int64()),
+            "c_nationkey": pa.array([0, 0, 1, 0, 1], pa.int64()),
+            "c_name": pa.array(["e", "a", "c", "b", "d"], pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    pq.write_table(t, str(d / "customer.parquet"))
+    out = {
+        r["c_nationkey"]: r for r in customer_names_by_nation(str(d)).take_all()
+    }
+    # custkey order within nation, not input order
+    assert out[0]["names"] == "a,b,e" and out[0]["n_customers"] == 3
+    assert out[1]["names"] == "c,d" and out[1]["n_customers"] == 2
