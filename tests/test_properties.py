@@ -98,3 +98,61 @@ def test_year_compat_bounds_and_symmetry(y1, y2):
     assert 0.0 <= v <= 1.0
     assert v == strsim.year_compatibility(y2, y1)
     assert strsim.year_compatibility(y1, y1) == 1.0
+
+
+# ------------------------------------------------------------- decontaminate
+
+word = st.text(alphabet="abcdef", min_size=1, max_size=4)
+doc = st.lists(word, min_size=0, max_size=30).map(" ".join)
+
+
+@given(doc, doc, st.integers(2, 5))
+@settings(max_examples=100, deadline=None)
+def test_ngram_hash_containment_iff_token_window_match(a, b, n):
+    """A doc shares an n-gram hash with the benchmark iff it shares an
+    actual token n-gram window (no hash-collision at this tiny alphabet
+    scale; strict n-grams)."""
+    from record_matching_ray.stages.decontaminate import _strict_ngram_hashes
+
+    fa, _ = _strict_ngram_hashes([a], n)
+    fb, _ = _strict_ngram_hashes([b], n)
+    ta = a.strip().lower().split()
+    tb = b.strip().lower().split()
+    grams_a = {tuple(ta[i : i + n]) for i in range(max(len(ta) - n + 1, 0))}
+    grams_b = {tuple(tb[i : i + n]) for i in range(max(len(tb) - n + 1, 0))}
+    assert bool(set(fa) & set(fb)) == bool(grams_a & grams_b)
+    assert len(fa) == max(len(ta) - n + 1, 0)
+
+
+# ---------------------------------------------------------------- tf-idf
+
+@given(doc, doc)
+@settings(max_examples=100, deadline=None)
+def test_tfidf_cosine_bounds_and_self_similarity(a, b):
+    """Weighted cosine of nonnegative tf vectors is in [0, 1]; a doc with
+    itself scores 1 (when non-empty)."""
+    import numpy as np
+
+    from record_matching_ray.functions.hashing import _U64
+    from record_matching_ray.stages.tfidf import PairTfidfCosine, _doc_token_counts
+
+    scorer = PairTfidfCosine((np.empty(0, dtype=_U64), np.empty(0), 1.0))
+
+    def cos(x, y):
+        import pyarrow as pa
+
+        (ux, cx), (uy, cy) = _doc_token_counts([x, y])
+        t = pa.table(
+            {
+                "left": pa.array([0], pa.int64()),
+                "right": pa.array([1], pa.int64()),
+                "tf_l": pa.array([np.concatenate([ux, cx.view(_U64)]).tobytes()], pa.binary()),
+                "tf_r": pa.array([np.concatenate([uy, cy.view(_U64)]).tobytes()], pa.binary()),
+            }
+        )
+        return scorer(t).column("tfidf_cos")[0].as_py()
+
+    c = cos(a, b)
+    assert -1e-9 <= c <= 1.0 + 1e-9
+    if a.strip():
+        assert abs(cos(a, a) - 1.0) < 1e-6
