@@ -158,9 +158,14 @@ def _minhash_neardup(sf_dir: str):
 
 
 def _simhash_neardup(sf_dir: str):
+    """SimHash hamming<=3 pairs with md5 token hashes: DuckDB recomputes
+    the identical 64-bit simhash per doc (md5_number_lower token hashes,
+    bit-majority per position) and brute-forces all pairs, so the oracle
+    independently verifies BOTH the sketch values and the 4x16-bit
+    pigeonhole blocking's exact-recall claim."""
     from record_matching_ray.stages.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(_docs(sf_dir))
+    return simhash_neardup_pairs(_docs(sf_dir), token_hash="md5")
 
 
 def _ngram_jaccard(sf_dir: str):
@@ -444,9 +449,17 @@ def _filtered_vector_search(sf_dir: str):
 
 
 def _doc_fingerprints(sf_dir: str):
-    from record_matching_ray.stages.textstats import run_fingerprints
+    """Winnowing fingerprints, exploded (doc_id, fp) with md5 gram
+    hashes: DuckDB recomputes every k-char gram hash
+    (md5_number_lower(substr(...))), the window minima and the distinct
+    selection, so the winnowing algorithm itself is oracle-verified.
+    The rolling-hash variant (stages/textstats.winnow_fingerprints)
+    remains the scale path and is pytest-covered."""
+    from record_matching_ray.stages.textstats import fingerprint_rows
 
-    return run_fingerprints(_docs(sf_dir)).select_columns(["doc_id", "n_fingerprints"])
+    return _docs(sf_dir).map_batches(
+        fingerprint_rows, batch_format="pyarrow", fn_kwargs={"gram_hash": "md5"}
+    )
 
 
 def _doc_repetition(sf_dir: str):
@@ -808,6 +821,72 @@ _LANGID_SQL = r"""
     FROM h
 """
 
+# Independent SQL recomputation of the 64-bit SimHash (md5_number_lower
+# token hashes == functions/hashing.md5_lower64; \s+ tokenization of
+# lower(text); strict bit-majority) + brute-force all-pairs hamming via
+# bit_count(xor(...)). Verifies the sketch AND the banded blocking.
+_SIMHASH_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    th AS (SELECT doc_id, md5_number_lower(unnest(t)) AS h FROM toks),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+             count(*) AS n
+      FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) js
+      GROUP BY doc_id, j
+    ),
+    sh AS (
+      SELECT doc_id,
+             bit_or(CASE WHEN 2 * ones > n
+                         THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    allsh AS (
+      SELECT d.doc_id, coalesce(sh.simhash, 0::UBIGINT) AS simhash
+      FROM documents d LEFT JOIN sh USING (doc_id)
+    )
+    SELECT a.doc_id AS "left", b.doc_id AS "right",
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+# Independent SQL winnowing (Schleimer et al. 2003): k-char gram hashes
+# via md5_number_lower(substr(text,i,k)), min over each window of 4
+# consecutive grams, distinct selection. Mirrors
+# stages/textstats.winnow_fingerprints_md5 exactly (incl. the <=window
+# all-grams and <k whole-text fallbacks).
+_WINNOW_SQL = r"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    g AS (
+      SELECT doc_id, unnest(range(1, n - 8 + 2)) AS i, text
+      FROM d WHERE n >= 8
+    ),
+    gh AS (SELECT doc_id, i, md5_number_lower(substr(text, i, 8)) AS h FROM g),
+    cnt AS (SELECT doc_id, count(*) AS ng FROM gh GROUP BY 1),
+    wm AS (
+      SELECT gh.doc_id, i,
+             min(h) OVER (PARTITION BY gh.doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+             cnt.ng
+      FROM gh JOIN cnt USING (doc_id)
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, m AS fp FROM wm WHERE ng > 4 AND i <= ng - 3
+      UNION
+      SELECT DISTINCT doc_id, h AS fp
+      FROM gh JOIN cnt USING (doc_id) WHERE ng <= 4
+      UNION
+      SELECT doc_id, md5_number_lower(text) AS fp FROM d WHERE n < 8
+    )
+    SELECT doc_id, fp FROM sel
+"""
+
 _DISTINCT_ESTIMATE_SQL = """
     SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS distinct_exact,
            TRUE AS within_2rse
@@ -1119,17 +1198,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_profile_docs": _cluster_profile_docs,
         "decontaminate_docs": _decontaminate_docs,
         "tfidf_pair_cosine_docs": _tfidf_pair_cosine_docs,
-        # rows-only (mechanically hash/embedder-specific — not
-        # SQL-expressible; pytest-covered instead. simhash_neardup was
-        # evaluated for conversion: its hamming<=d pair set does not
-        # coincide with ANY exact-Jaccard threshold on this corpus
-        # (measured: d=3 misses 7/25 truth pairs with 6 extras at sf0.01;
-        # d=7 still misses 1 with 379 extras) — SimHash measures a
-        # genuinely different similarity, so its pigeonhole-recall
-        # contract is pinned by pytest instead)
-        "canonical_documents": _canonical_documents,
+        # simhash: converted to oracle-checked r2 by switching the query's
+        # token hash to md5 (md5_number_lower is SQL-reproducible) — the
+        # oracle recomputes the simhash itself and brute-forces hamming,
+        # rather than comparing against exact Jaccard (which provably
+        # doesn't coincide with any hamming threshold on this corpus).
         "simhash_neardup_docs": _simhash_neardup,
+        # winnowing: converted r2 the same way (md5 gram hashes).
         "doc_fingerprints": _doc_fingerprints,
+        # rows-only (mechanically hash/embedder-specific — not
+        # SQL-expressible; pytest-covered instead)
+        "canonical_documents": _canonical_documents,
         "semantic_search_docs": _semantic_search_docs,
     }
 
@@ -1260,6 +1339,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_docs": _NGRAM_JACCARD_SQL,
         "minhash_neardup_docs": _MINHASH_NEARDUP_SQL,
         "er_clusters_documents": _ER_CLUSTERS_SQL,
+        "simhash_neardup_docs": _SIMHASH_SQL,
+        "doc_fingerprints": _WINNOW_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "langid_docs": _LANGID_SQL,
         "doc_distinct_estimate": _DISTINCT_ESTIMATE_SQL,

@@ -32,7 +32,17 @@ def blake8(s: str | bytes) -> int:
     return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "little")
 
 
-def hash_strings(arr: np.ndarray | list[str]) -> np.ndarray:
+def md5_lower64(s: str | bytes) -> int:
+    """Lower 64 bits of md5, little-endian — bit-identical to DuckDB's
+    ``md5_number_lower(text)``, which makes any hash built from it
+    independently recomputable by a SQL oracle (simhash / winnowing
+    parity checks). blake8 stays the default for hot paths."""
+    if isinstance(s, str):
+        s = s.encode("utf-8", "surrogatepass")
+    return int.from_bytes(hashlib.md5(s).digest()[8:], "little")
+
+
+def hash_strings(arr: np.ndarray | list[str], hash_fn=None) -> np.ndarray:
     """Vectorized-ish 64-bit hash of a string array.
 
     Hashes only the unique values (batch vocabulary) in Python, then maps
@@ -46,13 +56,14 @@ def hash_strings(arr: np.ndarray | list[str]) -> np.ndarray:
     # hash values are unchanged, so stored signatures stay compatible
     import pandas as pd
 
+    fn = hash_fn or blake8
     codes, uniq = pd.factorize(a, sort=False)
-    uh = np.fromiter((blake8(u) for u in uniq), dtype=_U64, count=len(uniq))
+    uh = np.fromiter((fn(u) for u in uniq), dtype=_U64, count=len(uniq))
     if codes.min(initial=0) < 0:
         # factorize assigns code -1 to None/NaN, which would alias uh[-1]
         # (the last unique's hash) and IndexError on an all-null batch;
         # give nulls their own deterministic hash instead (ADVICE r1)
-        uh = np.append(uh, _U64(blake8(b"\x00__rmray_null__")))
+        uh = np.append(uh, _U64(fn(b"\x00__rmray_null__")))
         codes = np.where(codes < 0, len(uh) - 1, codes)
     return uh[codes]
 

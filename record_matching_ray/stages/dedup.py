@@ -90,14 +90,24 @@ def sketch_docs(
     shingle_k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_hash: str = "blake",
 ) -> pa.Table:
     """doc_id, minhash (fixed list<u64>), simhash (u64), n_shingles.
-    Token-shingle MinHash + token SimHash in one stateless pass."""
+    Token-shingle MinHash + token SimHash in one stateless pass.
+
+    token_hash="md5" hashes tokens with the lower 64 bits of md5
+    (= DuckDB md5_number_lower), so the resulting SimHash is bit-identical
+    to one a SQL oracle computes from the same tokenization."""
+    from record_matching_ray.functions.hashing import md5_lower64
+
     texts = batch.column(text_col).to_pylist()
     token_lists = [t.lower().split() for t in texts]
     lens = np.array([len(t) for t in token_lists], dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(lens)])
-    flat = hash_strings([tok for toks in token_lists for tok in toks])
+    flat = hash_strings(
+        [tok for toks in token_lists for tok in toks],
+        hash_fn=md5_lower64 if token_hash == "md5" else None,
+    )
     sh_list = [
         shingle_hashes(flat[offsets[i] : offsets[i + 1]], shingle_k)
         for i in range(len(texts))
@@ -236,12 +246,20 @@ def minhash_neardup_pairs(
 
 
 def simhash_neardup_pairs(
-    docs: ray.data.Dataset, max_hamming: int = 3, max_bucket: int = 4096
+    docs: ray.data.Dataset,
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+    token_hash: str = "blake",
 ) -> ray.data.Dataset:
     """Pairs of docs whose 64-bit SimHashes differ in <= max_hamming bits.
     Blocking: 4 16-bit bands — any pair within Hamming distance 3 shares
     at least one exact band (pigeonhole), so recall is exact for d<=3.
-    Output: (left, right, hamming)."""
+    Output: (left, right, hamming).
+
+    token_hash="md5" makes the simhash DuckDB-reproducible
+    (md5_number_lower token hashes), so a SQL oracle can brute-force the
+    exact all-pairs hamming<=d set and verify both the sketch values and
+    the banded blocking's recall/precision end to end."""
 
     n_chunks = max_hamming + 1  # pigeonhole: d<=max_hamming shares >=1 chunk
 
@@ -284,9 +302,9 @@ def simhash_neardup_pairs(
             }
         )
 
-    sk = docs.map_batches(sketch_docs, batch_format="pyarrow").select_columns(
-        ["doc_id", "simhash"]
-    )
+    sk = docs.map_batches(
+        sketch_docs, batch_format="pyarrow", fn_kwargs={"token_hash": token_hash}
+    ).select_columns(["doc_id", "simhash"])
     cand = (
         sk.map_batches(band_rows, batch_format="pyarrow")
         .groupby("bucket")

@@ -140,6 +140,49 @@ def winnow_fingerprints(
     return np.unique(mins)
 
 
+def winnow_fingerprints_md5(text: str, k: int = 8, window: int = 4) -> np.ndarray:
+    """Winnowing with md5-lower-64 gram hashes over k-CHAR grams —
+    bit-identical to a DuckDB oracle (md5_number_lower(substr(text,i,k))
+    + window-min + distinct), so the selection algorithm is independently
+    SQL-verifiable. The rolling-hash variant above stays the scale path
+    (no per-gram digest); same winnowing semantics, different gram hash."""
+    from record_matching_ray.functions.hashing import md5_lower64
+
+    n = len(text)
+    if n < k:
+        return np.array([md5_lower64(text)], dtype=np.uint64)
+    grams = np.fromiter(
+        (md5_lower64(text[i : i + k]) for i in range(n - k + 1)),
+        dtype=np.uint64,
+        count=n - k + 1,
+    )
+    if len(grams) <= window:
+        return np.unique(grams)
+    sw = np.lib.stride_tricks.sliding_window_view(grams, window)
+    return np.unique(sw.min(axis=1))
+
+
+def fingerprint_rows(
+    batch: pa.Table, k: int = 8, window: int = 4, gram_hash: str = "rolling"
+) -> pa.Table:
+    """Exploded (doc_id, fp) winnowing fingerprints — one row per selected
+    fingerprint, the join-friendly layout for containment detection."""
+    texts = batch.column("text").to_pylist()
+    fn = winnow_fingerprints_md5 if gram_hash == "md5" else winnow_fingerprints
+    fps = [fn(t, k, window) for t in texts]
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    reps = np.array([len(f) for f in fps], dtype=np.int64)
+    flat = (
+        np.concatenate(fps) if fps else np.empty(0, dtype=np.uint64)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(ids, reps), pa.int64()),
+            "fp": pa.array(flat, pa.uint64()),
+        }
+    )
+
+
 def fingerprint_docs(batch: pa.Table, k: int = 8, window: int = 4) -> pa.Table:
     texts = batch.column("text").to_pylist()
     fps = [winnow_fingerprints(t, k, window) for t in texts]

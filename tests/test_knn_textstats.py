@@ -101,6 +101,47 @@ def test_winnow_fingerprints_deterministic_and_robust():
     assert 0 < shared < len(a) + 1 and shared >= len(a) // 2
 
 
+def test_md5_lower64_matches_duckdb():
+    """The SQL-parity contract: md5_lower64 == DuckDB md5_number_lower,
+    the primitive the simhash/winnowing oracle conversions stand on."""
+    import duckdb
+
+    from record_matching_ray.functions.hashing import md5_lower64
+
+    con = duckdb.connect()
+    for s in ["hello", "", "a b c", "naïve café", "这是测试"]:
+        (want,) = con.execute("SELECT md5_number_lower(?)", [s]).fetchone()
+        assert md5_lower64(s) == want
+
+
+def test_winnow_md5_matches_bruteforce():
+    """winnow_fingerprints_md5 == brute-force winnowing reference
+    (all k-gram md5 hashes, min per window, distinct) — the same
+    semantics the DuckDB _WINNOW_SQL oracle recomputes."""
+    from record_matching_ray.functions.hashing import md5_lower64
+
+    def ref(text, k=8, window=4):
+        n = len(text)
+        if n < k:
+            return {md5_lower64(text)}
+        grams = [md5_lower64(text[i : i + k]) for i in range(n - k + 1)]
+        if len(grams) <= window:
+            return set(grams)
+        return {
+            min(grams[j : j + window]) for j in range(len(grams) - window + 1)
+        }
+
+    for text in [
+        "the quick brown fox jumps over the lazy dog",
+        "short",
+        "exactly8!",
+        "aaaaaaaaaaaaaaaaaaaa",
+        "",
+    ]:
+        got = set(textstats.winnow_fingerprints_md5(text).tolist())
+        assert got == ref(text), text
+
+
 def test_knn_ivf_recall():
     import numpy as np
     import ray.data as rd
