@@ -290,6 +290,46 @@ def _events_order_asof(sf_dir: str):
     )
 
 
+def _events_window_join(sf_dir: str):
+    """Interval (range) join: each event paired with ALL of the same
+    user's events in the preceding 2 hours (half-open window — excludes
+    the event itself). Exercises the rank-space composite-searchsorted
+    range_join operator (stages/temporal.py) as a self-join."""
+    from record_matching_ray.stages.temporal import range_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    right = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    return range_join(
+        events,
+        right,
+        on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "ts", "value"],
+        lo_offset_us=-2 * 3600 * 1_000_000,
+        hi_offset_us=0,
+        closed="left",
+        right_prefix="r_",
+    )
+
+
+def _events_lag_delta(sf_dir: str):
+    """LAG(ts) per user + exact integer-microsecond gap
+    (stages/temporal.lag_delta — hash-partition by key, one vectorized
+    lexsort + shifted compare per partition)."""
+    from record_matching_ray.stages.temporal import lag_delta
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return lag_delta(events, key_col="user_id", ts_col="ts", tie_col="event_id")
+
+
 def _events_hourly(sf_dir: str):
     from record_matching_ray.stages.temporal import tumbling_window
 
@@ -1163,6 +1203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _knn_bruteforce,
         "embedding_label_averages": _embedding_label_averages,
         "events_order_asof": _events_order_asof,
+        "events_window_join": _events_window_join,
+        "events_lag_delta": _events_lag_delta,
         "events_hourly": _events_hourly,
         "top_orders_per_customer": _top_orders_per_customer,
         "doc_domains": _doc_domains,
@@ -1264,6 +1306,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_orderdate
             FROM events e ASOF LEFT JOIN r
               ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        "events_window_join": """
+            SELECT a.event_id, a.user_id, a.ts,
+                   b.event_id AS r_event_id, b.ts AS r_ts, b.value AS r_value
+            FROM events a JOIN events b ON a.user_id = b.user_id
+             AND b.ts >= a.ts - INTERVAL 2 HOUR AND b.ts < a.ts
+        """,
+        "events_lag_delta": """
+            SELECT user_id, event_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts,
+                   date_diff('microsecond',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) AS delta_us
+            FROM events
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window, event_type,

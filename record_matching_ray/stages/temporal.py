@@ -436,3 +436,208 @@ def running_total(
         .groupby("pk")
         .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
     )
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    lo_offset_us: int,
+    hi_offset_us: int,
+    closed: str = "both",
+    right_prefix: str = "",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Interval (range) join: every (left, right) pair with equal keys and
+    ``right_ts`` inside ``[left_ts+lo, left_ts+hi]`` (``closed="left"``
+    makes the upper bound exclusive) — SQL's
+    ``JOIN ... ON k AND rt BETWEEN lt+lo AND lt+hi``. Inner semantics:
+    left rows with no right row in range emit nothing.
+
+    Same partitioning contract as asof_join (one hash shuffle per side,
+    per-key merge inside a partition), but the merge emits ALL rows in
+    range, not just the latest. The per-partition match is a fully
+    vectorized rank-space composite-key searchsorted: right rows sort by
+    (key, ts); both dimensions compress to dense ranks so the composite
+    ``code*M + rank`` fits int64 at any key/timestamp magnitude; two
+    searchsorted calls give each left row its contiguous match range, and
+    the repeat/arange expansion is linear in output size. Output size is
+    the true join cardinality — pick windows accordingly at scale.
+
+    ``right_prefix`` renames payload columns (required for self-joins
+    where payload names collide with left columns)."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+    if closed not in ("both", "left"):
+        raise ValueError(f"closed must be 'both' or 'left', got {closed!r}")
+
+    lcols = list(left.schema().names)
+    l_types = {c: left.schema().base_schema.field(c).type for c in lcols}
+    r_types = {c: right.schema().base_schema.field(c).type for c in right_payload}
+    rpay = right_payload
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        keys = t.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            "pk": pa.array(
+                (mix64(keys.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+            ),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8), pa.int8()),
+            "k": pa.array(keys, pa.int64()),
+            "t": t.column(left_ts),
+        }
+        for c in lcols:
+            cols[f"l_{c}"] = t.column(c)
+        for c in rpay:
+            cols[f"r_{c}"] = pa.nulls(t.num_rows, r_types[c])
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = t.column(right_on).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            "pk": pa.array(
+                (mix64(keys.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+            ),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8()),
+            "k": pa.array(keys, pa.int64()),
+            "t": t.column(right_ts),
+        }
+        for c in lcols:
+            cols[f"l_{c}"] = pa.nulls(t.num_rows, l_types[c])
+        for c in rpay:
+            cols[f"r_{c}"] = t.column(c)
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def out_schema() -> pa.Schema:
+        fields = [(c, l_types[c]) for c in lcols]
+        fields += [(f"{right_prefix}{c}", r_types[c]) for c in rpay]
+        return pa.schema(fields)
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("k").to_numpy(zero_copy_only=False)
+        ts = (
+            g.column("t")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        is_r = side == 1
+        r_idx = np.nonzero(is_r)[0]
+        l_idx = np.nonzero(~is_r)[0]
+        empty = pa.table(
+            {f.name: pa.array([], f.type) for f in out_schema()}
+        )
+        if len(r_idx) == 0 or len(l_idx) == 0:
+            return empty
+        rk, rt = keys[r_idx], ts[r_idx]
+        order_r = np.lexsort((rt, rk))
+        rk_s, rt_s = rk[order_r], rt[order_r]
+        uk = np.unique(rk_s)
+        ut = np.unique(rt_s)
+        M = np.int64(len(ut) + 2)
+        code_r = np.searchsorted(uk, rk_s)
+        c_r = code_r * M + np.searchsorted(ut, rt_s)
+        lk, lt = keys[l_idx], ts[l_idx]
+        code_l = np.searchsorted(uk, lk)
+        safe = np.clip(code_l, 0, len(uk) - 1)
+        valid = uk[safe] == lk
+        r_lo = np.searchsorted(ut, lt + lo_offset_us, side="left")
+        r_hi = np.searchsorted(
+            ut, lt + hi_offset_us, side="right" if closed == "both" else "left"
+        )
+        lo_i = np.searchsorted(c_r, safe * M + r_lo, side="left")
+        hi_i = np.searchsorted(c_r, safe * M + r_hi, side="left")
+        counts = np.where(valid, hi_i - lo_i, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        rep_l = np.repeat(l_idx, counts)
+        offs = np.cumsum(counts) - counts
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offs, counts) + np.repeat(
+            lo_i, counts
+        )
+        rep_r = r_idx[order_r[pos]]
+        cols = {}
+        take_l = pa.array(rep_l, pa.int64())
+        take_r = pa.array(rep_r, pa.int64())
+        for c in lcols:
+            cols[c] = g.column(f"l_{c}").take(take_l)
+        for c in rpay:
+            cols[f"{right_prefix}{c}"] = g.column(f"r_{c}").take(take_r)
+        return pa.table(cols)
+
+    return tagged.groupby("pk").map_groups(merge, batch_format="pyarrow")
+
+
+def lag_delta(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key previous-row timestamp and gap:
+    ``LAG(ts) OVER (PARTITION BY key ORDER BY ts, tie)`` plus
+    ``delta_us = ts - prev_ts`` (null for each key's first row).
+
+    Same partitioning contract as running_total: hash-partition by key,
+    one vectorized lexsort per partition, shifted compare against the
+    previous sorted row, key-boundary rows nulled. The gap is exact
+    integer microseconds so oracle parity needs no float rounding."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(keys.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(keys, pa.int64()),
+                "t": t.column(ts_col),
+                "tie": t.column(tie_col),
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        keys = g.column("k").to_numpy(zero_copy_only=False)
+        ts = g.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        tie = g.column("tie").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
+        k_s, t_s, tie_s = keys[order], ts[order], tie[order]
+        same_key = np.concatenate(([False], k_s[1:] == k_s[:-1]))
+        prev = np.empty_like(t_s)
+        prev[1:] = t_s[:-1]
+        prev[0] = t_s[0]
+        delta = t_s.astype(np.int64) - prev.astype(np.int64)
+        mask = ~same_key
+        return pa.table(
+            {
+                key_col: pa.array(k_s, pa.int64()),
+                tie_col: pa.array(tie_s, pa.int64()),
+                ts_col: pa.array(t_s, pa.timestamp("us")),
+                "prev_ts": pa.array(
+                    np.where(same_key, prev, t_s), pa.timestamp("us"), mask=mask
+                ),
+                "delta_us": pa.array(delta, pa.int64(), mask=mask),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col, tie_col])
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
+    )

@@ -124,3 +124,110 @@ def test_running_total_segments_and_negatives():
     assert out[10] == -200 and out[20] == 150 and out[30] == 650
     # cust 2: same date, orderkey tie-break: 50 first (200), 51 second (300)
     assert out[50] == 200 and out[51] == 300
+
+
+def test_range_join_window_vs_bruteforce():
+    import itertools
+    import random
+
+    from record_matching_ray.stages.temporal import range_join
+
+    rng = random.Random(7)
+    n = 120
+    lrows = [
+        (i, rng.choice([1, 2, 3, 99]), _ts("2024-01-01")
+         + dt.timedelta(minutes=rng.randrange(0, 600)))
+        for i in range(n)
+    ]
+    rrows = [
+        (1000 + i, rng.choice([1, 2, 3, 4]), _ts("2024-01-01")
+         + dt.timedelta(minutes=rng.randrange(0, 600)), float(i))
+        for i in range(n)
+    ]
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in lrows], pa.int64()),
+                "user_id": pa.array([r[1] for r in lrows], pa.int64()),
+                "ts": pa.array([r[2] for r in lrows], pa.timestamp("us")),
+            }
+        )
+    ).repartition(3)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array([r[0] for r in rrows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rrows], pa.int64()),
+                "ts": pa.array([r[2] for r in rrows], pa.timestamp("us")),
+                "value": pa.array([r[3] for r in rrows], pa.float64()),
+            }
+        )
+    ).repartition(3)
+    lo, hi = -60 * 60 * 1_000_000, 30 * 60 * 1_000_000  # [-1h, +30min]
+    for closed in ("both", "left"):
+        out = range_join(
+            left,
+            right,
+            on="user_id",
+            right_on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["rid", "value"],
+            lo_offset_us=lo,
+            hi_offset_us=hi,
+            closed=closed,
+            num_partitions=4,
+        ).take_all()
+        got = sorted((r["event_id"], r["rid"]) for r in out)
+        want = sorted(
+            (l[0], r[0])
+            for l, r in itertools.product(lrows, rrows)
+            if l[1] == r[1]
+            and r[2] >= l[2] + dt.timedelta(microseconds=lo)
+            and (
+                r[2] <= l[2] + dt.timedelta(microseconds=hi)
+                if closed == "both"
+                else r[2] < l[2] + dt.timedelta(microseconds=hi)
+            )
+        )
+        assert got == want, closed
+        # payload values ride along correctly
+        vals = {(r["event_id"], r["rid"]): r["value"] for r in out}
+        rv = {r[0]: r[3] for r in rrows}
+        assert all(vals[k] == rv[k[1]] for k in vals)
+
+
+def test_lag_delta_per_key():
+    from record_matching_ray.stages.temporal import lag_delta
+
+    t0 = _ts("2024-01-01")
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "user_id": pa.array([7, 7, 7, 8, 8], pa.int64()),
+                "ts": pa.array(
+                    [
+                        t0,
+                        t0 + dt.timedelta(seconds=90),
+                        t0 + dt.timedelta(seconds=90),  # tie -> event_id order
+                        t0,
+                        t0 + dt.timedelta(days=1),
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    ).repartition(2)
+    rows = {
+        r["event_id"]: r
+        for r in lag_delta(
+            ds, key_col="user_id", ts_col="ts", tie_col="event_id",
+            num_partitions=3,
+        ).take_all()
+    }
+    assert rows[1]["prev_ts"] is None and rows[1]["delta_us"] is None
+    assert rows[2]["delta_us"] == 90_000_000
+    assert rows[3]["delta_us"] == 0  # tie resolved by event_id
+    assert rows[4]["prev_ts"] is None  # new key
+    assert rows[5]["delta_us"] == 86_400_000_000
