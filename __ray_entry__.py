@@ -330,6 +330,19 @@ def _events_lag_delta(sf_dir: str):
     return lag_delta(events, key_col="user_id", ts_col="ts", tie_col="event_id")
 
 
+def _orders_moving_window(sf_dir: str):
+    """Rolling 7-row window sum/count per customer
+    (stages/temporal.moving_window_sum — segment-aware padded-cumsum
+    gathers, exact integer cents)."""
+    from record_matching_ray.stages.temporal import moving_window_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+    return moving_window_sum(orders, window=7)
+
+
 def _events_hourly(sf_dir: str):
     from record_matching_ray.stages.temporal import tumbling_window
 
@@ -1205,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_order_asof": _events_order_asof,
         "events_window_join": _events_window_join,
         "events_lag_delta": _events_lag_delta,
+        "orders_moving_window": _orders_moving_window,
         "events_hourly": _events_hourly,
         "top_orders_per_customer": _top_orders_per_customer,
         "doc_domains": _doc_domains,
@@ -1322,6 +1336,23 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id),
                              ts) AS delta_us
             FROM events
+        """,
+        "orders_moving_window": """
+            WITH p AS (
+              SELECT o_custkey, o_orderkey, o_orderdate,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(price_c) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS mov_sum_c,
+                   COUNT(*) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS win_n
+            FROM p
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window, event_type,

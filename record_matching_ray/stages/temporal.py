@@ -641,3 +641,74 @@ def lag_delta(
         .groupby("pk")
         .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
     )
+
+
+def moving_window_sum(
+    ds: ray.data.Dataset,
+    key_col: str = "o_custkey",
+    order_col: str = "o_orderdate",
+    tie_col: str = "o_orderkey",
+    value_col: str = "o_totalprice",
+    window: int = 7,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Rolling row-window aggregate per key:
+    ``SUM/COUNT(...) OVER (PARTITION BY key ORDER BY ord, tie
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    Same contract as running_total (hash-partition by key, one lexsort
+    per partition); the rolling sum is two gathers into a zero-padded
+    segment-aware cumsum — no per-row loop, no window materialization.
+    Values accumulate as exact integer cents (addition-order independent,
+    so the oracle needs no float tolerance); ``win_n`` is the actual
+    window row count (< window near each key's start)."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+    w = int(window)
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(t.column(value_col), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(keys.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(keys, pa.int64()),
+                "o": t.column(order_col),
+                "tie": t.column(tie_col),
+                "value_c": cents,
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        keys = g.column("k").to_numpy(zero_copy_only=False)
+        o = g.column("o").to_numpy(zero_copy_only=False)
+        tie = g.column("tie").to_numpy(zero_copy_only=False)
+        v = g.column("value_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, o, keys))
+        k_s, t_s, v_s = keys[order], tie[order], v[order]
+        n = len(order)
+        cp = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(v_s, out=cp[1:])
+        new_seg = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = np.nonzero(new_seg)[0][seg_id]
+        i = np.arange(n, dtype=np.int64)
+        lo = np.maximum(seg_start, i - (w - 1))
+        return pa.table(
+            {
+                key_col: pa.array(k_s, pa.int64()),
+                tie_col: pa.array(t_s, pa.int64()),
+                "mov_sum_c": pa.array(cp[i + 1] - cp[lo], pa.int64()),
+                "win_n": pa.array(i + 1 - lo, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, order_col, tie_col, value_col])
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
+    )

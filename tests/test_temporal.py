@@ -231,3 +231,37 @@ def test_lag_delta_per_key():
     assert rows[3]["delta_us"] == 0  # tie resolved by event_id
     assert rows[4]["prev_ts"] is None  # new key
     assert rows[5]["delta_us"] == 86_400_000_000
+
+
+def test_moving_window_sum_vs_bruteforce():
+    import random
+
+    from record_matching_ray.stages.temporal import moving_window_sum
+
+    rng = random.Random(11)
+    rows = [
+        (rng.choice([1, 2, 3]), _ts("2024-01-01")
+         + dt.timedelta(days=rng.randrange(60)), i, round(rng.uniform(1, 99), 2))
+        for i in range(200)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_orderdate": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "o_orderkey": pa.array([r[2] for r in rows], pa.int64()),
+                "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+    ).repartition(3)
+    w = 5
+    got = {
+        r["o_orderkey"]: (r["mov_sum_c"], r["win_n"])
+        for r in moving_window_sum(ds, window=w, num_partitions=4).take_all()
+    }
+    for key in (1, 2, 3):
+        seg = sorted((r for r in rows if r[0] == key), key=lambda r: (r[1], r[2]))
+        cents = [round(r[3] * 100) for r in seg]
+        for i, r in enumerate(seg):
+            lo = max(0, i - w + 1)
+            assert got[r[2]] == (sum(cents[lo : i + 1]), i + 1 - lo)
