@@ -330,6 +330,16 @@ def _events_lag_delta(sf_dir: str):
     return lag_delta(events, key_col="user_id", ts_col="ts", tie_col="event_id")
 
 
+def _fingerprint_containment(sf_dir: str):
+    """Winnowing-fingerprint containment pairs (shared/min ratio >= 0.5,
+    document-frequency guard max_df=64) with md5 gram hashes so DuckDB
+    recomputes the whole chain: winnowing selection, df filter, pair
+    counting, containment ratio."""
+    from record_matching_ray.stages.textstats import fingerprint_containment_pairs
+
+    return fingerprint_containment_pairs(_docs(sf_dir), gram_hash="md5")
+
+
 def _orders_moving_window(sf_dir: str):
     """Rolling 7-row window sum/count per customer
     (stages/temporal.moving_window_sum — segment-aware padded-cumsum
@@ -940,6 +950,33 @@ _WINNOW_SQL = r"""
     SELECT doc_id, fp FROM sel
 """
 
+# Containment pairs on top of the winnowing selection: df<=64 filter,
+# shared-fp counts, shared/min(nfp) ratio at >= 0.5. nfp denominators come
+# from the UNFILTERED selection (mirrors fingerprint_containment_pairs,
+# which rides per-doc nfp on every fp row before the df guard).
+_FP_CONTAINMENT_SQL = (
+    "WITH"
+    + _WINNOW_SQL.split("WITH", 1)[1].rsplit("SELECT", 1)[0]
+    + """,
+    sz AS (SELECT doc_id, count(*) AS nfp FROM sel GROUP BY 1),
+    good AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 64),
+    selg AS (SELECT sel.doc_id, sel.fp FROM sel JOIN good USING (fp)),
+    pairs AS (
+      SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS shared
+      FROM selg a JOIN selg b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    rat AS (
+      SELECT l, r, shared,
+             round(CAST(shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6)
+               AS containment
+      FROM pairs JOIN sz sa ON sa.doc_id = l JOIN sz sb ON sb.doc_id = r
+    )
+    SELECT l AS "left", r AS "right", shared, containment
+    FROM rat WHERE containment >= 0.5
+"""
+)
+
 _DISTINCT_ESTIMATE_SQL = """
     SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS distinct_exact,
            TRUE AS within_2rse
@@ -1219,6 +1256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_join": _events_window_join,
         "events_lag_delta": _events_lag_delta,
         "orders_moving_window": _orders_moving_window,
+        "fingerprint_containment_docs": _fingerprint_containment,
         "events_hourly": _events_hourly,
         "top_orders_per_customer": _top_orders_per_customer,
         "doc_domains": _doc_domains,
@@ -1430,6 +1468,7 @@ def oracle_sql() -> dict[str, str]:
         "er_clusters_documents": _ER_CLUSTERS_SQL,
         "simhash_neardup_docs": _SIMHASH_SQL,
         "doc_fingerprints": _WINNOW_SQL,
+        "fingerprint_containment_docs": _FP_CONTAINMENT_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "langid_docs": _LANGID_SQL,
         "doc_distinct_estimate": _DISTINCT_ESTIMATE_SQL,

@@ -163,10 +163,17 @@ def winnow_fingerprints_md5(text: str, k: int = 8, window: int = 4) -> np.ndarra
 
 
 def fingerprint_rows(
-    batch: pa.Table, k: int = 8, window: int = 4, gram_hash: str = "rolling"
+    batch: pa.Table,
+    k: int = 8,
+    window: int = 4,
+    gram_hash: str = "rolling",
+    with_nfp: bool = False,
 ) -> pa.Table:
     """Exploded (doc_id, fp) winnowing fingerprints — one row per selected
-    fingerprint, the join-friendly layout for containment detection."""
+    fingerprint, the join-friendly layout for containment detection.
+    ``with_nfp`` rides each doc's fingerprint count along on every row
+    (a doc's fps all come from one batch), so downstream containment
+    ratios need no separate per-doc size shuffle."""
     texts = batch.column("text").to_pylist()
     fn = winnow_fingerprints_md5 if gram_hash == "md5" else winnow_fingerprints
     fps = [fn(t, k, window) for t in texts]
@@ -175,11 +182,159 @@ def fingerprint_rows(
     flat = (
         np.concatenate(fps) if fps else np.empty(0, dtype=np.uint64)
     )
-    return pa.table(
-        {
-            "doc_id": pa.array(np.repeat(ids, reps), pa.int64()),
-            "fp": pa.array(flat, pa.uint64()),
-        }
+    cols = {
+        "doc_id": pa.array(np.repeat(ids, reps), pa.int64()),
+        "fp": pa.array(flat, pa.uint64()),
+    }
+    if with_nfp:
+        cols["nfp"] = pa.array(np.repeat(reps, reps), pa.int64())
+    return pa.table(cols)
+
+
+def fingerprint_containment_pairs(
+    docs,
+    k: int = 8,
+    window: int = 4,
+    min_containment: float = 0.5,
+    max_df: int = 64,
+    gram_hash: str = "rolling",
+    num_partitions: int | None = None,
+):
+    """Plagiarism-style containment detection (Schleimer et al. 2003 §5):
+    pairs of docs sharing winnowing fingerprints, scored by
+    ``containment = shared / min(nfp_a, nfp_b)`` and kept at
+    ``>= min_containment``. Output: (left, right, shared, containment).
+
+    Scale design — two bounded shuffles, no all-pairs:
+    1. fp rows hash-partition by fingerprint; one vectorized sweep per
+       partition segments its fps and emits pair partials only inside
+       buckets of 2..max_df docs. ``max_df`` is the ubiquitous-gram
+       guard (boilerplate 8-char substrings occur in most docs); it
+       bounds per-fp fanout to max_df^2/2 and is part of the operator's
+       CONTRACT (the SQL oracle applies the same document-frequency
+       filter), not a silent cap.
+    2. pair partials (packed l<<32|r int64 key — requires ids < 2^31;
+       use the ER uid path beyond that) hash-partition once more and
+       reduce to shared counts.
+    """
+    import ray.data  # noqa: F401  (docs is a ray.data.Dataset)
+
+    from record_matching_ray.functions.hashing import _U64, mix64
+    from record_matching_ray.stages.util import shuffle_partitions
+
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+
+    fps = docs.map_batches(
+        fingerprint_rows,
+        batch_format="pyarrow",
+        fn_kwargs={
+            "k": k,
+            "window": window,
+            "gram_hash": gram_hash,
+            "with_nfp": True,
+        },
+    )
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        f = t.column("fp").to_numpy(zero_copy_only=False).astype(_U64)
+        return t.append_column(
+            "pk",
+            pa.array((mix64(f) % _U64(P)).astype(np.int64), pa.int64()),
+        )
+
+    PAIR_EMPTY = pa.schema(
+        [("pairkey", pa.int64()), ("shared", pa.int64()), ("nfp_min", pa.int64())]
+    )
+
+    def bucket_sweep(g: pa.Table) -> pa.Table:
+        """All fps of one hash partition: segment by fp, emit pair
+        partials for 2..max_df-doc segments, pre-combine by pairkey."""
+        f = g.column("fp").to_numpy(zero_copy_only=False).astype(_U64)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        nfp = g.column("nfp").to_numpy(zero_copy_only=False)
+        if ids.size and int(ids.max()) >= 1 << 31:
+            raise ValueError("doc_id >= 2^31: pairkey packing overflows")
+        order = np.lexsort((ids, f))
+        f_s, id_s, n_s = f[order], ids[order], nfp[order]
+        new_seg = np.concatenate(([True], f_s[1:] != f_s[:-1]))
+        starts = np.nonzero(new_seg)[0]
+        ends = np.append(starts[1:], len(f_s))
+        sizes = ends - starts
+        keep = (sizes >= 2) & (sizes <= max_df)
+        pk_parts, nf_parts = [], []
+        for s, e in zip(starts[keep], ends[keep]):
+            seg_ids, seg_nfp = id_s[s:e], n_s[s:e]
+            a, b = np.triu_indices(e - s, k=1)
+            pk_parts.append((seg_ids[a] << 32) | seg_ids[b])
+            nf_parts.append(np.minimum(seg_nfp[a], seg_nfp[b]))
+        if not pk_parts:
+            return PAIR_EMPTY.empty_table()
+        part = pa.table(
+            {
+                "pairkey": pa.array(np.concatenate(pk_parts), pa.int64()),
+                "nfp_min": pa.array(np.concatenate(nf_parts), pa.int64()),
+            }
+        )
+        agg = pa.TableGroupBy(part, "pairkey").aggregate(
+            [("pairkey", "count"), ("nfp_min", "min")]
+        )
+        return agg.rename_columns(["pairkey", "shared", "nfp_min"])
+
+    partials = (
+        fps.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(
+            lambda g: bucket_sweep(g.drop_columns(["pk"])), batch_format="pyarrow"
+        )
+    )
+
+    def add_pk2(t: pa.Table) -> pa.Table:
+        pk2 = mix64(
+            t.column("pairkey").to_numpy(zero_copy_only=False).astype(_U64)
+        ) % _U64(P)
+        return t.append_column("pk2", pa.array(pk2.astype(np.int64), pa.int64()))
+
+    OUT_EMPTY = pa.schema(
+        [
+            ("left", pa.int64()),
+            ("right", pa.int64()),
+            ("shared", pa.int64()),
+            ("containment", pa.float64()),
+        ]
+    )
+
+    def reduce_pairs(g: pa.Table) -> pa.Table:
+        pkx = g.column("pairkey").to_numpy(zero_copy_only=False)
+        sh = g.column("shared").to_numpy(zero_copy_only=False)
+        nm = g.column("nfp_min").to_numpy(zero_copy_only=False)
+        if len(pkx) == 0:
+            return OUT_EMPTY.empty_table()
+        order = np.argsort(pkx, kind="stable")
+        pk_s, sh_s, nm_s = pkx[order], sh[order], nm[order]
+        new_seg = np.concatenate(([True], pk_s[1:] != pk_s[:-1]))
+        starts = np.nonzero(new_seg)[0]
+        shared = np.add.reduceat(sh_s, starts)
+        nfp_min = nm_s[starts]  # per-doc constant, any representative
+        cont = np.round(shared / nfp_min, 6)
+        keepm = cont >= min_containment
+        key = pk_s[starts][keepm]
+        return pa.table(
+            {
+                "left": pa.array(key >> 32, pa.int64()),
+                "right": pa.array(key & 0xFFFFFFFF, pa.int64()),
+                "shared": pa.array(shared[keepm], pa.int64()),
+                "containment": pa.array(cont[keepm], pa.float64()),
+            }
+        )
+
+    return (
+        partials.map_batches(add_pk2, batch_format="pyarrow")
+        .groupby("pk2")
+        .map_groups(
+            lambda g: reduce_pairs(g.drop_columns(["pk2"])), batch_format="pyarrow"
+        )
     )
 
 

@@ -183,3 +183,43 @@ def test_approx_distinct_bound():
     # deterministic
     est2, _ = approx_distinct(docs, "doc_id", precision_bits=12)
     assert est == est2
+
+
+def test_fingerprint_containment_pairs():
+    """A copied-with-edits doc pair scores high containment; unrelated
+    docs stay out; result matches a brute-force winnowing reference."""
+    import itertools
+
+    import ray.data as rd
+
+    from record_matching_ray.stages.textstats import (
+        fingerprint_containment_pairs,
+        winnow_fingerprints,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today "
+    texts = {
+        1: base * 4,
+        2: base * 4 + "with a small appended edit at the end",
+        3: "completely different content about ray data pipelines and arrow",
+        4: "yet another unrelated document concerning winnowing fingerprints",
+    }
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in texts.items()]
+    ).repartition(2)
+    got = {
+        (r["left"], r["right"]): r["containment"]
+        for r in fingerprint_containment_pairs(
+            ds, min_containment=0.5, num_partitions=4
+        ).take_all()
+    }
+    fps = {i: set(winnow_fingerprints(t).tolist()) for i, t in texts.items()}
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        shared = len(fps[a] & fps[b])
+        cont = round(shared / min(len(fps[a]), len(fps[b])), 6)
+        if cont >= 0.5:
+            want[(a, b)] = cont
+    assert (1, 2) in got and got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
