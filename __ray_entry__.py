@@ -330,6 +330,15 @@ def _events_lag_delta(sf_dir: str):
     return lag_delta(events, key_col="user_id", ts_col="ts", tie_col="event_id")
 
 
+def _doc_unigram_logprob(sf_dir: str):
+    """Unigram-LM quality score per doc (corpus-trained, broadcast
+    vocabulary head; stages/textstats.unigram_logprob). DuckDB retrains
+    the same unigram model and rescoring in SQL."""
+    from record_matching_ray.stages.textstats import unigram_logprob
+
+    return unigram_logprob(_docs(sf_dir))
+
+
 def _fingerprint_containment(sf_dir: str):
     """Winnowing-fingerprint containment pairs (shared/min ratio >= 0.5,
     document-frequency guard max_df=64) with md5 gram hashes so DuckDB
@@ -1257,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_delta": _events_lag_delta,
         "orders_moving_window": _orders_moving_window,
         "fingerprint_containment_docs": _fingerprint_containment,
+        "doc_unigram_logprob": _doc_unigram_logprob,
         "events_hourly": _events_hourly,
         "top_orders_per_customer": _top_orders_per_customer,
         "doc_domains": _doc_domains,
@@ -1469,6 +1479,24 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup_docs": _SIMHASH_SQL,
         "doc_fingerprints": _WINNOW_SQL,
         "fingerprint_containment_docs": _FP_CONTAINMENT_SQL,
+        "doc_unigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents
+            ),
+            tf AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM tf),
+            sc AS (
+              SELECT t.doc_id, ln(tf.c / tot.n) AS lp
+              FROM toks t JOIN tf USING (tok) CROSS JOIN tot
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(lp), 6) AS avg_logprob
+            FROM sc GROUP BY 1
+        """,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "langid_docs": _LANGID_SQL,
         "doc_distinct_estimate": _DISTINCT_ESTIMATE_SQL,

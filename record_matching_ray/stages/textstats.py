@@ -642,3 +642,98 @@ def approx_distinct(
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting
     return int(round(est)), 1.04 / np.sqrt(m)
+
+
+def unigram_logprob(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+):
+    """CCNet-style unigram LM quality score per document: the mean
+    ``ln(count(tok)/N)`` over the doc's token occurrences, under the
+    corpus' own unigram distribution (Wenzek et al. 2020 score docs with
+    a small LM the same way; the unigram model is its distributed,
+    exactly-oracle-checkable core). Output: (doc_id, n_tokens,
+    avg_logprob) — higher (less negative) = more typical text; extreme
+    values flag boilerplate/gibberish.
+
+    Scale shape (same contract as tfidf.doc_frequencies): the TF pass
+    shuffles per-batch (token, partial-count) rows — vocabulary-bounded,
+    not token-bounded; the broadcast side is the ``count >= min_count``
+    vocabulary head plus the total-token scalar. Every absent token has
+    EXACTLY count = min_count-1 = 1 (the df=1 long tail), so min_count=2
+    loses nothing while bounding the broadcast. Scoring is one stateless
+    map_batches against the broadcast table (ray.put once)."""
+    import ray
+    import ray.data  # noqa: F401
+
+    from record_matching_ray.functions.hashing import _U64, hash_strings
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        token_lists = [s.lower().split() for s in t.column(text_col).to_pylist()]
+        flat = hash_strings([tok for toks in token_lists for tok in toks])
+        uh, c = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(uh.view(np.int64), pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tf = (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .sum("cnt")
+        .rename_columns({"sum(cnt)": "cnt"})
+        .materialize()
+    )
+    total = tf.sum("cnt")
+    # drop the zero-column empty blocks hash-shuffle groupbys can emit
+    # (stages/util.py:10 documents the failure family) before concat
+    parts = [
+        t
+        for t in (ray.get(r) for r in tf.filter(
+            expr=f"cnt >= {int(min_count)}"
+        ).to_arrow_refs())
+        if t.num_rows and t.num_columns
+    ]
+    if parts:
+        head_t = pa.concat_tables(parts)
+        toks = head_t.column("tok").to_numpy(zero_copy_only=False).view(_U64)
+        cnts = head_t.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+    else:
+        toks = np.empty(0, dtype=_U64)
+        cnts = np.empty(0, dtype=np.float64)
+    order = np.argsort(toks)
+    ref = ray.put((toks[order], np.log(cnts[order]) - np.log(float(total))))
+    default_lp = np.log(float(min_count - 1)) - np.log(float(total))
+
+    def score(t: pa.Table) -> pa.Table:
+        stoks, slogp = ray.get(ref)
+        token_lists = [s.lower().split() for s in t.column(text_col).to_pylist()]
+        lens = np.array([len(x) for x in token_lists], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        flat = hash_strings([tok for toks_ in token_lists for tok in toks_])
+        if len(stoks) and len(flat):
+            pos = np.searchsorted(stoks, flat)
+            safe = np.clip(pos, 0, len(stoks) - 1)
+            lp = np.where(stoks[safe] == flat, slogp[safe], default_lp)
+        else:
+            lp = np.full(len(flat), default_lp)
+        sums = np.add.reduceat(
+            np.concatenate([lp, [0.0]]), offsets[:-1]
+        ) if len(lens) else np.empty(0)
+        sums = np.where(lens > 0, sums, 0.0)
+        avg = np.divide(sums, lens, out=np.zeros_like(sums), where=lens > 0)
+        return pa.table(
+            {
+                "doc_id": t.column(id_col),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "avg_logprob": pa.array(np.round(avg, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

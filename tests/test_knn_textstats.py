@@ -223,3 +223,36 @@ def test_fingerprint_containment_pairs():
     assert (1, 2) in got and got.keys() == want.keys()
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_unigram_logprob_vs_bruteforce():
+    """Distributed unigram LM score == a hand-computed corpus model;
+    rare-token docs score lower; min_count=2 default path is exact for
+    singleton tokens."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from record_matching_ray.stages.textstats import unigram_logprob
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the mat",
+        3: "zyxw qvut unique gibberish tokens here",
+    }
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in texts.items()]
+    ).repartition(2)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob(ds).take_all()
+    }
+    tf = Counter(tok for t in texts.values() for tok in t.lower().split())
+    N = sum(tf.values())
+    for i, t in texts.items():
+        toks = t.lower().split()
+        want = round(sum(math.log(tf[tok] / N) for tok in toks) / len(toks), 6)
+        assert got[i][0] == len(toks)
+        assert abs(got[i][1] - want) < 2e-6, (i, got[i], want)
+    assert got[3][1] < got[1][1]  # gibberish scores lower
