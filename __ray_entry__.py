@@ -330,6 +330,50 @@ def _events_lag_delta(sf_dir: str):
     return lag_delta(events, key_col="user_id", ts_col="ts", tie_col="event_id")
 
 
+def _lineitem_bloom_semi(sf_dir: str):
+    """Bloom-join: lineitems pruned by a broadcast Bloom filter over the
+    STANDARD parts' keys (exact mode: searchsorted verify removes the
+    filter's false positives), then the usual partial-aggregate. The
+    100 TB semi-join pattern — only the matching fraction of the fact
+    table reaches the aggregate shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.semijoin import bloom_semi_join
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).filter(expr="p_type == 'STANDARD'")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_returnflag", "l_extendedprice"],
+    )
+    semi = bloom_semi_join(li, "l_partkey", part, "p_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        prep = pa.table(
+            {"l_returnflag": t.column("l_returnflag"), "sum_price_c": cents}
+        )
+        g = pa.TableGroupBy(prep, "l_returnflag").aggregate(
+            [("sum_price_c", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["l_returnflag", "sum_price_c", "cnt"])
+
+    return (
+        semi.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum(on="sum_price_c", alias_name="sum_price_c"),
+            Sum(on="cnt", alias_name="cnt"),
+        )
+    )
+
+
 def _doc_unigram_logprob(sf_dir: str):
     """Unigram-LM quality score per doc (corpus-trained, broadcast
     vocabulary head; stages/textstats.unigram_logprob). DuckDB retrains
@@ -1267,6 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_moving_window": _orders_moving_window,
         "fingerprint_containment_docs": _fingerprint_containment,
         "doc_unigram_logprob": _doc_unigram_logprob,
+        "lineitem_bloom_semi": _lineitem_bloom_semi,
         "events_hourly": _events_hourly,
         "top_orders_per_customer": _top_orders_per_customer,
         "doc_domains": _doc_domains,
@@ -1479,6 +1524,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup_docs": _SIMHASH_SQL,
         "doc_fingerprints": _WINNOW_SQL,
         "fingerprint_containment_docs": _FP_CONTAINMENT_SQL,
+        "lineitem_bloom_semi": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_c,
+                   COUNT(*) AS cnt
+            FROM lineitem
+            WHERE l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_type = 'STANDARD')
+            GROUP BY 1
+        """,
         "doc_unigram_logprob": r"""
             WITH toks AS (
               SELECT doc_id,
