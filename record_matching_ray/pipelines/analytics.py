@@ -928,3 +928,96 @@ SELECT c_nationkey,
        COUNT(*) AS n_customers
 FROM customer GROUP BY c_nationkey
 """
+
+
+def orders_rollup(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(o_orderstatus, o_orderpriority): the detail level
+    plus per-status subtotals plus the grand total, NULL-marked the SQL
+    way. Rollup levels re-aggregate the DETAIL AGGREGATE (tens of rows),
+    never the fact table — the fact table is read once for the partial
+    pass, so the two extra levels are free at any scale."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        prep = pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "price_c": pa.array(_cents(t.column("o_totalprice")), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(prep, ["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("price_c", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["o_orderstatus", "o_orderpriority", "sum_price_c", "cnt"]
+        )
+
+    base = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(
+            Sum(on="sum_price_c", alias_name="sum_price_c"),
+            Sum(on="cnt", alias_name="cnt"),
+        )
+        .materialize()
+    )
+
+    SCHEMA = pa.schema(
+        [
+            ("o_orderstatus", pa.string()),
+            ("o_orderpriority", pa.string()),
+            ("sum_price_c", pa.int64()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def null_priority(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "o_orderpriority": pa.nulls(t.num_rows, pa.string()),
+                "sum_price_c": t.column("sum_price_c"),
+                "cnt": t.column("cnt"),
+            }
+        )
+
+    lvl1 = (
+        base.groupby("o_orderstatus")
+        .aggregate(
+            Sum(on="sum_price_c", alias_name="sum_price_c"),
+            Sum(on="cnt", alias_name="cnt"),
+        )
+        .map_batches(null_priority, batch_format="pyarrow")
+    )
+    totals = base.aggregate(
+        Sum(on="sum_price_c", alias_name="sum_price_c"),
+        Sum(on="cnt", alias_name="cnt"),
+    )
+    grand = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderstatus": pa.nulls(1, pa.string()),
+                "o_orderpriority": pa.nulls(1, pa.string()),
+                "sum_price_c": pa.array([totals["sum_price_c"]], pa.int64()),
+                "cnt": pa.array([totals["cnt"]], pa.int64()),
+            }
+        )
+    )
+    return conformed(base, SCHEMA).union(
+        conformed(lvl1, SCHEMA), conformed(grand, SCHEMA)
+    )
+
+
+ORDERS_ROLLUP_SQL = """
+WITH p AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(price_c) AS BIGINT) AS sum_price_c, COUNT(*) AS cnt
+FROM p GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""

@@ -37,9 +37,16 @@ def bloom_semi_join(
     n_bits_log2: int | None = None,
     k: int = 4,
     exact: bool = True,
+    anti: bool = False,
 ) -> ray.data.Dataset:
     """Rows of ``big`` whose ``key_col`` appears in ``small``'s
-    ``small_key_col`` (exact mode) or possibly appears (bloom-only)."""
+    ``small_key_col`` (exact mode) or possibly appears (bloom-only).
+    ``anti=True`` inverts to NOT-IN semantics — exact mode only: a Bloom
+    false positive would silently DROP a legitimate row from an anti
+    join, so the bloom-only fast path cannot be made exact downstream
+    the way the semi direction can."""
+    if anti and not exact:
+        raise ValueError("anti join requires exact=True (FPs would drop rows)")
     parts = [
         t
         for t in (
@@ -79,6 +86,6 @@ def bloom_semi_join(
                 mm = m.copy()
                 mm[np.nonzero(m)[0]] = ex[pos] == sub
                 m = mm
-        return t.filter(pa.array(m))
+        return t.filter(pa.array(~m if anti else m))
 
     return big.map_batches(prune, batch_format="pyarrow")

@@ -54,3 +54,22 @@ def test_bloom_semi_join_empty_small_side():
     )
     small = rd.from_arrow(pa.table({"pk": pa.array([], pa.int64())}))
     assert bloom_semi_join(big, "k", small, "pk").count() == 0
+
+
+def test_bloom_anti_join_exact():
+    rng = np.random.RandomState(13)
+    big_keys = rng.randint(0, 300, size=2000).astype(np.int64)
+    small_keys = np.unique(rng.choice(300, size=40, replace=False)).astype(np.int64)
+    big = rd.from_arrow(pa.table({"k": pa.array(big_keys, pa.int64())})).repartition(3)
+    small = rd.from_arrow(pa.table({"pk": pa.array(small_keys, pa.int64())}))
+    out = bloom_semi_join(big, "k", small, "pk", anti=True).take_all()
+    member = set(small_keys.tolist())
+    assert sorted(r["k"] for r in out) == sorted(
+        int(k) for k in big_keys if k not in member
+    )
+    # bloom-only anti is refused (FPs would drop rows)
+    try:
+        bloom_semi_join(big, "k", small, "pk", anti=True, exact=False)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
