@@ -330,6 +330,19 @@ def _events_lag_delta(sf_dir: str):
     return lag_delta(events, key_col="user_id", ts_col="ts", tie_col="event_id")
 
 
+_BM25_TERMS = ["data", "hash", "join", "dup"]
+
+
+def _bm25_docs(sf_dir: str):
+    """Okapi BM25 of every doc against a fixed 4-term query
+    (stages/textstats.bm25_scores — fixed-width stats partials, no
+    vocabulary shuffle; DuckDB recomputes the identical Lucene-idf
+    formula)."""
+    from record_matching_ray.stages.textstats import bm25_scores
+
+    return bm25_scores(_docs(sf_dir), _BM25_TERMS)
+
+
 def _lineitem_bloom_semi(sf_dir: str):
     """Bloom-join: lineitems pruned by a broadcast Bloom filter over the
     STANDARD parts' keys (exact mode: searchsorted verify removes the
@@ -1313,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_containment_docs": _fingerprint_containment,
         "doc_unigram_logprob": _doc_unigram_logprob,
         "lineitem_bloom_semi": _lineitem_bloom_semi,
+        "bm25_docs": _bm25_docs,
         "events_hourly": _events_hourly,
         "top_orders_per_customer": _top_orders_per_customer,
         "doc_domains": _doc_domains,
@@ -1526,6 +1540,47 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup_docs": _SIMHASH_SQL,
         "doc_fingerprints": _WINNOW_SQL,
         "fingerprint_containment_docs": _FP_CONTAINMENT_SQL,
+        "bm25_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl
+            ),
+            terms(term) AS (
+              VALUES ('data'), ('hash'), ('join'), ('dup')
+            ),
+            df AS (
+              SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM toks JOIN terms ON tok = term GROUP BY 1
+            ),
+            tf AS (
+              SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+              FROM toks JOIN terms ON tok = term GROUP BY 1, 2
+            ),
+            sc AS (
+              SELECT tf.doc_id,
+                     ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * (tf.tf * (1.2 + 1.0)
+                          / (tf.tf + 1.2 * (1.0 - 0.75
+                                            + 0.75 * dl.dl / stats.avgdl)))
+                       AS s
+              FROM tf
+              JOIN df USING (term)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats
+            )
+            SELECT d.doc_id, round(coalesce(sum(sc.s), 0.0), 6) AS bm25
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            GROUP BY 1
+        """,
         "lineitem_bloom_semi": """
             SELECT l_returnflag,
                    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))

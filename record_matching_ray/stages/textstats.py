@@ -737,3 +737,91 @@ def unigram_logprob(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_scores(
+    docs,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 score of every document against a fixed term query
+    (Robertson/Walker; the Lucene idf variant ln((N-df+0.5)/(df+0.5)+1))
+    — the classic retrieval scorer next to the dense kNN family.
+    Output: (doc_id, bm25) with bm25 = 0 for docs matching no term.
+
+    Scale shape: ONE stats pass whose partial rows are a fixed-width
+    vector [n_docs, n_tokens, df_0..df_T] per batch (T = |query_terms|,
+    a handful), reduced by a driver-side Sum aggregate — no vocabulary
+    shuffle at all, unlike the unigram/tfidf passes, because only the
+    query's own terms need corpus statistics. The scoring pass is
+    stateless map_batches: per-term tf via hashed-token compare +
+    segmented reduceat."""
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.functions.hashing import hash_strings
+
+    terms = [t.lower() for t in query_terms]
+    T = len(terms)
+    th = hash_strings(terms)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        token_lists = [s.lower().split() for s in t.column(text_col).to_pylist()]
+        lens = np.array([len(x) for x in token_lists], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        flat = hash_strings([tok for toks in token_lists for tok in toks])
+        cols = {
+            "n_docs": pa.array([len(token_lists)], pa.int64()),
+            "n_tokens": pa.array([int(lens.sum())], pa.int64()),
+        }
+        for i in range(T):
+            eq = (flat == th[i]).astype(np.int64)
+            per_doc = np.add.reduceat(
+                np.concatenate([eq, [0]]), offsets[:-1]
+            ) if len(lens) else np.empty(0, dtype=np.int64)
+            per_doc = np.where(lens > 0, per_doc, 0)
+            cols[f"df_{i}"] = pa.array([int((per_doc > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    agg = docs.map_batches(stats_partial, batch_format="pyarrow").aggregate(
+        Sum(on="n_docs", alias_name="n_docs"),
+        Sum(on="n_tokens", alias_name="n_tokens"),
+        *[Sum(on=f"df_{i}", alias_name=f"df_{i}") for i in range(T)],
+    )
+    N = float(agg["n_docs"])
+    avgdl = float(agg["n_tokens"]) / N if N else 1.0
+    idf = np.array(
+        [
+            np.log((N - agg[f"df_{i}"] + 0.5) / (agg[f"df_{i}"] + 0.5) + 1.0)
+            for i in range(T)
+        ],
+        dtype=np.float64,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        token_lists = [s.lower().split() for s in t.column(text_col).to_pylist()]
+        lens = np.array([len(x) for x in token_lists], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        flat = hash_strings([tok for toks in token_lists for tok in toks])
+        dl = lens.astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        total = np.zeros(len(lens), dtype=np.float64)
+        for i in range(T):
+            eq = (flat == th[i]).astype(np.int64)
+            tf = np.add.reduceat(
+                np.concatenate([eq, [0]]), offsets[:-1]
+            ) if len(lens) else np.empty(0, dtype=np.int64)
+            tf = np.where(lens > 0, tf, 0).astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                contrib = idf[i] * tf * (k1 + 1.0) / (tf + norm)
+            total += np.where(tf > 0, contrib, 0.0)
+        return pa.table(
+            {
+                "doc_id": t.column(id_col),
+                "bm25": pa.array(np.round(total, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

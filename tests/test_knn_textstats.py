@@ -256,3 +256,40 @@ def test_unigram_logprob_vs_bruteforce():
         assert got[i][0] == len(toks)
         assert abs(got[i][1] - want) < 2e-6, (i, got[i], want)
     assert got[3][1] < got[1][1]  # gibberish scores lower
+
+
+def test_bm25_vs_bruteforce():
+    import math
+
+    import ray.data as rd
+
+    from record_matching_ray.stages.textstats import bm25_scores
+
+    texts = {
+        1: "data data pipeline over ray data",
+        2: "hash join beats sort merge join here",
+        3: "nothing relevant whatsoever",
+        4: "data hash",
+    }
+    terms = ["data", "hash"]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in texts.items()]
+    ).repartition(2)
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(ds, terms).take_all()}
+
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    N = len(texts)
+    avgdl = sum(len(x) for x in toks.values()) / N
+    k1, b = 1.2, 0.75
+    for i in texts:
+        s = 0.0
+        for term in terms:
+            df = sum(1 for x in toks.values() if term in x)
+            tf = toks[i].count(term)
+            if tf == 0:
+                continue
+            idf = math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        assert abs(got[i] - round(s, 6)) < 2e-6, (i, got[i], s)
+    assert got[3] == 0.0
+    assert got[4] > got[2] > 0.0
