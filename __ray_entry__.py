@@ -1309,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": an.price_histogram,
         "orders_priority_pivot": an.orders_priority_pivot,
         "orders_rollup": an.orders_rollup,
+        "events_props_stats": an.events_props_stats,
         "orders_running_total": an.orders_running_total,
         "customer_names_by_nation": an.customer_names_by_nation,
         "shipping_priority": an.shipping_priority,
@@ -1395,6 +1396,7 @@ def oracle_sql() -> dict[str, str]:
         "price_histogram": an.PRICE_HISTOGRAM_SQL,
         "orders_priority_pivot": an.ORDERS_PRIORITY_PIVOT_SQL,
         "orders_rollup": an.ORDERS_ROLLUP_SQL,
+        "events_props_stats": an.EVENTS_PROPS_SQL,
         "orders_running_total": an.ORDERS_RUNNING_TOTAL_SQL,
         "customer_names_by_nation": an.CUSTOMER_NAMES_BY_NATION_SQL,
         "shipping_priority": an.SHIPPING_PRIORITY_SQL,

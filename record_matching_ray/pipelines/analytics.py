@@ -1021,3 +1021,45 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(SUM(price_c) AS BIGINT) AS sum_price_c, COUNT(*) AS cnt
 FROM p GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
+
+
+def events_props_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured (JSON) field extraction + aggregate: pull the
+    integer ``k`` out of the events' JSON ``props`` column and roll up
+    per event_type. Extraction stays vectorized — pyarrow's RE2 kernel
+    (``pc.extract_regex``) instead of a per-row json.loads loop; for this
+    fixed single-key shape the regex IS exact JSON semantics (the DuckDB
+    oracle uses real json_extract, so any divergence would fail parity)."""
+    from ray.data.aggregate import Sum, Max
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            t.column("props").combine_chunks(), r'"k"\s*:\s*(?P<k>-?\d+)'
+        )
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        prep = pa.table({"event_type": t.column("event_type"), "k": k})
+        g = pa.TableGroupBy(prep, "event_type").aggregate(
+            [("k", "sum"), ("k", "max"), ([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "sum_k", "max_k", "cnt"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum(on="sum_k", alias_name="sum_k"),
+            Max(on="max_k", alias_name="max_k"),
+            Sum(on="cnt", alias_name="cnt"),
+        )
+    )
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(*) AS cnt
+FROM events GROUP BY 1
+"""
