@@ -469,6 +469,18 @@ def _embedding_label_averages(sf_dir: str):
     return out.rename_columns(["label", "pos", "mean_v"])
 
 
+def _label_centroid_spread(sf_dir: str):
+    """Per-label embedding coherence: mean cosine of members to their
+    label centroid (stages/impute.label_centroid_spread; DuckDB rebuilds
+    the centroid with list(avg ORDER BY pos) and list_cosine_similarity)."""
+    from record_matching_ray.stages.impute import label_centroid_spread
+
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return label_centroid_spread(embs, "label", dim=64)
+
+
 def _doc_domains(sf_dir: str):
     from record_matching_ray.stages.domains import run_domains
 
@@ -1310,6 +1322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_pivot": an.orders_priority_pivot,
         "orders_rollup": an.orders_rollup,
         "events_props_stats": an.events_props_stats,
+        "lineitem_price_qty_corr": an.lineitem_price_qty_corr,
         "orders_running_total": an.orders_running_total,
         "customer_names_by_nation": an.customer_names_by_nation,
         "shipping_priority": an.shipping_priority,
@@ -1320,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": _lang_source_counts,
         "knn_bruteforce": _knn_bruteforce,
         "embedding_label_averages": _embedding_label_averages,
+        "label_centroid_spread": _label_centroid_spread,
         "events_order_asof": _events_order_asof,
         "events_window_join": _events_window_join,
         "events_lag_delta": _events_lag_delta,
@@ -1397,6 +1411,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_priority_pivot": an.ORDERS_PRIORITY_PIVOT_SQL,
         "orders_rollup": an.ORDERS_ROLLUP_SQL,
         "events_props_stats": an.EVENTS_PROPS_SQL,
+        "lineitem_price_qty_corr": an.LINEITEM_CORR_SQL,
         "orders_running_total": an.ORDERS_RUNNING_TOTAL_SQL,
         "customer_names_by_nation": an.CUSTOMER_NAMES_BY_NATION_SQL,
         "shipping_priority": an.SHIPPING_PRIORITY_SQL,
@@ -1491,6 +1506,24 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(embedding[g] AS DOUBLE)), 6) AS mean_v
             FROM embeddings, generate_series(1, 64) t(g)
             GROUP BY label, g
+        """,
+        "label_centroid_spread": """
+            WITH c AS (
+              SELECT label, g AS pos, avg(CAST(embedding[g] AS DOUBLE)) AS m
+              FROM embeddings, generate_series(1, 64) t(g)
+              GROUP BY label, g
+            ),
+            cent AS (
+              SELECT label, list(m ORDER BY pos) AS cv FROM c GROUP BY label
+            ),
+            sc AS (
+              SELECT e.label,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            cent.cv) AS cos
+              FROM embeddings e JOIN cent USING (label)
+            )
+            SELECT label, COUNT(*) AS n, round(avg(cos), 6) AS avg_cos
+            FROM sc GROUP BY 1
         """,
         "doc_domains": r"""
             WITH s AS (

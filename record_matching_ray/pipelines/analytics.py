@@ -1063,3 +1063,90 @@ SELECT event_type,
        COUNT(*) AS cnt
 FROM events GROUP BY 1
 """
+
+
+def lineitem_price_qty_corr(sf_dir: str) -> ray.data.Dataset:
+    """Pearson correlation of extended price vs quantity per return
+    flag — the moment-sketch aggregate family (corr/covar/stddev): each
+    batch contributes the 6 sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) per group, so the shuffle moves one tiny
+    row per (group, batch) and the correlation assembles exactly once at
+    the end. Sums run in float64 (Σx² at web scale overflows int64);
+    the SQL oracle mirrors the same explicit formula rather than its
+    built-in corr(), so parity is formula-level, not library-level."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        y = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        prep = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "sx": pa.array(x, pa.float64()),
+                "sy": pa.array(y, pa.float64()),
+                "sxy": pa.array(x * y, pa.float64()),
+                "sxx": pa.array(x * x, pa.float64()),
+                "syy": pa.array(y * y, pa.float64()),
+            }
+        )
+        g = pa.TableGroupBy(prep, "l_returnflag").aggregate(
+            [("sx", "sum"), ("sy", "sum"), ("sxy", "sum"), ("sxx", "sum"),
+             ("syy", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "sx", "sy", "sxy", "sxx", "syy", "n"]
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        syy = t.column("syy").to_numpy(zero_copy_only=False)
+        num = n * sxy - sx * sy
+        den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        r = np.divide(num, den, out=np.zeros_like(num), where=den > 0)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "corr_price_qty": pa.array(np.round(r, 6), pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _S
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            _S(on="sx", alias_name="sx"), _S(on="sy", alias_name="sy"),
+            _S(on="sxy", alias_name="sxy"), _S(on="sxx", alias_name="sxx"),
+            _S(on="syy", alias_name="syy"), _S(on="n", alias_name="n"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+LINEITEM_CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_extendedprice AS DOUBLE)) AS sx,
+         SUM(CAST(l_quantity AS DOUBLE)) AS sy,
+         SUM(CAST(l_extendedprice AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sxy,
+         SUM(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS sxx,
+         SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS corr_price_qty
+FROM s
+"""

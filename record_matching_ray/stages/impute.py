@@ -296,3 +296,70 @@ def impute_embeddings(
         return t.set_column(idx, emb_col, filled)
 
     return ds.map_batches(fill, batch_format="pyarrow")
+
+
+def label_centroid_spread(
+    ds: ray.data.Dataset,
+    group_col: str = "label",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> ray.data.Dataset:
+    """Embedding cluster-quality metric: per group, the mean cosine of
+    members to their group centroid — high spread (low mean cosine)
+    flags labels whose embeddings don't cohere. Output:
+    (label, n, avg_cos).
+
+    Two passes, both bounded: the centroid table is mean_embeddings'
+    driver-side result (one row per group), broadcast once via ray.put;
+    the cosine pass is stateless map_batches emitting per-group partial
+    (cos_sum, cnt) rows, reduced by one small groupby."""
+    from ray.data.aggregate import Sum
+
+    cent = mean_embeddings(ds, group_col, emb_col=emb_col, dim=dim)
+    labels = cent.column("group").to_pylist()
+    M = np.array(cent.column("mean").to_pylist(), dtype=np.float64)
+    lab2row = {l: i for i, l in enumerate(labels)}
+    ref = ray.put((lab2row, M))
+
+    def partial(t: pa.Table) -> pa.Table:
+        l2r, cm = ray.get(ref)
+        labs = t.column(group_col).to_pylist()
+        E = _emb_matrix(t.column(emb_col)).astype(np.float64)
+        rows = np.fromiter((l2r[l] for l in labs), dtype=np.int64, count=len(labs))
+        C = cm[rows]
+        num = (E * C).sum(axis=1)
+        den = np.linalg.norm(E, axis=1) * np.linalg.norm(C, axis=1)
+        cos = np.divide(num, den, out=np.zeros_like(num), where=den > 0)
+        prep = pa.table(
+            {
+                "label": t.column(group_col),
+                "cos_sum": pa.array(cos, pa.float64()),
+            }
+        )
+        g = pa.TableGroupBy(prep, "label").aggregate(
+            [("cos_sum", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["label", "cos_sum", "n"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cs = t.column("cos_sum").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "n": t.column("n"),
+                "avg_cos": pa.array(
+                    np.round(np.divide(cs, np.maximum(n, 1)), 6), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum(on="cos_sum", alias_name="cos_sum"),
+            Sum(on="n", alias_name="n"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
