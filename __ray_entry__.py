@@ -406,6 +406,57 @@ def _fingerprint_containment(sf_dir: str):
     return fingerprint_containment_pairs(_docs(sf_dir), gram_hash="md5")
 
 
+def _orders_price_ntile(sf_dir: str):
+    """NTILE(4) by price within each order priority, rolled up to
+    per-(priority, tile) count + exact cents sum (deterministic: ties
+    broken by o_orderkey on both sides)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.temporal import ntile_per_group
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice", "o_orderkey"],
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+                "o_orderkey": t.column("o_orderkey"),
+            }
+        )
+
+    cents = orders.map_batches(to_cents, batch_format="pyarrow")
+    # the ranked value (price_c) rides through the tile op — no join
+    joined = ntile_per_group(
+        cents, "o_orderpriority", "price_c", "o_orderkey", n_tiles=4
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["o_orderpriority", "tile", "price_c"]),
+            ["o_orderpriority", "tile"],
+        ).aggregate([("price_c", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "tile", "sum_price_c", "cnt"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "tile"])
+        .aggregate(
+            Sum(on="sum_price_c", alias_name="sum_price_c"),
+            Sum(on="cnt", alias_name="cnt"),
+        )
+    )
+
+
 def _orders_moving_window(sf_dir: str):
     """Rolling 7-row window sum/count per customer
     (stages/temporal.moving_window_sum — segment-aware padded-cumsum
@@ -1338,6 +1389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_join": _events_window_join,
         "events_lag_delta": _events_lag_delta,
         "orders_moving_window": _orders_moving_window,
+        "orders_price_ntile": _orders_price_ntile,
         "fingerprint_containment_docs": _fingerprint_containment,
         "doc_unigram_logprob": _doc_unigram_logprob,
         "lineitem_bloom_semi": _lineitem_bloom_semi,
@@ -1462,6 +1514,22 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id),
                              ts) AS delta_us
             FROM events
+        """,
+        "orders_price_ntile": """
+            WITH p AS (
+              SELECT o_orderpriority, o_orderkey,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+              FROM orders
+            ),
+            t AS (
+              SELECT *, ntile(4) OVER (
+                PARTITION BY o_orderpriority ORDER BY price_c, o_orderkey
+              ) AS tile FROM p
+            )
+            SELECT o_orderpriority, tile,
+                   CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+                   COUNT(*) AS cnt
+            FROM t GROUP BY 1, 2
         """,
         "orders_moving_window": """
             WITH p AS (

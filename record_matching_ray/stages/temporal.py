@@ -712,3 +712,85 @@ def moving_window_sum(
         .groupby("pk")
         .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
     )
+
+
+def ntile_per_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    n_tiles: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """``NTILE(k) OVER (PARTITION BY key ORDER BY ord, tie)`` — each
+    key's rows split into k ranked buckets, the first n%k buckets one
+    row larger (SQL's exact sizing rule). Output: one row per input row
+    (key, tie, tile 1-based).
+
+    Same contract as the other window ops: hash-partition by key, one
+    lexsort per partition, vectorized per-segment position -> closed-form
+    bucket index. Assumes a key's rows fit one partition (same as
+    asof/running_total — keys are categorical/user-grained)."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+    k = int(n_tiles)
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if pa.types.is_integer(keys.type):
+            kh = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            # stable (blake) — never Python hash(), which is seed-dependent
+            from record_matching_ray.functions.hashing import hash_strings
+
+            kh = hash_strings(keys.to_pylist()).view(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(kh.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+                ),
+                "k": keys,
+                "o": t.column(order_col),
+                "tie": t.column(tie_col),
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g.column("k").to_pylist(), dtype=object)
+        o = g.column("o").to_numpy(zero_copy_only=False)
+        tie = g.column("tie").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, o, keys))
+        k_s, t_s = keys[order], tie[order]
+        n = len(order)
+        new_seg = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        starts = np.nonzero(new_seg)[0]
+        ends = np.append(starts[1:], n)
+        seg_n = (ends - starts)[seg_id]
+        pos = np.arange(n, dtype=np.int64) - starts[seg_id]
+        big = seg_n // k + 1
+        n_big = seg_n % k
+        cut = n_big * big
+        small = np.maximum(seg_n // k, 1)
+        tile = np.where(
+            pos < cut, pos // big, n_big + (pos - cut) // small
+        ) + 1
+        take = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                key_col: pa.array(k_s.tolist(), g.column("k").type),
+                tie_col: pa.array(t_s, pa.int64()),
+                # the ranked value rides along — downstream aggregates
+                # need no join to recover it
+                order_col: g.column("o").take(take),
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, order_col, tie_col])
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
+    )

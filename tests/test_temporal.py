@@ -265,3 +265,35 @@ def test_moving_window_sum_vs_bruteforce():
         for i, r in enumerate(seg):
             lo = max(0, i - w + 1)
             assert got[r[2]] == (sum(cents[lo : i + 1]), i + 1 - lo)
+
+
+def test_ntile_per_group_sql_sizing():
+    """NTILE sizing matches SQL: first n%k buckets one row larger;
+    n<k gives each row its own tile; string keys use stable hashing."""
+    from record_matching_ray.stages.temporal import ntile_per_group
+
+    rows = []
+    for key, n in (("A", 10), ("B", 7), ("C", 2)):
+        for i in range(n):
+            rows.append({"key": key, "val": (i * 37) % n, "tie": len(rows)})
+    ds = rd.from_items(rows).repartition(3)
+    out = ntile_per_group(ds, "key", "val", "tie", n_tiles=4,
+                          num_partitions=4).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["key"], []).append((r["val"], r["tie"], r["tile"]))
+    for key, n in (("A", 10), ("B", 7), ("C", 2)):
+        seg = sorted(got[key])
+        tiles = [t for _, _, t in seg]
+        assert tiles == sorted(tiles), key  # monotone in rank order
+        k = 4
+        if n < k:
+            assert tiles == list(range(1, n + 1))
+        else:
+            big, n_big = n // k + 1, n % k
+            want = []
+            for b in range(1, k + 1):
+                want += [b] * (big if b <= n_big else n // k)
+            assert tiles == want, (key, tiles, want)
+        # ranked value rides along
+        assert [v for v, _, _ in seg] == sorted(v for v, _, _ in seg)
