@@ -798,6 +798,68 @@ def _decontaminate_docs(sf_dir: str):
     return decontaminate(docs, bench, n=8)
 
 
+def _curated_corpus_docs(sf_dir: str):
+    """End-to-end curation composite (pipelines/curate.py): quality
+    filter -> exact-dedup keep -> decontaminate vs the doc_id%25 eval
+    stand-in, one streaming chain; the oracle recomputes all three
+    stages AND their order in SQL."""
+    import pyarrow as pa
+
+    from record_matching_ray.pipelines.curate import curate_corpus
+
+    docs = _docs(sf_dir)
+    bench = docs.map_batches(
+        lambda t: t.filter(
+            pa.array(t.column("doc_id").to_numpy(zero_copy_only=False) % 25 == 0)
+        ),
+        batch_format="pyarrow",
+    )
+    return curate_corpus(docs, bench, n=8, stop_ratio_min=0.03)
+
+
+_CURATED_SQL = r"""
+WITH q AS (
+  SELECT doc_id, text,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> t IN ('the','a','of','and','in'))) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\s+')), 6) AS stop_ratio
+  FROM documents
+),
+clean AS (SELECT * FROM q WHERE stop_ratio >= 0.03),
+keeps AS (SELECT min(doc_id) AS kid FROM clean GROUP BY md5(text)),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p FROM tok
+),
+ng AS (
+  SELECT doc_id,
+         tok || chr(31) || lead(tok, 1) OVER win || chr(31)
+             || lead(tok, 2) OVER win || chr(31) || lead(tok, 3) OVER win
+             || chr(31) || lead(tok, 4) OVER win || chr(31)
+             || lead(tok, 5) OVER win || chr(31) || lead(tok, 6) OVER win
+             || chr(31) || lead(tok, 7) OVER win AS g
+  FROM pos
+  WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 25 = 0 AND g IS NOT NULL),
+hits AS (
+  SELECT ng.doc_id, count(*) AS n_hits
+  FROM ng JOIN bench USING (g)
+  GROUP BY 1
+)
+SELECT c.doc_id, c.n_tokens
+FROM clean c
+JOIN keeps ON c.doc_id = keeps.kid
+LEFT JOIN hits h ON h.doc_id = c.doc_id
+WHERE COALESCE(h.n_hits, 0) = 0
+"""
+
+
 # Benchmark decontamination: strict token 8-grams (lead()-chained window;
 # a doc under 8 tokens has none), benchmark = DISTINCT 8-grams of docs
 # with doc_id % 25 = 0, n_hits counts matching 8-gram POSITIONS per doc —
@@ -1428,6 +1490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_packing_docs": _token_packing_docs,
         "cluster_profile_docs": _cluster_profile_docs,
         "decontaminate_docs": _decontaminate_docs,
+        "curated_corpus_docs": _curated_corpus_docs,
         "tfidf_pair_cosine_docs": _tfidf_pair_cosine_docs,
         # simhash: converted to oracle-checked r2 by switching the query's
         # token hash to md5 (md5_number_lower is SQL-reproducible) — the
@@ -1728,5 +1791,6 @@ def oracle_sql() -> dict[str, str]:
         "token_packing_docs": _TOKEN_PACKING_SQL,
         "cluster_profile_docs": _CLUSTER_PROFILE_SQL,
         "decontaminate_docs": _DECONTAMINATE_SQL,
+        "curated_corpus_docs": _CURATED_SQL,
         "tfidf_pair_cosine_docs": _TFIDF_PAIR_SQL,
     }
