@@ -798,6 +798,80 @@ def _decontaminate_docs(sf_dir: str):
     return decontaminate(docs, bench, n=8)
 
 
+def _pagerank_docs(sf_dir: str):
+    """PageRank (5 synchronous iterations, d=0.85) over the exact
+    n-gram-Jaccard near-dup graph (stages/graph.py — counted
+    broadcast/join gate like the ER scorer; the join path is pinned to
+    this one by pytest). Oracle: the same iterations unrolled as chained
+    DuckDB CTEs."""
+    import pyarrow as pa
+
+    from record_matching_ray.stages.dedup import ngram_jaccard_pairs
+    from record_matching_ray.stages.graph import pagerank
+
+    docs = _docs(sf_dir)
+    pairs = ngram_jaccard_pairs(docs).select_columns(["left", "right"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        l = t.column("left").to_numpy(zero_copy_only=False)
+        r = t.column("right").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([l, r]), pa.int64()),
+                "dst": pa.array(np.concatenate([r, l]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    nodes = docs.select_columns(["doc_id"]).rename_columns({"doc_id": "node"})
+    return pagerank(edges, nodes, iters=5, damping=0.85)
+
+
+def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled PageRank CTE chain over the exact-Jaccard graph — the
+    same fixed synchronous iterations stages/graph.pagerank runs."""
+    head = (
+        "WITH "
+        + _SHINGLE_CTE
+        + """,
+    und AS MATERIALIZED (
+      SELECT l AS a, r AS b FROM jac WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT r AS a, l AS b FROM jac WHERE jaccard >= 0.5
+    ),
+    deg AS MATERIALIZED (SELECT a AS src, count(*) AS deg FROM und GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    r0 AS (
+      SELECT doc_id AS node, 1.0 / nn.n AS rank FROM documents, nn
+    )"""
+    )
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+    s{i} AS (
+      SELECT e.b AS node, SUM(rp.rank / dg.deg) AS w
+      FROM und e
+      JOIN r{i-1} rp ON rp.node = e.a
+      JOIN deg dg ON dg.src = e.a
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT d0.doc_id AS node,
+             (1.0 - {d}) / nn.n + {d} * COALESCE(s{i}.w, 0.0) AS rank
+      FROM documents d0
+      CROSS JOIN nn
+      LEFT JOIN s{i} ON s{i}.node = d0.doc_id
+    )"""
+        )
+    tail = f"""
+    SELECT node, round(rank, 9) AS rank FROM r{iters}
+"""
+    return head + "".join(steps) + tail
+
+
 def _curated_corpus_docs(sf_dir: str):
     """End-to-end curation composite (pipelines/curate.py): quality
     filter -> exact-dedup keep -> decontaminate vs the doc_id%25 eval
@@ -1491,6 +1565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_profile_docs": _cluster_profile_docs,
         "decontaminate_docs": _decontaminate_docs,
         "curated_corpus_docs": _curated_corpus_docs,
+        "pagerank_docs": _pagerank_docs,
         "tfidf_pair_cosine_docs": _tfidf_pair_cosine_docs,
         # simhash: converted to oracle-checked r2 by switching the query's
         # token hash to md5 (md5_number_lower is SQL-reproducible) — the
@@ -1792,5 +1867,6 @@ def oracle_sql() -> dict[str, str]:
         "cluster_profile_docs": _CLUSTER_PROFILE_SQL,
         "decontaminate_docs": _DECONTAMINATE_SQL,
         "curated_corpus_docs": _CURATED_SQL,
+        "pagerank_docs": _pagerank_sql(iters=5, d=0.85),
         "tfidf_pair_cosine_docs": _TFIDF_PAIR_SQL,
     }

@@ -1,0 +1,255 @@
+"""Iterative graph algorithms beyond connected components: PageRank.
+
+Synchronous power iteration of
+``r'(v) = (1-d)/N + d * sum_{u->v} r(u)/deg(u)``
+(the non-normalized classic; isolated nodes hold (1-d)/N). Fixed
+iteration count so the result is deterministic and SQL-reproducible —
+the DuckDB oracle unrolls the same iterations as chained CTEs.
+
+Two execution plans, chosen by a counted gate exactly like the ER
+scorer's broadcast-vs-join split:
+
+- broadcast (nodes <= max_broadcast_nodes): the rank vector is a numpy
+  array broadcast via ray.put each iteration; every edge batch emits
+  per-batch partial dst sums (one vocabulary-bounded shuffle per
+  iteration, nothing else moves). Right for graphs whose NODE set fits
+  the driver even when the EDGE set is huge.
+- join (the general 100 TB path): ranks stay a Dataset; each iteration
+  is edges ⋈ ranks (on src) -> groupby(dst).sum -> left-join back onto
+  the node table, materialized per iteration to keep lineage flat. No
+  driver-side structure scales with the graph.
+
+Both paths compute identical values (pytest pins them to each other and
+to the oracle formula).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from record_matching_ray.stages.util import (
+    compact_nonempty,
+    conformed,
+    shuffle_partitions,
+)
+
+RANK_SCHEMA = pa.schema([("node", pa.int64()), ("rank", pa.float64())])
+
+
+def _degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["src"]), "src").aggregate([([], "count_all")])
+        return g.rename_columns(["src", "deg"])
+
+    out = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("src")
+        .sum("deg")
+        .rename_columns({"sum(deg)": "deg"})
+    )
+    return conformed(out, pa.schema([("src", pa.int64()), ("deg", pa.int64())]))
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    iters: int = 5,
+    damping: float = 0.85,
+    max_broadcast_nodes: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(node, rank) after ``iters`` synchronous iterations.
+
+    ``edges``: (src, dst) int64 — include BOTH directions for an
+    undirected graph. ``nodes``: (node,) int64, the full vertex set
+    (isolated vertices included)."""
+    P = num_partitions or shuffle_partitions()
+    d = float(damping)
+
+    nodes = conformed(nodes.select_columns(["node"]), pa.schema([("node", pa.int64())]))
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(RANK_SCHEMA.empty_table())
+    base = (1.0 - d) / n_nodes
+
+    if n_nodes <= max_broadcast_nodes:
+        return _pagerank_broadcast(edges, nodes, n_nodes, iters, d, base)
+    return _pagerank_join(edges, nodes, n_nodes, iters, d, base, P)
+
+
+def _pagerank_broadcast(edges, nodes, n_nodes, iters, d, base):
+    """Rank vector on the driver (counted gate), edges streamed per
+    iteration; one dst-keyed partial-sum shuffle per iteration."""
+    node_ids = np.sort(
+        np.concatenate(
+            [
+                t.column("node").to_numpy(zero_copy_only=False)
+                for r in nodes.to_arrow_refs()
+                if (t := ray.get(r)).num_rows and t.num_columns
+            ]
+        )
+    )
+    # materialize edges FIRST: the degree pass and every iteration read
+    # the same blocks instead of re-executing the upstream edge pipeline
+    edges = edges.materialize()
+    deg_ds = _degrees(edges)
+    deg_parts = [
+        ray.get(r)
+        for r in deg_ds.to_arrow_refs()
+    ]
+    deg_parts = [t for t in deg_parts if t.num_rows and t.num_columns]
+    if deg_parts:
+        dt = pa.concat_tables(deg_parts)
+        dsrc = dt.column("src").to_numpy(zero_copy_only=False)
+        ddeg = dt.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(dsrc)
+        dsrc, ddeg = dsrc[order], ddeg[order]
+    else:
+        dsrc = np.empty(0, dtype=np.int64)
+        ddeg = np.empty(0, dtype=np.float64)
+
+    ranks = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
+    for _ in range(iters):
+        ref = ray.put(ranks)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = ray.get(ref)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            si = np.searchsorted(node_ids, src)
+            di = np.searchsorted(dsrc, src)
+            w = r[si] / ddeg[di]
+            g = pa.TableGroupBy(
+                pa.table(
+                    {
+                        "dst": pa.array(dst, pa.int64()),
+                        "w": pa.array(w, pa.float64()),
+                    }
+                ),
+                "dst",
+            ).aggregate([("w", "sum")])
+            return g.rename_columns(["dst", "w"])
+
+        parts = [
+            ray.get(r2)
+            for r2 in edges.map_batches(
+                contrib, batch_format="pyarrow"
+            ).to_arrow_refs()
+        ]
+        parts = [t for t in parts if t.num_rows and t.num_columns]
+        new = np.full(n_nodes, base, dtype=np.float64)
+        if parts:
+            pt = pa.concat_tables(parts)
+            di = np.searchsorted(node_ids, pt.column("dst").to_numpy(zero_copy_only=False))
+            np.add.at(new, di, d * pt.column("w").to_numpy(zero_copy_only=False))
+        ranks = new
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(node_ids, pa.int64()),
+                "rank": pa.array(np.round(ranks, 9), pa.float64()),
+            }
+        )
+    )
+
+
+def _pagerank_join(edges, nodes, n_nodes, iters, d, base, P):
+    """General path: ranks stay distributed; per iteration one
+    edges⋈ranks join, one dst groupby, one node left-join; materialized
+    so lineage stays flat."""
+    deg = _degrees(edges)
+    edges_deg = edges.join(
+        deg, join_type="inner", num_partitions=P, on=("src",)
+    ).materialize()
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "rank": pa.array(
+                    np.full(t.num_rows, 1.0 / n_nodes), pa.float64()
+                ),
+            }
+        )
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+    nodes_m = nodes.materialize()
+
+    for _ in range(iters):
+        r_in, n_r = compact_nonempty(ranks, P)
+        joined = edges_deg.join(
+            r_in, join_type="inner", num_partitions=P, on=("src",), right_on=("node",)
+        )
+
+        def per_edge(t: pa.Table) -> pa.Table:
+            w = (
+                t.column("rank").to_numpy(zero_copy_only=False)
+                / t.column("deg").to_numpy(zero_copy_only=False)
+            )
+            g = pa.TableGroupBy(
+                pa.table(
+                    {"dst": t.column("dst"), "w": pa.array(w, pa.float64())}
+                ),
+                "dst",
+            ).aggregate([("w", "sum")])
+            return g.rename_columns(["dst", "w"])
+
+        sums = (
+            joined.map_batches(per_edge, batch_format="pyarrow")
+            .groupby("dst")
+            .sum("w")
+            .rename_columns({"sum(w)": "w"})
+        )
+        sums = conformed(sums, pa.schema([("dst", pa.int64()), ("w", pa.float64())]))
+        sums, n_s = compact_nonempty(sums, P)
+        if n_s == 0:
+            merged = nodes_m.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "rank": pa.array(
+                            np.full(t.num_rows, base), pa.float64()
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            left = nodes_m.join(
+                sums,
+                join_type="left_outer",
+                num_partitions=P,
+                on=("node",),
+                right_on=("dst",),
+            )
+
+            def fold(t: pa.Table) -> pa.Table:
+                w = t.column("w").to_numpy(zero_copy_only=False)
+                w = np.where(np.isnan(w), 0.0, w)
+                return pa.table(
+                    {
+                        "node": t.column("node"),
+                        "rank": pa.array(base + d * w, pa.float64()),
+                    }
+                )
+
+            merged = left.map_batches(fold, batch_format="pyarrow")
+        ranks = conformed(merged, RANK_SCHEMA).materialize()
+
+    def round9(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "rank": pa.array(
+                    np.round(t.column("rank").to_numpy(zero_copy_only=False), 9),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ranks.map_batches(round9, batch_format="pyarrow")

@@ -1,0 +1,59 @@
+"""PageRank: broadcast and join plans agree with a numpy reference."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from record_matching_ray.stages.graph import (
+    _pagerank_broadcast,
+    _pagerank_join,
+    pagerank,
+)
+
+
+def _graph():
+    # two triangles bridged by one edge + one isolated node
+    und = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    e = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([x[0] for x in edges], pa.int64()),
+                "dst": pa.array([x[1] for x in edges], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    n = rd.from_arrow(pa.table({"node": pa.array(range(7), pa.int64())}))
+    return e, n, edges
+
+
+def _ref_ranks(edges, n_nodes, iters=5, d=0.85):
+    deg = np.zeros(n_nodes)
+    for a, _ in edges:
+        deg[a] += 1
+    r = np.full(n_nodes, 1.0 / n_nodes)
+    for _ in range(iters):
+        new = np.full(n_nodes, (1 - d) / n_nodes)
+        for a, b in edges:
+            new[b] += d * r[a] / deg[a]
+        r = new
+    return r
+
+
+def test_pagerank_matches_reference_and_paths_agree():
+    e, n, edges = _graph()
+    want = _ref_ranks(edges, 7)
+    got_b = {
+        r["node"]: r["rank"] for r in pagerank(e, n, iters=5).take_all()
+    }  # broadcast gate engages at 7 nodes
+    got_j = {
+        r["node"]: r["rank"]
+        for r in _pagerank_join(e, n, 7, 5, 0.85, 0.15 / 7, 4).take_all()
+    }
+    for v in range(7):
+        assert abs(got_b[v] - want[v]) < 1e-9, ("bcast", v)
+        assert abs(got_j[v] - want[v]) < 1e-9, ("join", v)
+    # isolated node holds the teleport mass only
+    assert abs(got_b[6] - 0.15 / 7) < 1e-9
+    # triangle interiors outrank the bridge-adjacent isolated structure
+    assert got_b[1] > got_b[6]
