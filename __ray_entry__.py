@@ -640,6 +640,15 @@ def _filtered_vector_search(sf_dir: str):
     )
 
 
+def _doc_bpe_tokens(sf_dir: str):
+    """BPE-ish regex pretoken counts (stages/textstats.bpe_token_stats) —
+    pyarrow and DuckDB both run the same RE2 pattern, so counts match
+    exactly."""
+    from record_matching_ray.stages.textstats import bpe_token_stats
+
+    return _docs(sf_dir).map_batches(bpe_token_stats, batch_format="pyarrow")
+
+
 def _doc_fingerprints(sf_dir: str):
     """Winnowing fingerprints, exploded (doc_id, fp) with md5 gram
     hashes: DuckDB recomputes every k-char gram hash
@@ -1575,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_docs": _simhash_neardup,
         # winnowing: converted r2 the same way (md5 gram hashes).
         "doc_fingerprints": _doc_fingerprints,
+        "doc_bpe_tokens": _doc_bpe_tokens,
         # rows-only (mechanically hash/embedder-specific — not
         # SQL-expressible; pytest-covered instead)
         "canonical_documents": _canonical_documents,
@@ -1780,6 +1790,14 @@ def oracle_sql() -> dict[str, str]:
         "er_clusters_documents": _ER_CLUSTERS_SQL,
         "simhash_neardup_docs": _SIMHASH_SQL,
         "doc_fingerprints": _WINNOW_SQL,
+        "doc_bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+                   )) AS n_bpe_tokens,
+                   len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
+            FROM documents
+        """,
         "fingerprint_containment_docs": _FP_CONTAINMENT_SQL,
         "bm25_docs": r"""
             WITH toks AS (

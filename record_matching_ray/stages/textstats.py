@@ -825,3 +825,32 @@ def bm25_scores(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+# GPT-2-style pretokenizer, restricted to RE2 (no lookahead) so pyarrow's
+# kernel and DuckDB's regexp_extract_all — both RE2, leftmost-first —
+# count IDENTICAL matches. The brief's "BPE-ish regex" token counter:
+# contractions, letter runs, digit runs, punctuation runs, whitespace.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats(batch: pa.Table) -> pa.Table:
+    """doc_id, n_bpe_tokens, n_ws_tokens — BPE-ish pretoken count next to
+    the whitespace count (their ratio is a tokenizer-cost estimator for
+    training-data budgeting). Fully vectorized: one RE2 kernel call for
+    the batch, no Python per row."""
+    import pyarrow.compute as pc
+
+    texts = batch.column("text")
+    n_bpe = pc.count_substring_regex(texts, BPE_PRETOKEN_RE)
+    txt = texts.to_pylist()
+    n_ws = np.fromiter(
+        (len(_WS_SPLIT.split(t.strip())) for t in txt), dtype=np.int64, count=len(txt)
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
+            "n_ws_tokens": pa.array(n_ws, pa.int64()),
+        }
+    )

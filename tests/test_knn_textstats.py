@@ -293,3 +293,18 @@ def test_bm25_vs_bruteforce():
         assert abs(got[i] - round(s, 6)) < 2e-6, (i, got[i], s)
     assert got[3] == 0.0
     assert got[4] > got[2] > 0.0
+
+
+def test_bpe_token_stats_counts():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["I've got 42 cats, don't I?", "hello  world", ""],
+        }
+    )
+    out = {r["doc_id"]: r for r in textstats.bpe_token_stats(t).to_pylist()}
+    # I | 've | " got" | " 42" | " cats" | "," | " don" | "'t" | " I" | "?"
+    assert out[1]["n_bpe_tokens"] == 10
+    assert out[2]["n_bpe_tokens"] == 3  # "hello" | "  " (ws run) | "world"
+    assert out[3]["n_bpe_tokens"] == 0
+    assert out[2]["n_ws_tokens"] == 2
