@@ -556,9 +556,15 @@ def _doc_completeness(sf_dir: str):
 
 
 def _semantic_search_docs(sf_dir: str):
+    """Text-query top-10 over the hashing-trick embedding space with md5
+    token hashes — DuckDB rebuilds the embedder itself (md5_number_lower
+    buckets, bit-32 signs), the query vector, every cosine and the
+    rank order, so the search is oracle-checked end to end."""
     from record_matching_ray.stages.search import semantic_search
 
-    return semantic_search(_docs(sf_dir), "spark table join window agg", k=10)
+    return semantic_search(
+        _docs(sf_dir), "spark table join window agg", k=10, token_hash="md5"
+    )
 
 
 def _media_type_stats_docs(sf_dir: str):
@@ -1585,10 +1591,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # winnowing: converted r2 the same way (md5 gram hashes).
         "doc_fingerprints": _doc_fingerprints,
         "doc_bpe_tokens": _doc_bpe_tokens,
-        # rows-only (mechanically hash/embedder-specific — not
-        # SQL-expressible; pytest-covered instead)
-        "canonical_documents": _canonical_documents,
+        # semantic search: converted r2 — with md5 token hashes the
+        # hashing-trick embedder is itself SQL-reproducible.
         "semantic_search_docs": _semantic_search_docs,
+        # rows-only (canonical's name extraction + ER cluster ids are
+        # engine-mechanical; pytest-covered instead)
+        "canonical_documents": _canonical_documents,
     }
 
 
@@ -1797,6 +1805,51 @@ def oracle_sql() -> dict[str, str]:
                    )) AS n_bpe_tokens,
                    len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
             FROM documents
+        """,
+        "semantic_search_docs": r"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ),
+            db AS (
+              SELECT doc_id, md5_number_lower(tok) % 64 AS b,
+                     CASE WHEN (md5_number_lower(tok) >> 32) & 1 = 1
+                          THEN 1.0 ELSE -1.0 END AS s
+              FROM dt
+            ),
+            dv AS (SELECT doc_id, b, sum(s) AS v FROM db GROUP BY 1, 2),
+            qt AS (
+              SELECT unnest(list_filter(string_split_regex(
+                       lower('spark table join window agg'), '\s+'),
+                       x -> x <> '')) AS tok
+            ),
+            qb AS (
+              SELECT md5_number_lower(tok) % 64 AS b,
+                     CASE WHEN (md5_number_lower(tok) >> 32) & 1 = 1
+                          THEN 1.0 ELSE -1.0 END AS s
+              FROM qt
+            ),
+            qv AS (SELECT b, sum(s) AS v FROM qb GROUP BY 1),
+            dotp AS (
+              SELECT dv.doc_id, sum(dv.v * qv.v) AS dp
+              FROM dv JOIN qv USING (b) GROUP BY 1
+            ),
+            nd AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM dv GROUP BY 1),
+            nq AS (SELECT sqrt(sum(v * v)) AS nrm FROM qv),
+            sc AS (
+              SELECT nd.doc_id,
+                     round(coalesce(dotp.dp, 0) / (nd.nrm * nq.nrm), 6)
+                       AS cos_sim
+              FROM nd LEFT JOIN dotp USING (doc_id) CROSS JOIN nq
+            ),
+            ranked AS (
+              SELECT doc_id, cos_sim,
+                     row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
+              FROM sc
+            )
+            SELECT doc_id, cos_sim, rank FROM ranked WHERE rank <= 10
         """,
         "fingerprint_containment_docs": _FP_CONTAINMENT_SQL,
         "bm25_docs": r"""

@@ -19,11 +19,17 @@ from record_matching_ray.functions.hashing import _U64
 
 
 def hashing_embed(
-    flat_token_hashes: np.ndarray, offsets: np.ndarray, dim: int = 64
+    flat_token_hashes: np.ndarray,
+    offsets: np.ndarray,
+    dim: int = 64,
+    dtype=np.float32,
 ) -> np.ndarray:
-    """(n, dim) float32 L2-normalized embeddings from concatenated token hashes."""
+    """(n, dim) L2-normalized embeddings from concatenated token hashes.
+    dtype=float64 keeps the normalization exact enough for round-6 SQL
+    parity (the bucket sums themselves are exact small integers either
+    way); float32 stays the storage default."""
     n = len(offsets) - 1
-    out = np.zeros((n, dim), dtype=np.float32)
+    out = np.zeros((n, dim), dtype=dtype)
     T = len(flat_token_hashes)
     if T:
         doc_idx = np.repeat(
@@ -31,7 +37,7 @@ def hashing_embed(
         )
         buckets = (flat_token_hashes % _U64(dim)).astype(np.int64)
         signs = np.where((flat_token_hashes >> _U64(32)) & _U64(1), 1.0, -1.0).astype(
-            np.float32
+            dtype
         )
         np.add.at(out, (doc_idx, buckets), signs)
     norms = np.linalg.norm(out, axis=1, keepdims=True)

@@ -28,18 +28,21 @@ from record_matching_ray.functions.hashing import hash_strings
 from record_matching_ray.stages.knn import _topk_merge
 
 
-def embed_texts(texts: list[str], dim: int = 64) -> np.ndarray:
-    """Deterministic (n, dim) float32 embeddings: lowercase whitespace
-    tokens -> hashing trick. Pure function — identical for query and
-    corpus sides, across processes and runs."""
+def embed_texts(
+    texts: list[str], dim: int = 64, hash_fn=None, dtype=np.float32
+) -> np.ndarray:
+    """Deterministic (n, dim) embeddings: lowercase whitespace tokens ->
+    hashing trick. Pure function — identical for query and corpus sides,
+    across processes and runs. hash_fn=md5_lower64 + dtype=float64 makes
+    the whole embedding DuckDB-reproducible (md5_number_lower buckets)."""
     toks: list[str] = []
     offsets = [0]
     for s in texts:
         tt = (s or "").lower().split()
         toks.extend(tt)
         offsets.append(len(toks))
-    hashes = hash_strings(toks)
-    return hashing_embed(hashes, np.asarray(offsets, dtype=np.int64), dim)
+    hashes = hash_strings(toks, hash_fn=hash_fn)
+    return hashing_embed(hashes, np.asarray(offsets, dtype=np.int64), dim, dtype)
 
 
 def semantic_search(
@@ -51,6 +54,7 @@ def semantic_search(
     text_col: str = "text",
     where_lang: str | None = None,
     lang_col: str = "lang",
+    token_hash: str = "blake",
 ) -> pa.Table:
     """Top-k (doc_id, cos_sim, rank) for one text query.
 
@@ -58,7 +62,11 @@ def semantic_search(
     query vector and keeps a local top-k; only batches*k candidate rows
     reach the driver merge. With ``where_lang`` the filter applies before
     embedding (the Qdrant payload-filter analog, poc2:1363-1376)."""
-    q = embed_texts([query], dim)[0].astype(np.float64)
+    from record_matching_ray.functions.hashing import md5_lower64
+
+    hash_fn = md5_lower64 if token_hash == "md5" else None
+    emb_dtype = np.float64 if token_hash == "md5" else np.float32
+    q = embed_texts([query], dim, hash_fn, emb_dtype)[0].astype(np.float64)
     qn = q / max(np.linalg.norm(q), 1e-30)
     q_ref = ray.put(qn)
 
@@ -74,7 +82,9 @@ def semantic_search(
                     "cos_sim": pa.array([], pa.float64()),
                 }
             )
-        mat = embed_texts(t.column(text_col).to_pylist(), dim).astype(np.float64)
+        mat = embed_texts(
+            t.column(text_col).to_pylist(), dim, hash_fn, emb_dtype
+        ).astype(np.float64)
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         sims = np.round((mat / norms) @ qv, 6)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
