@@ -655,6 +655,28 @@ def _doc_bpe_tokens(sf_dir: str):
     return _docs(sf_dir).map_batches(bpe_token_stats, batch_format="pyarrow")
 
 
+def _triangle_counts(sf_dir: str):
+    """Per-node triangle counts over the mutual-kNN (k=5) cosine graph
+    (stages/knn.mutual_knn_edges -> stages/graph.triangle_counts). The
+    oracle recomputes the exact kNN graph, the mutuality filter and the
+    triangle join in DuckDB."""
+    from record_matching_ray.stages.graph import triangle_counts
+    from record_matching_ray.stages.knn import mutual_knn_edges
+
+    return triangle_counts(mutual_knn_edges(_embs(sf_dir), k=5))
+
+
+def _dup_ngram_rate(sf_dir: str):
+    """Per-doc duplicated-span rate (stages/dupspans.dup_ngram_rate):
+    fraction of each doc's token 8-grams that occur in >= 2 distinct
+    documents — the measurement step of exact-substring training-data
+    dedup (Lee et al. 2022). The oracle recomputes gram multiplicities
+    and document frequencies from string grams in DuckDB."""
+    from record_matching_ray.stages.dupspans import dup_ngram_rate
+
+    return dup_ngram_rate(_docs(sf_dir), n=8)
+
+
 def _doc_fingerprints(sf_dir: str):
     """Winnowing fingerprints, exploded (doc_id, fp) with md5 gram
     hashes: DuckDB recomputes every k-char gram hash
@@ -1591,6 +1613,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # winnowing: converted r2 the same way (md5 gram hashes).
         "doc_fingerprints": _doc_fingerprints,
         "doc_bpe_tokens": _doc_bpe_tokens,
+        "dup_ngram_rate_docs": _dup_ngram_rate,
+        "knn_triangles": _triangle_counts,
         # semantic search: converted r2 — with md5 token hashes the
         # hashing-trick embedder is itself SQL-reproducible.
         "semantic_search_docs": _semantic_search_docs,
@@ -1805,6 +1829,62 @@ def oracle_sql() -> dict[str, str]:
                    )) AS n_bpe_tokens,
                    len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
             FROM documents
+        """,
+        "knn_triangles": r"""
+            WITH sims AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst,
+                     round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ),
+            rk AS (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src
+                                        ORDER BY cos DESC, dst) AS rn
+              FROM sims
+            ),
+            knn AS (SELECT src, dst FROM rk WHERE rn <= 5),
+            mutual AS (
+              SELECT least(a.src, a.dst) AS a, greatest(a.src, a.dst) AS b
+              FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+              WHERE a.src < a.dst
+            ),
+            e AS MATERIALIZED (SELECT DISTINCT a, b FROM mutual),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ) t GROUP BY 1
+        """,
+        "dup_ngram_rate_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ts
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1,
+                            greatest(len(ts) - 7, 0))) AS i) s
+            ),
+            gm AS (SELECT doc_id, g, count(*) AS m FROM grams GROUP BY 1, 2),
+            df AS (SELECT g, count(*) AS df FROM gm GROUP BY 1)
+            SELECT gm.doc_id AS doc_id,
+                   CAST(sum(gm.m) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN df.df >= 2 THEN gm.m ELSE 0 END)
+                        AS BIGINT) AS dup_grams,
+                   CAST(sum(CASE WHEN df.df >= 2 THEN gm.m ELSE 0 END)
+                        AS DOUBLE) / sum(gm.m) AS dup_frac
+            FROM gm JOIN df USING (g)
+            GROUP BY 1
         """,
         "semantic_search_docs": r"""
             WITH dt AS (

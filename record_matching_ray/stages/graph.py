@@ -253,3 +253,153 @@ def _pagerank_join(edges, nodes, n_nodes, iters, d, base, P):
         )
 
     return ranks.map_batches(round9, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (node-iterator on canonical edges)
+
+EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+TRI_SCHEMA = pa.schema([("node", pa.int64()), ("triangles", pa.int64())])
+
+
+def triangle_counts(
+    edges: ray.data.Dataset,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-node triangle counts of an undirected simple graph.
+
+    ``edges``: canonical (a, b) int64 with a < b, distinct. Node-iterator
+    on the id orientation: every triangle x < y < z is found exactly once
+    as wedge (y, z) centered at x closed by edge (y, z). Returns
+    (node, triangles) for nodes in >= 1 triangle.
+
+    Ray shape: wedge generation is ONE hash shuffle of the edge list
+    (pk = mix64(a) mod P, vectorized triu sweep per a-segment — the
+    repo's standard pk-partition pattern, cf. stages/temporal.py:49);
+    closing-edge detection is a TAGGED UNION of wedges and edges through
+    one more (a, b)-keyed shuffle (same design as the as-of join — no
+    Acero join, so a triangle-free / empty wedge side can't trip the
+    empty-partition join bug rayfix.py documents); per-node counting is
+    a groupby over 3 rows per triangle. Skew note: id orientation bounds
+    wedges per center by its degree^2 — for power-law graphs swap in
+    degree orientation before the sweep (not needed for kNN graphs,
+    whose degree is ~k by construction).
+    """
+    from record_matching_ray.functions.hashing import mix64
+    from record_matching_ray.stages.util import conformed, shuffle_partitions
+
+    P = num_partitions or shuffle_partitions()
+    edges = conformed(edges.select_columns(["a", "b"]), EDGE_SCHEMA)
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pk = (mix64(a) % np.uint64(P)).astype(np.int64)
+        return t.append_column("pk", pa.array(pk, pa.int64()))
+
+    WEDGE = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("center", pa.int64())]
+    )
+
+    def wedge_sweep(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return WEDGE.empty_table()
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        outs_l, outs_r, outs_c = [], [], []
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        bounds = np.r_[starts, len(a)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            nb = b[s:e]  # sorted ascending (lexsort tie order)
+            i, j = np.triu_indices(len(nb), k=1)
+            outs_l.append(nb[i])
+            outs_r.append(nb[j])
+            outs_c.append(np.full(len(i), a[s], dtype=np.int64))
+        if not outs_l:
+            return WEDGE.empty_table()
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(outs_l), pa.int64()),
+                "b": pa.array(np.concatenate(outs_r), pa.int64()),
+                "center": pa.array(np.concatenate(outs_c), pa.int64()),
+            }
+        )
+
+    wedges = conformed(
+        edges.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(
+            lambda g: wedge_sweep(g.drop_columns(["pk"])),
+            batch_format="pyarrow",
+        ),
+        WEDGE,
+    )
+
+    # tagged union: edge rows carry center = -1; a wedge (a, b, center)
+    # closes a triangle iff its (a, b) segment also holds an edge row.
+    TAGGED = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("center", pa.int64()), ("pk2", pa.int64())]
+    )
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        center = (
+            t.column("center").to_numpy(zero_copy_only=False)
+            if "center" in t.column_names
+            else np.full(len(a), -1, dtype=np.int64)
+        )
+        pk2 = (
+            mix64(mix64(a.astype(np.uint64)) ^ b.astype(np.uint64))
+            % np.uint64(P)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(a.astype(np.int64), pa.int64()),
+                "b": pa.array(b.astype(np.int64), pa.int64()),
+                "center": pa.array(center.astype(np.int64), pa.int64()),
+                "pk2": pa.array(pk2, pa.int64()),
+            }
+        )
+
+    tagged = conformed(
+        wedges.map_batches(tag_pairs, batch_format="pyarrow"), TAGGED
+    ).union(conformed(edges.map_batches(tag_pairs, batch_format="pyarrow"), TAGGED))
+
+    def close_sweep(g: pa.Table) -> pa.Table:
+        empty = pa.schema([("node", pa.int64())]).empty_table()
+        if g.num_rows == 0:
+            return empty
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        c = g.column("center").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, b, a))
+        a, b, c = a[order], b[order], c[order]
+        seg = np.cumsum(np.r_[0, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        has_edge = np.zeros(seg[-1] + 1, dtype=bool)
+        has_edge[seg[c == -1]] = True
+        keep = (c != -1) & has_edge[seg]
+        if not keep.any():
+            return empty
+        nodes = np.concatenate([a[keep], b[keep], c[keep]])
+        return pa.table({"node": pa.array(nodes, pa.int64())})
+
+    counts = (
+        tagged.groupby("pk2")
+        .map_groups(
+            lambda g: close_sweep(g.drop_columns(["pk2"])),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .count()
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "count()" not in t.column_names:
+            return TRI_SCHEMA.empty_table()
+        return t.rename_columns(["node", "triangles"]).cast(TRI_SCHEMA)
+
+    return conformed(counts.map_batches(finish, batch_format="pyarrow"), TRI_SCHEMA)

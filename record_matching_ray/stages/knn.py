@@ -318,3 +318,93 @@ def load_query_matrix(
     Q = _emb_matrix(t.column(emb_col))
     qids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     return Q, qids
+
+
+# ---------------------------------------------------------------------------
+# self-kNN graph (every vector is a query) -> mutual-kNN edge list
+
+
+def mutual_knn_edges(
+    embs: ray.data.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_broadcast_rows: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Undirected mutual-kNN graph: canonical (a, b) edges, a < b, where
+    each endpoint is in the other's exact cosine top-k.
+
+    The standard similarity graph behind embedding-space community /
+    triangle analysis. Plan: the (id-sorted, unit-normalized) embedding
+    matrix is broadcast ONCE via ray.put; each batch computes a
+    vectorized ``batch @ M.T`` and takes its rows' top-k. Directed edges
+    then take one hash shuffle — a pair is mutual iff its canonical
+    (min,max) key appears twice. Ranking matches knn_bruteforce:
+    (round(cos,6) desc, id asc), implemented batch-wide with a stable
+    argsort over id-ordered columns (no per-row Python loop).
+
+    Broadcast gate: requires the VECTOR SET to fit in the object store
+    (id-sorted matrix, ~dim x 8 bytes/row). Past ``max_broadcast_rows``
+    raise — at that scale use knn_lsh/knn_ivf candidates as the graph
+    instead (documented scale path, same downstream shape).
+    """
+    n_rows = embs.count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"mutual_knn_edges broadcast gate: {n_rows} rows > "
+            f"{max_broadcast_rows}; use the LSH/IVF candidate graph instead"
+        )
+    id_chunks, mat_chunks = [], []
+    for t in embs.select_columns([id_col, emb_col]).iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        id_chunks.append(t.column(id_col).to_numpy(zero_copy_only=False))
+        mat_chunks.append(_emb_matrix(t.column(emb_col)))
+    ids = np.concatenate(id_chunks) if id_chunks else np.empty(0, np.int64)
+    mat = (
+        np.concatenate(mat_chunks)
+        if mat_chunks
+        else np.empty((0, 1), np.float64)
+    )
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((ids, mat))
+
+    def local_knn(t: pa.Table) -> pa.Table:
+        all_ids, M = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        bmat = _emb_matrix(t.column(emb_col))
+        bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-30)
+        bids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sims = np.round(bmat @ M.T, 6)  # (n, N)
+        self_col = np.searchsorted(all_ids, bids)
+        hit = (self_col < len(all_ids)) & (all_ids[np.minimum(self_col, len(all_ids) - 1)] == bids)
+        sims[np.arange(len(bids))[hit], self_col[hit]] = -np.inf
+        # columns are id-ascending, so a STABLE argsort on -sims breaks
+        # rounded-cosine ties by id — same order as knn_bruteforce
+        kk = min(k, sims.shape[1] - 1)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]  # (n, kk)
+        src = np.repeat(bids, kk)
+        dst = all_ids[top.ravel()]
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    from record_matching_ray.stages.util import conformed
+
+    directed = conformed(
+        embs.map_batches(local_knn, batch_format="pyarrow"),
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )
+    cnt = directed.groupby(["a", "b"]).count()
+
+    def mutual_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "count()" not in t.column_names:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+        keep = pa.compute.equal(t.column("count()"), 2)
+        return t.filter(keep).select(["a", "b"])
+
+    return conformed(
+        cnt.map_batches(mutual_only, batch_format="pyarrow"),
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )

@@ -1,0 +1,94 @@
+"""triangle_counts (stages/graph.py) and mutual_knn_edges
+(stages/knn.py) vs brute-force oracles."""
+
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from record_matching_ray.stages.graph import triangle_counts
+from record_matching_ray.stages.knn import mutual_knn_edges
+
+
+def _edges(pairs):
+    a = [min(p) for p in pairs]
+    b = [max(p) for p in pairs]
+    return rd.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    ).repartition(3)
+
+
+def _tri_oracle(pairs):
+    es = {(min(p), max(p)) for p in pairs}
+    nodes = sorted({n for e in es for n in e})
+    cnt = {}
+    for x, y, z in combinations(nodes, 3):
+        if (x, y) in es and (y, z) in es and (x, z) in es:
+            for n in (x, y, z):
+                cnt[n] = cnt.get(n, 0) + 1
+    return cnt
+
+
+def test_triangle_counts_known_graph():
+    # K4 on {0,1,2,3} (4 triangles, 3 per node) + a pendant edge + an
+    # isolated triangle {10,11,12}
+    pairs = list(combinations(range(4), 2)) + [(3, 9), (10, 11), (11, 12), (10, 12)]
+    res = {r["node"]: r["triangles"] for r in triangle_counts(_edges(pairs)).take_all()}
+    assert res == _tri_oracle(pairs)
+    assert res[0] == 3 and res[10] == 1
+    assert 9 not in res  # pendant node: no triangle
+
+
+def test_triangle_counts_random_graph_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    n = 40
+    pairs = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(0, n, size=(220, 2))
+        if a != b
+    }
+    res = {r["node"]: r["triangles"] for r in triangle_counts(_edges(pairs)).take_all()}
+    assert res == _tri_oracle(pairs)
+
+
+def test_triangle_counts_triangle_free():
+    pairs = [(0, 1), (2, 3), (4, 5), (1, 2)]  # path + matching: no triangle
+    assert triangle_counts(_edges(pairs)).take_all() == []
+
+
+def test_mutual_knn_edges_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    n, dim, k = 60, 8, 3
+    mat = rng.normal(size=(n, dim))
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    embs = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, row)) for row in mat],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    ).repartition(4)
+
+    # brute-force oracle with the engine's exact ranking rule
+    m = mat.astype(np.float64)
+    m32 = mat.astype(np.float32).astype(np.float64)  # stored precision
+    unit = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    sims = np.round(unit @ unit.T, 6)
+    np.fill_diagonal(sims, -np.inf)
+    knn = set()
+    for i in range(n):
+        order = np.lexsort((ids, -sims[i]))[:k]
+        for j in order:
+            knn.add((int(ids[i]), int(ids[j])))
+    exp = {(min(s, d), max(s, d)) for (s, d) in knn if (d, s) in knn}
+
+    got = {
+        (r["a"], r["b"]) for r in mutual_knn_edges(embs, k=k).take_all()
+    }
+    assert got == exp
+    assert all(a < b for a, b in got)
