@@ -1547,6 +1547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": an.orders_rollup,
         "events_props_stats": an.events_props_stats,
         "lineitem_price_qty_corr": an.lineitem_price_qty_corr,
+        "local_supplier_volume": an.local_supplier_volume,
         "orders_running_total": an.orders_running_total,
         "customer_names_by_nation": an.customer_names_by_nation,
         "shipping_priority": an.shipping_priority,
@@ -1644,6 +1645,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": an.ORDERS_ROLLUP_SQL,
         "events_props_stats": an.EVENTS_PROPS_SQL,
         "lineitem_price_qty_corr": an.LINEITEM_CORR_SQL,
+        "local_supplier_volume": an.LOCAL_SUPPLIER_VOLUME_SQL,
         "orders_running_total": an.ORDERS_RUNNING_TOTAL_SQL,
         "customer_names_by_nation": an.CUSTOMER_NAMES_BY_NATION_SQL,
         "shipping_priority": an.SHIPPING_PRIORITY_SQL,

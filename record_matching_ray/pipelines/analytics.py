@@ -1150,3 +1150,294 @@ SELECT l_returnflag, n,
          AS corr_price_qty
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style local-supplier volume (6-table join, dual plans)
+
+
+def local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    max_broadcast: int = 5_000_000,
+    force_join: bool = False,
+) -> ray.data.Dataset:
+    """Revenue per nation from orders whose customer and line-supplier
+    share the nation, restricted to one region and a one-year window —
+    TPC-H Q5's shape over the test tables.
+
+    Two plans behind a counted gate (same split as the ER scorer and
+    pagerank):
+
+    - broadcast (customer+supplier <= max_broadcast rows): the two
+      key->nationkey maps are sorted arrays shipped once via ray.put;
+      orders and lineitem each take ONE scan with a vectorized
+      searchsorted attach, pre-aggregating revenue per (orderkey,
+      supp_nation) inside the batch. Only the single orderkey-keyed
+      hash join between the two fact streams shuffles.
+    - join (the 100 TB path, ``force_join=True`` or over the gate):
+      orders ⋈ customer and lineitem-partials ⋈ supplier as distributed
+      hash joins, then the same orderkey join. No driver-side structure
+      scales with the dims.
+
+    Output: (n_name, revenue_u) — revenue in exact integer micro-units
+    (cents x (100 - discount cents)), descending.
+    """
+    import datetime as _dt
+
+    lo = np.datetime64(_dt.datetime.fromisoformat(date_lo))
+    hi = np.datetime64(_dt.datetime.fromisoformat(date_hi))
+
+    # dim-side loads bypass Ray entirely: the broadcast plan is BY
+    # DEFINITION driver-bounded (gate below), so paying a distributed
+    # read's per-dataset floor x4 for tables we immediately collect is
+    # pure overhead (measured: 36 s -> ~8 s for the whole query at
+    # sf0.01/32 CPUs). The gate itself reads only parquet footers.
+    import pyarrow.parquet as _pq
+
+    nat = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pylist()
+    reg = _pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pylist()
+    region_keys = {r["r_regionkey"] for r in reg if r["r_name"] == region}
+    nk_in_region = np.sort(
+        np.array(
+            [n["n_nationkey"] for n in nat if n["n_regionkey"] in region_keys],
+            dtype=np.int64,
+        )
+    )
+    nk_name = {int(n["n_nationkey"]): n["n_name"] for n in nat}
+
+    def _key_map(table: str, key: str, val: str):
+        """Sorted (keys, vals) arrays of a dim table, driver-bounded."""
+        t = _pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key, val])
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(val).to_numpy(zero_copy_only=False)
+        o = np.argsort(k)
+        return k[o].astype(np.int64), v[o].astype(np.int64)
+
+    n_dims = (
+        _pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+        + _pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+    )
+    use_broadcast = (not force_join) and n_dims <= max_broadcast
+
+    ORD = pa.schema([("o_orderkey", pa.int64()), ("cust_nat", pa.int64())])
+    REV = pa.schema(
+        [("l_orderkey", pa.int64()), ("supp_nat", pa.int64()), ("rev_u", pa.int64())]
+    )
+
+    def _lookup(keys: np.ndarray, vals: np.ndarray, q: np.ndarray):
+        """vectorized key->val with -1 for misses."""
+        if len(keys) == 0:
+            return np.full(len(q), -1, dtype=np.int64)
+        idx = np.searchsorted(keys, q)
+        idx[idx >= len(keys)] = len(keys) - 1
+        out = vals[idx].copy()
+        out[keys[idx] != q] = -1
+        return out
+
+    def rev_partial(t: pa.Table, supp_nat: np.ndarray) -> pa.Table:
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_c = _cents(t.column("l_discount"))
+        rev = price_c * (100 - disc_c)
+        ok = supp_nat >= 0
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey").filter(pa.array(ok)),
+                    "supp_nat": pa.array(supp_nat[ok], pa.int64()),
+                    "rev_u": pa.array(rev[ok], pa.int64()),
+                }
+            ),
+            ["l_orderkey", "supp_nat"],
+        ).aggregate([("rev_u", "sum")])
+        return g.rename_columns(["l_orderkey", "supp_nat", "rev_u"])
+
+    if use_broadcast:
+        ck, cn = _key_map("customer", "c_custkey", "c_nationkey")
+        sk, sn = _key_map("supplier", "s_suppkey", "s_nationkey")
+        cust_ref = ray.put((ck, cn))
+        supp_ref = ray.put((sk, sn))
+
+        def orders_scan(t: pa.Table) -> pa.Table:
+            k, v = ray.get(cust_ref) if isinstance(cust_ref, ray.ObjectRef) else cust_ref
+            d = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+            keep = (d >= lo) & (d < hi)
+            t = t.filter(pa.array(keep))
+            nat_k = _lookup(k, v, t.column("o_custkey").to_numpy(zero_copy_only=False))
+            in_reg = np.isin(nat_k, nk_in_region)
+            return pa.table(
+                {
+                    "o_orderkey": t.column("o_orderkey").filter(pa.array(in_reg)),
+                    "cust_nat": pa.array(nat_k[in_reg], pa.int64()),
+                }
+            )
+
+        def li_scan(t: pa.Table) -> pa.Table:
+            k, v = ray.get(supp_ref) if isinstance(supp_ref, ray.ObjectRef) else supp_ref
+            supp_nat = _lookup(k, v, t.column("l_suppkey").to_numpy(zero_copy_only=False))
+            supp_nat[~np.isin(supp_nat, nk_in_region)] = -1
+            return rev_partial(t, supp_nat)
+
+        f_orders = conformed(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+                orders_scan, batch_format="pyarrow"
+            ),
+            ORD,
+        )
+        rev = conformed(
+            _read(
+                sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+            ).map_batches(li_scan, batch_format="pyarrow"),
+            REV,
+        )
+    else:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+        def orders_filter(t: pa.Table) -> pa.Table:
+            d = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+            keep = (d >= lo) & (d < hi)
+            return t.filter(pa.array(keep)).select(["o_orderkey", "o_custkey"])
+
+        f_orders = (
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+            .map_batches(orders_filter, batch_format="pyarrow")
+            .join(
+                cust,
+                join_type="inner",
+                num_partitions=8,
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+        )
+
+        def ord_shape(t: pa.Table) -> pa.Table:
+            nat_k = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            in_reg = np.isin(nat_k, nk_in_region)
+            return pa.table(
+                {
+                    "o_orderkey": t.column("o_orderkey").filter(pa.array(in_reg)),
+                    "cust_nat": pa.array(nat_k[in_reg], pa.int64()),
+                }
+            )
+
+        f_orders = conformed(
+            f_orders.map_batches(ord_shape, batch_format="pyarrow"), ORD
+        )
+
+        def li_partial_keyed(t: pa.Table) -> pa.Table:
+            price_c = _cents(t.column("l_extendedprice"))
+            disc_c = _cents(t.column("l_discount"))
+            rev = price_c * (100 - disc_c)
+            g = pa.TableGroupBy(
+                pa.table(
+                    {
+                        "l_orderkey": t.column("l_orderkey"),
+                        "l_suppkey": t.column("l_suppkey"),
+                        "rev_u": pa.array(rev, pa.int64()),
+                    }
+                ),
+                ["l_orderkey", "l_suppkey"],
+            ).aggregate([("rev_u", "sum")])
+            return g.rename_columns(["l_orderkey", "l_suppkey", "rev_u"])
+
+        li_part = _read(
+            sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        ).map_batches(li_partial_keyed, batch_format="pyarrow")
+        joined_s = li_part.join(
+            supp,
+            join_type="inner",
+            num_partitions=8,
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        )
+
+        def li_shape(t: pa.Table) -> pa.Table:
+            nat_k = t.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            in_reg = np.isin(nat_k, nk_in_region)
+            return pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey").filter(pa.array(in_reg)),
+                    "supp_nat": pa.array(nat_k[in_reg], pa.int64()),
+                    "rev_u": t.column("rev_u").filter(pa.array(in_reg)),
+                }
+            )
+
+        rev = conformed(joined_s.map_batches(li_shape, batch_format="pyarrow"), REV)
+
+    wide = rev.join(
+        f_orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def same_nation_partial(t: pa.Table) -> pa.Table:
+        cn_ = t.column("cust_nat").to_numpy(zero_copy_only=False)
+        sn_ = t.column("supp_nat").to_numpy(zero_copy_only=False)
+        keep = cn_ == sn_
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "nat": pa.array(sn_[keep], pa.int64()),
+                    "rev_u": t.column("rev_u").filter(pa.array(keep)),
+                }
+            ),
+            "nat",
+        ).aggregate([("rev_u", "sum")])
+        return g.rename_columns(["nat", "rev_u"])
+
+    per_nat = (
+        conformed(
+            wide.map_batches(same_nation_partial, batch_format="pyarrow"),
+            pa.schema([("nat", pa.int64()), ("rev_u", pa.int64())]),
+        )
+        .groupby("nat")
+        .sum("rev_u")
+        .rename_columns({"sum(rev_u)": "rev_u"})
+    )
+
+    def name_shape(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "nat" not in t.column_names:
+            return pa.schema(
+                [("n_name", pa.string()), ("revenue_u", pa.int64())]
+            ).empty_table()
+        names = [nk_name[int(x)] for x in t.column("nat").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_u": t.column("rev_u"),
+            }
+        )
+
+    return (
+        conformed(
+            per_nat.map_batches(name_shape, batch_format="pyarrow"),
+            pa.schema([("n_name", pa.string()), ("revenue_u", pa.int64())]),
+        )
+        .sort(["revenue_u", "n_name"], descending=[True, False])
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_u
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_u DESC, n_name
+"""
