@@ -666,6 +666,16 @@ def _triangle_counts(sf_dir: str):
     return triangle_counts(mutual_knn_edges(_embs(sf_dir), k=5))
 
 
+def _cooccurrence_pmi(sf_dir: str):
+    """Skip-gram (window=3) token co-occurrence with PMI scoring
+    (stages/cooccurrence.cooccurrence_pmi) — the collocation primitive
+    behind word2vec-style corpus prep. The oracle recomputes positional
+    pairs, counts and the exact PMI expression in DuckDB."""
+    from record_matching_ray.stages.cooccurrence import cooccurrence_pmi
+
+    return cooccurrence_pmi(_docs(sf_dir), window=3, min_count=5)
+
+
 def _dup_ngram_rate(sf_dir: str):
     """Per-doc duplicated-span rate (stages/dupspans.dup_ngram_rate):
     fraction of each doc's token 8-grams that occur in >= 2 distinct
@@ -1616,6 +1626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": _doc_bpe_tokens,
         "dup_ngram_rate_docs": _dup_ngram_rate,
         "knn_triangles": _triangle_counts,
+        "cooccurrence_pmi_docs": _cooccurrence_pmi,
         # semantic search: converted r2 — with md5 token hashes the
         # hashing-trick embedder is itself SQL-reproducible.
         "semantic_search_docs": _semantic_search_docs,
@@ -1831,6 +1842,39 @@ def oracle_sql() -> dict[str, str]:
                    )) AS n_bpe_tokens,
                    len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
             FROM documents
+        """,
+        "cooccurrence_pmi_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     generate_subscripts(ts, 1) AS p
+              FROM toks
+            ),
+            pairs AS (
+              SELECT least(a.tok, b.tok) AS x, greatest(a.tok, b.tok) AS y
+              FROM pos a JOIN pos b
+                ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 3
+            ),
+            pc AS (SELECT x, y, count(*) AS c FROM pairs GROUP BY 1, 2),
+            uni AS (SELECT tok, count(*) AS c FROM pos GROUP BY 1),
+            tot AS (
+              SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM pc) AS np,
+                     (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS nt
+            )
+            SELECT pc.x AS tok_x, pc.y AS tok_y,
+                   CAST(pc.c AS BIGINT) AS pair_count,
+                   ln((pc.c / tot.np)
+                      / ((ux.c / tot.nt) * (uy.c / tot.nt))) AS pmi
+            FROM pc
+            CROSS JOIN tot
+            JOIN uni ux ON ux.tok = pc.x
+            JOIN uni uy ON uy.tok = pc.y
+            WHERE pc.c >= 5
         """,
         "knn_triangles": r"""
             WITH sims AS (
