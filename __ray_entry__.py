@@ -666,6 +666,28 @@ def _triangle_counts(sf_dir: str):
     return triangle_counts(mutual_knn_edges(_embs(sf_dir), k=5))
 
 
+def _embedding_dim_stats(sf_dir: str):
+    """Per-dimension embedding profile (stages/vectorstats.py):
+    dimension-bounded moment rows merged by one tiny groupby. Oracle:
+    unnest + the same explicit-moment std expression."""
+    from record_matching_ray.stages.vectorstats import embedding_dim_stats
+
+    return embedding_dim_stats(_embs(sf_dir))
+
+
+def _user_funnel(sf_dir: str):
+    """Sequential view->click->purchase funnel per user
+    (stages/temporal.funnel_steps): step k counts only strictly after
+    the earliest valid step k-1 time. Oracle: chained min-after-min
+    CTEs."""
+    from record_matching_ray.stages.temporal import funnel_steps
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_steps(events, steps=("view", "click", "purchase"))
+
+
 def _cooccurrence_pmi(sf_dir: str):
     """Skip-gram (window=3) token co-occurrence with PMI scoring
     (stages/cooccurrence.cooccurrence_pmi) — the collocation primitive
@@ -1627,6 +1649,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_rate_docs": _dup_ngram_rate,
         "knn_triangles": _triangle_counts,
         "cooccurrence_pmi_docs": _cooccurrence_pmi,
+        "user_funnel": _user_funnel,
+        "order_fulfillment": an.order_fulfillment,
+        "embedding_dim_stats": _embedding_dim_stats,
         # semantic search: converted r2 — with md5 token hashes the
         # hashing-trick embedder is itself SQL-reproducible.
         "semantic_search_docs": _semantic_search_docs,
@@ -1657,6 +1682,54 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": an.EVENTS_PROPS_SQL,
         "lineitem_price_qty_corr": an.LINEITEM_CORR_SQL,
         "local_supplier_volume": an.LOCAL_SUPPLIER_VOLUME_SQL,
+        "order_fulfillment": an.ORDER_FULFILLMENT_SQL,
+        "embedding_dim_stats": r"""
+            WITH x AS (
+              SELECT generate_subscripts(embedding, 1) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings
+            ),
+            s AS (
+              SELECT dim, count(*) AS n, SUM(v) AS s, SUM(v * v) AS s2,
+                     min(v) AS mn, max(v) AS mx
+              FROM x GROUP BY 1
+            )
+            SELECT dim, CAST(n AS BIGINT) AS n,
+                   s / n AS mean,
+                   sqrt(greatest(s2 / n - (s / n) * (s / n), 0)) AS std,
+                   mn AS vmin, mx AS vmax
+            FROM s
+        """,
+        "user_funnel": r"""
+            WITH f AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            u AS (SELECT DISTINCT user_id FROM f),
+            s1 AS (
+              SELECT user_id, min(ts) AS t FROM f
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+              SELECT f.user_id, min(f.ts) AS t
+              FROM f JOIN s1 USING (user_id)
+              WHERE f.event_type = 'click' AND f.ts > s1.t GROUP BY 1
+            ),
+            s3 AS (
+              SELECT f.user_id, min(f.ts) AS t
+              FROM f JOIN s2 USING (user_id)
+              WHERE f.event_type = 'purchase' AND f.ts > s2.t GROUP BY 1
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             WHEN s1.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS steps_completed
+            FROM u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+        """,
         "orders_running_total": an.ORDERS_RUNNING_TOTAL_SQL,
         "customer_names_by_nation": an.CUSTOMER_NAMES_BY_NATION_SQL,
         "shipping_priority": an.SHIPPING_PRIORITY_SQL,

@@ -1441,3 +1441,137 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
 GROUP BY n_name
 ORDER BY revenue_u DESC, n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER join via tagged union (orders with/without shipped lines)
+
+
+def order_fulfillment(sf_dir: str, cutoff: str = "1996-07-01") -> ray.data.Dataset:
+    """Per-order shipped-line summary that KEEPS orders with no shipped
+    lines — the left-outer-join shape, expressed as a tagged union:
+
+    orders emit (key, total_c, is_order=1, 0 lines, 0 revenue); shipped
+    lineitems emit per-batch pre-aggregated (key, 0, 0, n, rev_u); one
+    groupby(key) sums the tags — so the 'outer' side needs NO join
+    operator at all (and no Acero empty-partition hazard), just the same
+    single hash shuffle an inner aggregate would use. Orders-side rows
+    are identified by is_order >= 1; line rows for unknown orders (none
+    under TPC-H referential integrity) drop out the same way a left join
+    would drop them.
+
+    Output: (o_orderkey, total_c, n_shipped_lines, shipped_rev_u) — money
+    in exact integer cents / micro-units."""
+    import datetime as _dt
+
+    cut = np.datetime64(_dt.datetime.fromisoformat(cutoff))
+    ACC = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("total_c", pa.int64()),
+            ("is_order", pa.int64()),
+            ("n_lines", pa.int64()),
+            ("rev_u", pa.int64()),
+        ]
+    )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "total_c": pa.array(_cents(t.column("o_totalprice")), pa.int64()),
+                "is_order": pa.array(np.ones(n, np.int64), pa.int64()),
+                "n_lines": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "rev_u": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(d <= cut))
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_c = _cents(t.column("l_discount"))
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "o_orderkey": t.column("l_orderkey"),
+                    "n_lines": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                    "rev_u": pa.array(price_c * (100 - disc_c), pa.int64()),
+                }
+            ),
+            "o_orderkey",
+        ).aggregate([("n_lines", "sum"), ("rev_u", "sum")])
+        g = g.rename_columns(["o_orderkey", "n_lines", "rev_u"])
+        n = g.num_rows
+        return pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "total_c": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "is_order": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "n_lines": g.column("n_lines"),
+                "rev_u": g.column("rev_u"),
+            }
+        )
+
+    orders = conformed(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+            order_rows, batch_format="pyarrow"
+        ),
+        ACC,
+    )
+    lines = conformed(
+        _read(
+            sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        ).map_batches(line_rows, batch_format="pyarrow"),
+        ACC,
+    )
+    acc = (
+        orders.union(lines)
+        .groupby("o_orderkey")
+        .aggregate(
+            ray.data.aggregate.Sum("total_c"),
+            ray.data.aggregate.Sum("is_order"),
+            ray.data.aggregate.Sum("n_lines"),
+            ray.data.aggregate.Sum("rev_u"),
+        )
+    )
+
+    OUT = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("total_c", pa.int64()),
+            ("n_shipped_lines", pa.int64()),
+            ("shipped_rev_u", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(is_order)" not in t.column_names:
+            return OUT.empty_table()
+        keep = pa.compute.greater_equal(t.column("sum(is_order)"), 1)
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "total_c": t.column("sum(total_c)"),
+                "n_shipped_lines": t.column("sum(n_lines)"),
+                "shipped_rev_u": t.column("sum(rev_u)"),
+            }
+        )
+
+    return conformed(acc.map_batches(finish, batch_format="pyarrow"), OUT)
+
+
+ORDER_FULFILLMENT_SQL = """
+SELECT o.o_orderkey,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_c,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_shipped_lines,
+       CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))), 0)
+            AS BIGINT) AS shipped_rev_u
+FROM orders o
+LEFT JOIN (SELECT * FROM lineitem WHERE l_shipdate <= TIMESTAMP '1996-07-01') l
+       ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_totalprice
+"""

@@ -794,3 +794,100 @@ def ntile_per_group(
         .groupby("pk")
         .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# sequential funnel
+
+
+def funnel_steps(
+    events: ray.data.Dataset,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Sequential conversion funnel: per user, how many of ``steps`` were
+    completed IN ORDER — step k counts only if an event of its type
+    occurs strictly after the user's earliest valid step k-1 time.
+
+    Output (user_id, steps_completed) for every user with at least one
+    event of any step type (0 if none of them is the first step).
+
+    Ray shape: non-step events are dropped AT THE SCAN (the stream that
+    shuffles is only funnel-relevant rows); then the standard pk-by-user
+    hash partition and ONE vectorized sweep — per step, a masked
+    ``np.minimum.at`` computes every user's earliest valid time
+    simultaneously (loop over the fixed step list, never over users).
+    Determinism: ties (equal timestamps) require STRICTLY increasing
+    times between steps, so the result is order-independent."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+    step_list = [str(s) for s in steps]
+    step_idx = {s: i for i, s in enumerate(step_list)}
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        typ = t.column(type_col).to_pylist()
+        sidx = np.array([step_idx.get(x, -1) for x in typ], dtype=np.int64)
+        keep = sidx >= 0
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        ts = (
+            t.column(ts_col)
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)[keep]
+        )
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(keys.astype(_U64)) % _U64(P)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "k": pa.array(keys, pa.int64()),
+                "t": pa.array(ts, pa.int64()),
+                "s": pa.array(sidx[keep], pa.int64()),
+            }
+        )
+
+    OUT = pa.schema([("user_id", pa.int64()), ("steps_completed", pa.int64())])
+    SENTINEL = np.iinfo(np.int64).max
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return OUT.empty_table()
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        ts = g.column("t").to_numpy(zero_copy_only=False)
+        sidx = g.column("s").to_numpy(zero_copy_only=False)
+        uk, seg = np.unique(k, return_inverse=True)
+        prev = np.full(len(uk), np.iinfo(np.int64).min, dtype=np.int64)
+        completed = np.zeros(len(uk), dtype=np.int64)
+        alive = np.ones(len(uk), dtype=bool)
+        for si in range(len(step_list)):
+            cand = (sidx == si) & alive[seg] & (ts > prev[seg])
+            best = np.full(len(uk), SENTINEL, dtype=np.int64)
+            np.minimum.at(best, seg[cand], ts[cand])
+            hit = best < SENTINEL
+            completed[hit] += 1
+            prev = best
+            alive = alive & hit
+            if not alive.any():
+                break
+        return pa.table(
+            {
+                "user_id": pa.array(uk, pa.int64()),
+                "steps_completed": pa.array(completed, pa.int64()),
+            }
+        )
+
+    from record_matching_ray.stages.util import conformed
+
+    return conformed(
+        events.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(
+            lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow"
+        ),
+        OUT,
+    )

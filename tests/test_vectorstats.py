@@ -1,0 +1,50 @@
+"""embedding_dim_stats (stages/vectorstats.py) vs numpy on known data."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from record_matching_ray.stages.vectorstats import embedding_dim_stats
+
+
+def test_dim_stats_match_numpy():
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(50, 6)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(4)
+    rows = sorted(embedding_dim_stats(ds).take_all(), key=lambda r: r["dim"])
+    m = mat.astype(np.float64)
+    assert [r["dim"] for r in rows] == list(range(1, 7))
+    for d, r in enumerate(rows):
+        assert r["n"] == 50
+        assert abs(r["mean"] - m[:, d].mean()) < 1e-9
+        assert abs(r["std"] - m[:, d].std()) < 1e-9
+        assert r["vmin"] == m[:, d].min() and r["vmax"] == m[:, d].max()
+
+
+def test_dim_stats_partitioning_independent():
+    mat = np.arange(12, dtype=np.float32).reshape(4, 3)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(4), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    a = sorted(
+        embedding_dim_stats(rd.from_arrow(tbl)).take_all(), key=lambda r: r["dim"]
+    )
+    b = sorted(
+        embedding_dim_stats(rd.from_arrow(tbl).repartition(4)).take_all(),
+        key=lambda r: r["dim"],
+    )
+    assert a == b
