@@ -666,6 +666,18 @@ def _triangle_counts(sf_dir: str):
     return triangle_counts(mutual_knn_edges(_embs(sf_dir), k=5))
 
 
+def _cohort_retention(sf_dir: str):
+    """Daily cohort retention (stages/temporal.cohort_retention): one
+    user-keyed shuffle derives cohort day + distinct active days in a
+    single sweep. Oracle: date_trunc/datediff CTEs."""
+    from record_matching_ray.stages.temporal import cohort_retention
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return cohort_retention(events, granularity="day")
+
+
 def _embedding_dim_stats(sf_dir: str):
     """Per-dimension embedding profile (stages/vectorstats.py):
     dimension-bounded moment rows merged by one tiny groupby. Oracle:
@@ -1652,6 +1664,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": _user_funnel,
         "order_fulfillment": an.order_fulfillment,
         "embedding_dim_stats": _embedding_dim_stats,
+        "cohort_retention": _cohort_retention,
+        "orders_cube": an.orders_cube,
+        "event_value_outliers": an.event_value_outliers,
         # semantic search: converted r2 — with md5 token hashes the
         # hashing-trick embedder is itself SQL-reproducible.
         "semantic_search_docs": _semantic_search_docs,
@@ -1683,6 +1698,24 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_price_qty_corr": an.LINEITEM_CORR_SQL,
         "local_supplier_volume": an.LOCAL_SUPPLIER_VOLUME_SQL,
         "order_fulfillment": an.ORDER_FULFILLMENT_SQL,
+        "orders_cube": an.ORDERS_CUBE_SQL,
+        "event_value_outliers": an.EVENT_OUTLIERS_SQL,
+        "cohort_retention": r"""
+            WITH f AS (
+              SELECT user_id, date_trunc('day', min(ts)) AS cm
+              FROM events GROUP BY 1
+            ),
+            a AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS am
+              FROM events
+            )
+            SELECT CAST(f.cm AS TIMESTAMP) AS cohort_period,
+                   CAST(datediff('day', f.cm, a.am) AS BIGINT)
+                     AS offset_periods,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
         "embedding_dim_stats": r"""
             WITH x AS (
               SELECT generate_subscripts(embedding, 1) AS dim,

@@ -1575,3 +1575,198 @@ LEFT JOIN (SELECT * FROM lineitem WHERE l_shipdate <= TIMESTAMP '1996-07-01') l
        ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderkey, o.o_totalprice
 """
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets (shared-scan multi-level aggregate)
+
+
+def orders_cube(sf_dir: str) -> ray.data.Dataset:
+    """Order count + exact total cents for every grouping set of
+    CUBE(o_orderpriority, o_orderstatus), rolled-up levels labeled
+    'ALL'. Ray shape: the scan emits all four grouping-set keys per
+    batch (pre-combined with pa.TableGroupBy), so ONE pass over orders
+    and one small shuffle serve all 2^2 levels — the shared-scan
+    grouping-sets plan."""
+    ACC = pa.schema(
+        [
+            ("o_orderpriority", pa.string()),
+            ("o_orderstatus", pa.string()),
+            ("n_orders", pa.int64()),
+            ("total_c", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "o_orderstatus": t.column("o_orderstatus"),
+                "total_c": pa.array(_cents(t.column("o_totalprice")), pa.int64()),
+            }
+        )
+        alls = pa.array(["ALL"] * t.num_rows, pa.string())
+        sets = []
+        for pcol, scol in (
+            (base.column("o_orderpriority"), base.column("o_orderstatus")),
+            (base.column("o_orderpriority"), alls),
+            (alls, base.column("o_orderstatus")),
+            (alls, alls),
+        ):
+            g = pa.TableGroupBy(
+                pa.table(
+                    {
+                        "o_orderpriority": pcol,
+                        "o_orderstatus": scol,
+                        "n_orders": pa.array(np.ones(t.num_rows, np.int64)),
+                        "total_c": base.column("total_c"),
+                    }
+                ),
+                ["o_orderpriority", "o_orderstatus"],
+            ).aggregate([("n_orders", "sum"), ("total_c", "sum")])
+            sets.append(
+                g.rename_columns(
+                    ["o_orderpriority", "o_orderstatus", "n_orders", "total_c"]
+                )
+            )
+        return pa.concat_tables(sets).cast(ACC)
+
+    acc = (
+        conformed(
+            _read(
+                sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+            ).map_batches(partial, batch_format="pyarrow"),
+            ACC,
+        )
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(
+            ray.data.aggregate.Sum("n_orders"),
+            ray.data.aggregate.Sum("total_c"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(n_orders)" not in t.column_names:
+            return ACC.empty_table()
+        return t.rename_columns(
+            ["o_orderpriority", "o_orderstatus", "n_orders", "total_c"]
+        ).cast(ACC)
+
+    return conformed(acc.map_batches(finish, batch_format="pyarrow"), ACC)
+
+
+ORDERS_CUBE_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# z-score outliers (two-pass: tiny aggregate -> broadcast filter)
+
+
+def event_value_outliers(sf_dir: str, z_threshold: float = 3.0) -> ray.data.Dataset:
+    """Events whose value deviates more than ``z_threshold`` population
+    standard deviations from their event_type's mean.
+
+    Ray shape: pass 1 reduces the stream to TYPE-bounded moment rows
+    (per-batch partial combine, one tiny groupby); the per-type (mean,
+    std) table is broadcast via ray.put; pass 2 is a stateless scan
+    filter. Both sides compute std as sqrt(max(s2/n - mean^2, 0)) so the
+    oracle shares the expression tree."""
+    MOM = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("s", pa.float64()),
+            ("s2", pa.float64()),
+        ]
+    )
+
+    def mom_partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "n": pa.array(np.ones(len(v), np.int64)),
+                    "s": pa.array(v, pa.float64()),
+                    "s2": pa.array(v * v, pa.float64()),
+                }
+            ),
+            "event_type",
+        ).aggregate([("n", "sum"), ("s", "sum"), ("s2", "sum")])
+        return g.rename_columns(["event_type", "n", "s", "s2"]).cast(MOM)
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    mom = (
+        conformed(ev.map_batches(mom_partial, batch_format="pyarrow"), MOM)
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("n"),
+            ray.data.aggregate.Sum("s"),
+            ray.data.aggregate.Sum("s2"),
+        )
+    )
+    stats: dict[str, tuple[float, float]] = {}
+    for b in mom.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if b.num_rows == 0 or "sum(n)" not in b.column_names:
+            continue
+        for r in b.to_pylist():
+            n = float(r["sum(n)"])
+            mean = r["sum(s)"] / n
+            std = float(np.sqrt(max(r["sum(s2)"] / n - mean * mean, 0.0)))
+            stats[r["event_type"]] = (mean, std)
+    stats_ref = ray.put(stats)
+
+    OUT = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("z", pa.float64()),
+        ]
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref) if isinstance(stats_ref, ray.ObjectRef) else stats_ref
+        types = t.column("event_type").to_pylist()
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = np.array([st.get(x, (0.0, 0.0))[0] for x in types])
+        std = np.array([st.get(x, (0.0, 0.0))[1] for x in types])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(std > 0, (v - mean) / std, 0.0)
+        keep = np.abs(z) > z_threshold
+        return pa.table(
+            {
+                "event_id": t.column("event_id").filter(pa.array(keep)),
+                "event_type": t.column("event_type").filter(pa.array(keep)),
+                "value": pa.array(v[keep], pa.float64()),
+                "z": pa.array(z[keep], pa.float64()),
+            }
+        )
+
+    return conformed(ev.map_batches(flag, batch_format="pyarrow"), OUT)
+
+
+EVENT_OUTLIERS_SQL = """
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         SUM(CAST(value AS DOUBLE)) AS s,
+         SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS s2
+  FROM events GROUP BY 1
+),
+st AS (
+  SELECT event_type, s / n AS mean,
+         sqrt(greatest(s2 / n - (s / n) * (s / n), 0)) AS std
+  FROM s
+)
+SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+       (e.value - st.mean) / st.std AS z
+FROM events e JOIN st USING (event_type)
+WHERE st.std > 0 AND abs((e.value - st.mean) / st.std) > 3.0
+"""

@@ -891,3 +891,124 @@ def funnel_steps(
         ),
         OUT,
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+
+
+def cohort_retention(
+    events: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "month",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Cohort retention at ``granularity`` ('month' or 'day'): users
+    grouped by their first-event period; one output row per
+    (cohort period, offset periods) counting the distinct users from
+    that cohort active in that period.
+
+    Ray shape: ONE user-keyed hash shuffle (the standard pk pattern) —
+    the per-partition sweep derives each user's cohort month (min ts)
+    and distinct active months in the same pass, emitting bounded
+    (cohort, offset) rows; a tiny groupby sums user counts. No join: a
+    user's history is co-partitioned by construction. Months are
+    datetime64[M] ordinals, so offset arithmetic is integer-exact and
+    matches SQL date_trunc/datediff."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+    if granularity not in ("month", "day"):
+        raise ValueError(f"granularity must be month|day, got {granularity}")
+    unit = "M" if granularity == "month" else "D"
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(keys.astype(_U64)) % _U64(P)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "k": pa.array(keys, pa.int64()),
+                "t": t.column(ts_col),
+            }
+        )
+
+    PART = pa.schema(
+        [
+            ("cohort_m", pa.int64()),
+            ("offset_periods", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return PART.empty_table()
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        months = (
+            g.column("t")
+            .to_numpy(zero_copy_only=False)
+            .astype(f"datetime64[{unit}]")
+            .astype(np.int64)
+        )
+        # distinct (user, month), then per-user first month by sort order
+        order = np.lexsort((months, k))
+        k_s, m_s = k[order], months[order]
+        first_row = np.r_[True, k_s[1:] != k_s[:-1]]
+        seg = np.cumsum(first_row) - 1
+        cohort = m_s[first_row][seg]  # per row: its user's first month
+        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (m_s[1:] != m_s[:-1])]
+        g2 = pa.TableGroupBy(
+            pa.table(
+                {
+                    "cohort_m": pa.array(cohort[keep], pa.int64()),
+                    "offset_periods": pa.array(
+                        (m_s - cohort)[keep], pa.int64()
+                    ),
+                }
+            ),
+            ["cohort_m", "offset_periods"],
+        ).aggregate([([], "count_all")])
+        return g2.rename_columns(["cohort_m", "offset_periods", "n"]).cast(PART)
+
+    from record_matching_ray.stages.util import conformed
+
+    part = conformed(
+        events.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(
+            lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow"
+        ),
+        PART,
+    )
+    acc = part.groupby(["cohort_m", "offset_periods"]).sum("n")
+
+    OUT = pa.schema(
+        [
+            ("cohort_period", pa.timestamp("us")),
+            ("offset_periods", pa.int64()),
+            ("n_users", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(n)" not in t.column_names:
+            return OUT.empty_table()
+        cm = (
+            t.column("cohort_m")
+            .to_numpy(zero_copy_only=False)
+            .astype(f"datetime64[{unit}]")
+            .astype("datetime64[us]")
+        )
+        return pa.table(
+            {
+                "cohort_period": pa.array(cm, pa.timestamp("us")),
+                "offset_periods": t.column("offset_periods"),
+                "n_users": t.column("sum(n)"),
+            }
+        )
+
+    return conformed(acc.map_batches(finish, batch_format="pyarrow"), OUT)
