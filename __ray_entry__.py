@@ -666,6 +666,64 @@ def _triangle_counts(sf_dir: str):
     return triangle_counts(mutual_knn_edges(_embs(sf_dir), k=5))
 
 
+def _knn_kcore(sf_dir: str):
+    """k-core (k=3) of the mutual-kNN cosine graph via fixed-round
+    synchronous peeling (stages/graph.k_core). Oracle: the same rounds
+    unrolled as chained DuckDB CTEs (pagerank-style)."""
+    from record_matching_ray.stages.graph import k_core
+    from record_matching_ray.stages.knn import mutual_knn_edges
+
+    return k_core(mutual_knn_edges(_embs(sf_dir), k=5), k=3, rounds=6)
+
+
+_KNN_EDGES_CTE = r"""
+sims AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_cosine_similarity(
+           CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])), 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+rk AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+  FROM sims
+),
+knn AS (SELECT src, dst FROM rk WHERE rn <= 5),
+mutual AS (
+  SELECT least(a.src, a.dst) AS a, greatest(a.src, a.dst) AS b
+  FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+  WHERE a.src < a.dst
+),
+e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM mutual)
+"""
+
+
+def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled synchronous-peeling CTE chain over the mutual-kNN graph
+    — the same fixed rounds stages/graph.k_core runs."""
+    parts = [_KNN_EDGES_CTE]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+d{i} AS (SELECT node, count(*) AS c FROM (
+  SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) t GROUP BY 1),
+s{i} AS (SELECT node FROM d{i} WHERE c >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN s{i} x ON e.a = x.node JOIN s{i} y ON e.b = y.node)"""
+        )
+        prev = f"e{i}"
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+  SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) t GROUP BY 1"""
+    )
+
+
 def _cohort_retention(sf_dir: str):
     """Daily cohort retention (stages/temporal.cohort_retention): one
     user-keyed shuffle derives cohort day + distinct active days in a
@@ -1665,6 +1723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_fulfillment": an.order_fulfillment,
         "embedding_dim_stats": _embedding_dim_stats,
         "cohort_retention": _cohort_retention,
+        "knn_kcore": _knn_kcore,
         "orders_cube": an.orders_cube,
         "event_value_outliers": an.event_value_outliers,
         # semantic search: converted r2 — with md5 token hashes the
@@ -1699,6 +1758,7 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": an.LOCAL_SUPPLIER_VOLUME_SQL,
         "order_fulfillment": an.ORDER_FULFILLMENT_SQL,
         "orders_cube": an.ORDERS_CUBE_SQL,
+        "knn_kcore": _kcore_sql(k=3, rounds=6),
         "event_value_outliers": an.EVENT_OUTLIERS_SQL,
         "cohort_retention": r"""
             WITH f AS (

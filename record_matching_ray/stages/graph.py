@@ -403,3 +403,116 @@ def triangle_counts(
         return t.rename_columns(["node", "triangles"]).cast(TRI_SCHEMA)
 
     return conformed(counts.map_batches(finish, batch_format="pyarrow"), TRI_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round synchronous peeling)
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    k: int = 3,
+    rounds: int = 8,
+    max_broadcast_nodes: int = 10_000_000,
+) -> ray.data.Dataset:
+    """Nodes surviving ``rounds`` synchronous peels of degree < k, with
+    their within-core degree: (node, core_deg).
+
+    Synchronous peeling (one round removes ALL current degree<k nodes at
+    once) converges to the true k-core; a fixed round count makes the
+    result deterministic and SQL-reproducible — the DuckDB oracle unrolls
+    the same rounds as chained CTEs (same design as pagerank's oracle).
+    Converged rounds are no-ops on both sides, so ``rounds`` only needs
+    to exceed the peel depth, not match it exactly.
+
+    ``edges``: canonical (a, b) int64, a < b, distinct.
+
+    Ray shape: per round, ONE degree groupby over the (shrinking) edge
+    list; the survivor set — bounded by the node count, not the edge
+    count — broadcasts via ray.put into a vectorized membership filter
+    (sorted-array searchsorted), and the filtered edge list is
+    materialized to keep lineage flat across rounds (same per-iteration
+    materialize as pagerank's join plan). For graphs whose SURVIVOR SET
+    exceeds ``max_broadcast_nodes``, swap the membership filter for two
+    semi-joins on (a) and (b) — the gate raises rather than silently
+    degrading."""
+    from record_matching_ray.stages.util import conformed
+
+    EDGE = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    OUT = pa.schema([("node", pa.int64()), ("core_deg", pa.int64())])
+    cur = conformed(edges.select_columns(["a", "b"]), EDGE).materialize()
+
+    def degrees(es: ray.data.Dataset) -> ray.data.Dataset:
+        def both(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            g = pa.TableGroupBy(
+                pa.table({"node": pa.array(np.concatenate([a, b]), pa.int64())}),
+                "node",
+            ).aggregate([([], "count_all")])
+            return g.rename_columns(["node", "deg"])
+
+        out = (
+            es.map_batches(both, batch_format="pyarrow")
+            .groupby("node")
+            .sum("deg")
+            .rename_columns({"sum(deg)": "deg"})
+        )
+        return conformed(out, pa.schema([("node", pa.int64()), ("deg", pa.int64())]))
+
+    n_prev = cur.count()
+    for _ in range(rounds):
+        if n_prev == 0:
+            break
+        deg = degrees(cur)
+
+        keep_chunks = []
+        for t in deg.iter_batches(batch_format="pyarrow", batch_size=65536):
+            if t.num_rows == 0 or "node" not in t.column_names:
+                continue
+            d = t.column("deg").to_numpy(zero_copy_only=False)
+            keep_chunks.append(
+                t.column("node").to_numpy(zero_copy_only=False)[d >= k]
+            )
+        survivors = (
+            np.sort(np.concatenate(keep_chunks))
+            if keep_chunks
+            else np.empty(0, np.int64)
+        )
+        if len(survivors) > max_broadcast_nodes:
+            raise ValueError(
+                f"k_core broadcast gate: {len(survivors)} survivors > "
+                f"{max_broadcast_nodes}; use the semi-join variant"
+            )
+        surv_ref = ray.put(survivors)
+
+        def filt(t: pa.Table) -> pa.Table:
+            s = ray.get(surv_ref) if isinstance(surv_ref, ray.ObjectRef) else surv_ref
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+
+            def member(x):
+                if len(s) == 0:
+                    return np.zeros(len(x), bool)
+                i = np.searchsorted(s, x)
+                i[i >= len(s)] = len(s) - 1
+                return s[i] == x
+
+            return t.filter(pa.array(member(a) & member(b)))
+
+        cur = conformed(
+            cur.map_batches(filt, batch_format="pyarrow"), EDGE
+        ).materialize()
+        n_now = cur.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+
+    deg = degrees(cur)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return OUT.empty_table()
+        return t.rename_columns(["node", "core_deg"]).cast(OUT)
+
+    return conformed(deg.map_batches(finish, batch_format="pyarrow"), OUT)

@@ -92,3 +92,35 @@ def test_mutual_knn_edges_matches_bruteforce():
     }
     assert got == exp
     assert all(a < b for a, b in got)
+
+
+def test_k_core_known_graph():
+    from record_matching_ray.stages.graph import k_core
+
+    # K4 on {0..3} (3-core), a tail 3-4-5 (peels away at k=3), and a
+    # separate triangle {10,11,12} (2-core, peels at k=3)
+    from itertools import combinations
+
+    pairs = (
+        list(combinations(range(4), 2))
+        + [(3, 4), (4, 5)]
+        + [(10, 11), (11, 12), (10, 12)]
+    )
+    res = {r["node"]: r["core_deg"] for r in k_core(_edges(pairs), k=3, rounds=6).take_all()}
+    assert res == {0: 3, 1: 3, 2: 3, 3: 3}
+    res2 = {r["node"]: r["core_deg"] for r in k_core(_edges(pairs), k=2, rounds=6).take_all()}
+    # 2-core: K4 and the triangle survive; the 3-4-5 tail peels off
+    assert set(res2) == {0, 1, 2, 3, 10, 11, 12}
+    assert res2[10] == 2 and res2[0] == 3
+
+
+def test_k_core_cascading_peel_needs_rounds():
+    from record_matching_ray.stages.graph import k_core
+
+    # a path 0-1-2-3-4: k=2 peeling cascades from both ends; after
+    # enough rounds nothing survives
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    assert k_core(_edges(pairs), k=2, rounds=6).take_all() == []
+    # one round only removes the endpoints: inner path survives round 1
+    one = {r["node"] for r in k_core(_edges(pairs), k=2, rounds=1).take_all()}
+    assert one == {1, 2, 3}
