@@ -151,3 +151,71 @@ def export_training_shards(
     with open(os.path.join(out_dir, "shards.json"), "w") as f:
         json.dump(index, f, indent=1, sort_keys=True)
     return index
+
+
+def read_arrow_ipc(
+    path: str,
+    schema: pa.Schema | None = None,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Arrow IPC / Feather-v2 reader (the zero-copy interchange format of
+    Arrow-native tooling). Ray 2.49 has no built-in IPC datasource, so
+    files are listed driver-side (names only) and each is opened INSIDE a
+    task via ``from_items(paths).flat_map``-style ``map_batches`` —
+    reading stays distributed and memory-maps per worker; only the path
+    list touches the driver. IPC supports reader-level column projection,
+    so ``columns`` prunes at the file, like parquet."""
+    import os
+
+    import pyarrow.feather as feather
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith((".arrow", ".feather", ".ipc"))
+        )
+    else:
+        files = [path]
+    paths_ds = ray.data.from_items([{"path": p} for p in files])
+
+    def load(t: pa.Table) -> pa.Table:
+        tables = [
+            feather.read_table(p, columns=columns)
+            for p in t.column("path").to_pylist()
+        ]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    ds = paths_ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+    if schema is not None:
+        check = (
+            pa.schema([schema.field(c) for c in columns]) if columns else schema
+        )
+        _assert_schema(ds, check)
+    return ds
+
+
+def write_arrow_ipc(ds: ray.data.Dataset, out_dir: str) -> list[str]:
+    """Arrow IPC sink: one .arrow file per block, written inside the
+    tasks (never one giant file, nothing concatenated on the driver).
+    Returns the written paths."""
+    import os
+    import uuid
+
+    import pyarrow.feather as feather
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        p = os.path.join(out_dir, f"block-{uuid.uuid4().hex}.arrow")
+        feather.write_feather(t, p, compression="zstd")
+        return pa.table({"path": pa.array([p], pa.string())})
+
+    return [
+        r["path"]
+        for r in ds.map_batches(
+            dump, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    ]

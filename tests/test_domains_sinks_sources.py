@@ -158,3 +158,30 @@ def test_export_training_shards(tmp_path):
         assert json.load(f)["total_rows"] == 1000
     back = rd.read_parquet([os.path.join(out, s["file"]) for s in idx["shards"]])
     assert back.count() == 1000
+
+
+def test_arrow_ipc_roundtrip(tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.sources.tables import read_arrow_ipc, write_arrow_ipc
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(100)], pa.string()),
+            "score": pa.array([i / 7 for i in range(100)], pa.float64()),
+        }
+    )
+    out = str(tmp_path / "ipc")
+    paths = write_arrow_ipc(rd.from_arrow(t).repartition(4), out)
+    assert len(paths) >= 2  # one file per block, never one giant file
+
+    back = read_arrow_ipc(out)
+    rows = sorted(back.take_all(), key=lambda r: r["doc_id"])
+    assert len(rows) == 100
+    assert rows[5]["text"] == "doc 5" and abs(rows[5]["score"] - 5 / 7) < 1e-12
+
+    # reader-level column projection
+    pruned = read_arrow_ipc(out, columns=["doc_id"]).take_all()
+    assert set(pruned[0].keys()) == {"doc_id"}
