@@ -457,6 +457,55 @@ def _orders_price_ntile(sf_dir: str):
     )
 
 
+def _orders_price_rank(sf_dir: str):
+    """RANK + DENSE_RANK by price (whole thousands of dollars, so ties are
+    real and SQL gap semantics are exercised) within each order priority
+    (stages/temporal.rank_per_group)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from record_matching_ray.stages.temporal import rank_per_group
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice", "o_orderkey"],
+    )
+
+    def to_kilo(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                # coarse bucket (price // 1000 dollars) so value-ties exist
+                "price_k": pc.cast(
+                    pc.floor(pc.divide(t.column("o_totalprice"), 1000.0)),
+                    pa.int64(),
+                ),
+                "o_orderkey": t.column("o_orderkey"),
+            }
+        )
+
+    return rank_per_group(
+        orders.map_batches(to_kilo, batch_format="pyarrow"),
+        "o_orderpriority",
+        "price_k",
+        "o_orderkey",
+        descending=True,
+    )
+
+
+def _customer_editjoin(sf_dir: str):
+    """Exact edit-distance similarity self-join (lev <= 1) over customer
+    names — FastSS deletion-neighborhood candidates + bucket-local verify
+    (stages/editjoin.py); the oracle brute-forces DuckDB levenshtein over
+    all pairs, checking candidate completeness end to end."""
+    from record_matching_ray.stages.editjoin import edit_distance_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return edit_distance_join(cust, "c_custkey", "c_name", k=1)
+
+
 def _orders_moving_window(sf_dir: str):
     """Rolling 7-row window sum/count per customer
     (stages/temporal.moving_window_sum — segment-aware padded-cumsum
@@ -1666,6 +1715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_delta": _events_lag_delta,
         "orders_moving_window": _orders_moving_window,
         "orders_price_ntile": _orders_price_ntile,
+        "orders_price_rank": _orders_price_rank,
+        "customer_editjoin": _customer_editjoin,
         "fingerprint_containment_docs": _fingerprint_containment,
         "doc_unigram_logprob": _doc_unigram_logprob,
         "lineitem_bloom_semi": _lineitem_bloom_semi,
@@ -1889,6 +1940,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
                    COUNT(*) AS cnt
             FROM t GROUP BY 1, 2
+        """,
+        "customer_editjoin": """
+            SELECT a.c_custkey AS "left", b.c_custkey AS "right",
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "orders_price_rank": """
+            WITH p AS (
+              SELECT o_orderpriority, o_orderkey,
+                     CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k
+              FROM orders
+            )
+            SELECT o_orderpriority, o_orderkey, price_k,
+                   CAST(RANK() OVER (
+                     PARTITION BY o_orderpriority ORDER BY price_k DESC
+                   ) AS BIGINT) AS rank,
+                   CAST(DENSE_RANK() OVER (
+                     PARTITION BY o_orderpriority ORDER BY price_k DESC
+                   ) AS BIGINT) AS dense_rank
+            FROM p
         """,
         "orders_moving_window": """
             WITH p AS (

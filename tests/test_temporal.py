@@ -297,3 +297,31 @@ def test_ntile_per_group_sql_sizing():
             assert tiles == want, (key, tiles, want)
         # ranked value rides along
         assert [v for v, _, _ in seg] == sorted(v for v, _, _ in seg)
+
+
+def test_rank_per_group_sql_tie_semantics():
+    """RANK/DENSE_RANK vs a brute-force reference: ties share a rank,
+    RANK gaps after ties, DENSE_RANK doesn't; string keys hash stably."""
+    from record_matching_ray.stages.temporal import rank_per_group
+
+    rows = []
+    vals = {"A": [5, 3, 5, 1, 3, 5], "B": [2, 2, 2], "C": [7]}
+    for key, vs in vals.items():
+        for v in vs:
+            rows.append({"key": key, "val": v, "tie": len(rows)})
+    ds = rd.from_items(rows).repartition(3)
+    out = rank_per_group(ds, "key", "val", "tie", descending=True,
+                         num_partitions=4).take_all()
+    assert len(out) == len(rows)
+    by_tie = {r["tie"]: r for r in out}
+    for key, vs in vals.items():
+        desc = sorted(vs, reverse=True)
+        for r in (x for x in out if x["key"] == key):
+            v = r["val"]
+            assert r["rank"] == desc.index(v) + 1, r
+            assert r["dense_rank"] == sorted(set(vs), reverse=True).index(v) + 1, r
+    # gap after the triple-tie at 5 in A: next distinct value ranks 4
+    a3 = [r for r in out if r["key"] == "A" and r["val"] == 3]
+    assert all(r["rank"] == 4 and r["dense_rank"] == 2 for r in a3)
+    # round-trip identity: every input row present exactly once
+    assert set(by_tie) == set(range(len(rows)))
