@@ -506,6 +506,139 @@ def _customer_editjoin(sf_dir: str):
     return edit_distance_join(cust, "c_custkey", "c_name", k=1)
 
 
+def _fellegi_em_customers(sf_dir: str):
+    """Unsupervised Fellegi-Sunter m/u estimation over sorted-neighborhood
+    candidate pairs of customers (stages/fellegi.py): 4 agreement fields
+    (nation, segment, acctbal within 500, name lev<=2), 8 EM iterations.
+    The oracle unrolls the exact same EM in SQL (ROW_NUMBER neighborhood,
+    identical multiplication order)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from record_matching_ray.functions.strsim import levenshtein
+    from record_matching_ray.stages.fellegi import (
+        fellegi_sunter_em,
+        sorted_neighborhood_pairs,
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+    pairs = sorted_neighborhood_pairs(
+        cust,
+        sort_col="c_name",
+        tie_col="c_custkey",
+        payload_cols=["c_nationkey", "c_mktsegment", "c_acctbal"],
+        window=6,
+        bucket_prefix_len=14,
+    )
+
+    def gammas(t: pa.Table) -> pa.Table:
+        ln = t.column("l_c_nationkey").to_numpy(zero_copy_only=False)
+        rn = t.column("r_c_nationkey").to_numpy(zero_copy_only=False)
+        ls = np.asarray(t.column("l_c_mktsegment").to_pylist(), dtype=object)
+        rs = np.asarray(t.column("r_c_mktsegment").to_pylist(), dtype=object)
+        lb = t.column("l_c_acctbal").to_numpy(zero_copy_only=False)
+        rb = t.column("r_c_acctbal").to_numpy(zero_copy_only=False)
+        lnm = t.column("l_c_name").to_pylist()
+        rnm = t.column("r_c_name").to_pylist()
+        g3 = np.fromiter(
+            (1 if levenshtein(a, b) <= 2 else 0 for a, b in zip(lnm, rnm)),
+            dtype=np.int8,
+            count=len(lnm),
+        )
+        return pa.table(
+            {
+                "g_nation": pa.array((ln == rn).astype(np.int8), pa.int8()),
+                "g_segment": pa.array((ls == rs).astype(np.int8), pa.int8()),
+                "g_acctbal": pa.array(
+                    (np.abs(lb - rb) < 500.0).astype(np.int8), pa.int8()
+                ),
+                "g_name": pa.array(g3, pa.int8()),
+            }
+        )
+
+    gam = pairs.map_batches(gammas, batch_format="pyarrow")
+    return fellegi_sunter_em(
+        gam, ["g_nation", "g_segment", "g_acctbal", "g_name"], iters=8
+    )
+
+
+def _fellegi_sql(iters: int = 8) -> str:
+    """Unrolled-CTE EM oracle for fellegi_em_customers (same pattern as
+    the pagerank oracle): it0 holds the init params; each itN recomputes
+    per-pair posteriors from it(N-1) and re-aggregates. Multiplication
+    order mirrors fellegi_sunter_em exactly (left-assoc field order)."""
+    fields = ["g_nation", "g_segment", "g_acctbal", "g_name"]
+    F = len(fields)
+    a_expr = "p" + "".join(
+        f" * (CASE WHEN {g} = 1 THEN m{f} ELSE 1 - m{f} END)"
+        for f, g in enumerate(fields)
+    )
+    b_expr = "(1 - p)" + "".join(
+        f" * (CASE WHEN {g} = 1 THEN u{f} ELSE 1 - u{f} END)"
+        for f, g in enumerate(fields)
+    )
+    gcols = ", ".join(fields)
+    init = ", ".join(
+        [f"0.9 AS m{f}" for f in range(F)]
+        + [f"0.1 AS u{f}" for f in range(F)]
+        + ["0.1 AS p"]
+    )
+    its = [f"it0 AS (SELECT {init})"]
+    for n in range(1, iters + 1):
+        upd = ", ".join(
+            [f"SUM(w * {fields[f]}) / SUM(w) AS m{f}" for f in range(F)]
+            + [
+                f"SUM((1 - w) * {fields[f]}) / SUM(1 - w) AS u{f}"
+                for f in range(F)
+            ]
+            + ["SUM(w) / COUNT(*) AS p"]
+        )
+        its.append(
+            f"""it{n} AS (
+              SELECT {upd} FROM (
+                SELECT {gcols}, aa / (aa + bb) AS w FROM (
+                  SELECT {gcols}, {a_expr} AS aa, {b_expr} AS bb
+                  FROM g CROSS JOIN it{n - 1}
+                )
+              )
+            )"""
+        )
+    out_rows = []
+    for f, g in enumerate(fields):
+        mc = f"GREATEST(LEAST(m{f}, 1 - 1e-6), 1e-6)"
+        uc = f"GREATEST(LEAST(u{f}, 1 - 1e-6), 1e-6)"
+        out_rows.append(
+            f"SELECT '{g}' AS field, m{f} AS m, u{f} AS u, "
+            f"log2({mc} / {uc}) AS match_weight, "
+            f"log2((1 - {mc}) / (1 - {uc})) AS nonmatch_weight FROM it{iters}"
+        )
+    out_rows.append(
+        f"SELECT '__lambda__' AS field, p AS m, 1 - p AS u, "
+        f"0.0 AS match_weight, 0.0 AS nonmatch_weight FROM it{iters}"
+    )
+    union = " UNION ALL ".join(out_rows)
+    return f"""
+        WITH ranked AS (
+          SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+                 ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) - 1 AS rn
+          FROM customer
+        ),
+        g AS (
+          SELECT
+            CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END AS g_nation,
+            CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS g_segment,
+            CASE WHEN ABS(a.c_acctbal - b.c_acctbal) < 500.0 THEN 1 ELSE 0 END AS g_acctbal,
+            CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 1 ELSE 0 END AS g_name
+          FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 5
+        ),
+        {", ".join(its)}
+        {union}
+    """
+
+
 def _orders_moving_window(sf_dir: str):
     """Rolling 7-row window sum/count per customer
     (stages/temporal.moving_window_sum — segment-aware padded-cumsum
@@ -1717,6 +1850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_ntile": _orders_price_ntile,
         "orders_price_rank": _orders_price_rank,
         "customer_editjoin": _customer_editjoin,
+        "fellegi_em_customers": _fellegi_em_customers,
         "fingerprint_containment_docs": _fingerprint_containment,
         "doc_unigram_logprob": _doc_unigram_logprob,
         "lineitem_bloom_semi": _lineitem_bloom_semi,
@@ -1941,6 +2075,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt
             FROM t GROUP BY 1, 2
         """,
+        "fellegi_em_customers": _fellegi_sql(iters=8),
         "customer_editjoin": """
             SELECT a.c_custkey AS "left", b.c_custkey AS "right",
                    CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist

@@ -1,0 +1,86 @@
+"""Sorted-neighborhood blocking + Fellegi-Sunter EM."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from record_matching_ray.stages.fellegi import (
+    fellegi_sunter_em,
+    sorted_neighborhood_pairs,
+)
+
+
+def test_sorted_neighborhood_vs_bruteforce():
+    """Pairs = exactly the rank-window pairs, across bucket and rank-group
+    boundaries; payload rides correctly on both sides."""
+    rng = np.random.default_rng(3)
+    keys = ["".join(rng.choice(list("abcd"), size=3)) for _ in range(120)]
+    rows = [{"id": i, "key": k, "val": i * 10} for i, k in enumerate(keys)]
+    ds = rd.from_items(rows).repartition(5)
+    window = 4
+    got = sorted_neighborhood_pairs(
+        ds, "key", "id", ["id", "val"], window=window, bucket_prefix_len=1
+    ).take_all()
+    order = sorted(range(len(rows)), key=lambda i: (keys[i], i))
+    want = set()
+    for r in range(len(order)):
+        for d in range(1, window):
+            if r + d < len(order):
+                want.add((order[r], order[r + d]))
+    assert {(r["l_id"], r["r_id"]) for r in got} == want
+    for r in got:
+        assert r["l_val"] == r["l_id"] * 10 and r["r_val"] == r["r_id"] * 10
+        assert 1 <= r["r_rank"] - r["l_rank"] <= window - 1
+
+
+def test_fellegi_em_matches_numpy_reference_and_separates():
+    """EM over planted two-class gammas: distributed result equals a
+    local numpy EM bit-for-bit-ish (<=1e-9), and m/u separate the planted
+    match/non-match agreement rates."""
+    rng = np.random.default_rng(11)
+    n, frac = 6000, 0.2
+    F = 3  # >=3 binary fields: 2^3 cells > 2F+1 params -> identifiable
+    is_match = rng.random(n) < frac
+    m_true, u_true = [0.95, 0.85, 0.9], [0.05, 0.3, 0.15]
+    g = np.stack(
+        [
+            np.where(is_match, rng.random(n) < m_true[f], rng.random(n) < u_true[f])
+            for f in range(F)
+        ],
+        axis=1,
+    ).astype(np.int8)
+
+    ds = rd.from_arrow(
+        pa.table({f"g{f}": g[:, f] for f in range(F)})
+    ).repartition(6)
+    out = {
+        r["field"]: (r["m"], r["u"])
+        for r in fellegi_sunter_em(
+            ds, [f"g{f}" for f in range(F)], iters=20
+        ).to_pylist()
+    }
+
+    # local reference EM (identical update equations)
+    m = np.full(F, 0.9)
+    u = np.full(F, 0.1)
+    p = 0.1
+    gf = g.astype(np.float64)
+    for _ in range(20):
+        a = np.full(n, p)
+        b = np.full(n, 1 - p)
+        for f in range(F):
+            a = a * np.where(gf[:, f] == 1.0, m[f], 1 - m[f])
+            b = b * np.where(gf[:, f] == 1.0, u[f], 1 - u[f])
+        w = a / (a + b)
+        m = (w[:, None] * gf).sum(0) / w.sum()
+        u = ((1 - w)[:, None] * gf).sum(0) / (1 - w).sum()
+        p = w.sum() / n
+
+    for f in range(F):
+        got_m, got_u = out[f"g{f}"]
+        assert abs(got_m - m[f]) < 1e-9 and abs(got_u - u[f]) < 1e-9
+        # recovered parameters separate the planted classes
+        assert got_m > got_u
+        assert abs(got_m - m_true[f]) < 0.1 and abs(got_u - u_true[f]) < 0.1
+    lam = out["__lambda__"]
+    assert abs(lam[0] - p) < 1e-9 and abs(lam[0] - frac) < 0.1
