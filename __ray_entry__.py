@@ -993,6 +993,19 @@ def _doc_sample_hash(sf_dir: str):
     return sample_by_hash(_docs(sf_dir), col="text", rate=0.25)
 
 
+def _doc_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-ES keys,
+    Efraimidis-Spirakis): 100 docs by u^(1/n_chars), u from
+    md5_number_lower(text) — the oracle recomputes the identical keys."""
+    from record_matching_ray.stages.sampling import weighted_sample_topk
+
+    return weighted_sample_topk(
+        _docs(sf_dir, columns=("doc_id", "text", "n_chars")),
+        weight_col="n_chars",
+        k=100,
+    )
+
+
 def _doc_stratified_sample(sf_dir: str):
     from record_matching_ray.stages.sampling import stratified_sample
 
@@ -1881,6 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub_docs": _pii_scrub_docs,
         "doc_sample_hash": _doc_sample_hash,
         "doc_stratified_sample": _doc_stratified_sample,
+        "doc_weighted_sample": _doc_weighted_sample,
         "user_sessions": _user_sessions,
         "events_hopping": _events_hopping,
         "order_price_quantiles": _order_price_quantiles,
@@ -2428,6 +2442,17 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub_docs": _pii_sql(),
         "doc_sample_hash": _sample_hash_sql(),
         "doc_stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "doc_weighted_sample": """
+            WITH keyed AS (
+              SELECT doc_id, n_chars,
+                     round(pow(CAST(md5_number_lower(text) AS DOUBLE)
+                               / 18446744073709551616.0,
+                               1.0 / n_chars), 9) AS wkey
+              FROM documents
+            )
+            SELECT doc_id, n_chars, wkey
+            FROM keyed ORDER BY wkey DESC, doc_id LIMIT 100
+        """,
         "user_sessions": _SESSIONS_SQL,
         "events_hopping": _HOPPING_SQL,
         "order_price_quantiles": _PRICE_QUANTILES_SQL,

@@ -121,3 +121,46 @@ def stratified_sample(
         fields + [(strata_col, pa.string()), ("sample_rank", pa.int64())]
     )
     return conformed(out, schema)
+
+
+def weighted_sample_topk(
+    ds: ray.data.Dataset,
+    weight_col: str,
+    k: int,
+    hash_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic weighted sampling without replacement — the k rows
+    with the largest u^(1/w), u = md5_number_lower(hash_col) / 2^64
+    (Efraimidis & Spirakis 2006 A-ES keys). Content-hash randomness keeps
+    the selection reproducible across runs/partitionings, and a SQL
+    oracle recomputes the identical keys (DuckDB md5_number_lower + pow;
+    glibc pow is correctly rounded, and keys round to 9 decimals with
+    id tie-break so last-ulp library drift cannot flip the selection).
+
+    Distributed top-k: each batch forwards only its local k largest keys,
+    the final exact cut sorts O(n_batches * k) rows — the corpus itself
+    never shuffles. Output: (id, weight, wkey), the sampled rows."""
+    from record_matching_ray.functions.hashing import hash_strings, md5_lower64
+
+    def keyed_topk(t: pa.Table) -> pa.Table:
+        h = hash_strings(t.column(hash_col).to_pylist(), hash_fn=md5_lower64)
+        u = h.astype(np.float64) / 18446744073709551616.0
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        wkey = np.round(u ** (1.0 / w), 9)
+        order = np.lexsort((ids, -wkey))[: min(k, len(ids))]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                weight_col: t.column(weight_col).take(
+                    pa.array(order, pa.int64())
+                ),
+                "wkey": pa.array(wkey[order], pa.float64()),
+            }
+        )
+
+    local = ds.select_columns([id_col, weight_col, hash_col]).map_batches(
+        keyed_topk, batch_format="pyarrow"
+    )
+    return local.sort(["wkey", id_col], descending=[True, False]).limit(k)

@@ -488,3 +488,33 @@ def test_customer_names_by_nation_ordered(tmp_path):
     # custkey order within nation, not input order
     assert out[0]["names"] == "a,b,e" and out[0]["n_customers"] == 3
     assert out[1]["names"] == "c,d" and out[1]["n_customers"] == 2
+
+
+def test_weighted_sample_topk_exact_and_partition_invariant():
+    """A-ES weighted top-k equals a local brute-force computation of the
+    same keys, and is invariant to how the input is partitioned."""
+    from record_matching_ray.functions.hashing import md5_lower64
+
+    rng = np.random.default_rng(5)
+    texts = [f"doc body {i} {rng.integers(1 << 30)}" for i in range(400)]
+    weights = rng.integers(1, 200, size=400)
+    rows = [
+        {"doc_id": i, "text": t, "w": int(weights[i])}
+        for i, t in enumerate(texts)
+    ]
+    u = np.array(
+        [md5_lower64(t) for t in texts], dtype=np.uint64
+    ).astype(np.float64) / 18446744073709551616.0
+    wkey = np.round(u ** (1.0 / weights.astype(np.float64)), 9)
+    order = np.lexsort((np.arange(400), -wkey))[:50]
+    want = [(int(i), float(wkey[i])) for i in order]
+
+    for parts in (1, 7):
+        ds = rd.from_items(rows).repartition(parts)
+        got = [
+            (r["doc_id"], r["wkey"])
+            for r in sampling.weighted_sample_topk(
+                ds, weight_col="w", k=50, hash_col="text"
+            ).take_all()
+        ]
+        assert got == want, parts
