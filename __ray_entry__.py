@@ -506,6 +506,20 @@ def _customer_editjoin(sf_dir: str):
     return edit_distance_join(cust, "c_custkey", "c_name", k=1)
 
 
+def _customer_jw_pairs(sf_dir: str):
+    """Jaro-Winkler similarity join (>= 0.97) under sorted-neighborhood
+    candidates — the classic SNM + Winkler-comparator linkage join
+    (stages/editjoin.jw_window_join); the oracle reproduces the window
+    AND DuckDB's own jaro_winkler_similarity (implementations agree on
+    non-empty strings, pinned by test + this hash check)."""
+    from record_matching_ray.stages.editjoin import jw_window_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return jw_window_join(cust, "c_custkey", "c_name", window=6, threshold=0.97)
+
+
 def _fellegi_em_customers(sf_dir: str):
     """Unsupervised Fellegi-Sunter m/u estimation over sorted-neighborhood
     candidate pairs of customers (stages/fellegi.py): 4 agreement fields
@@ -1864,6 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_rank": _orders_price_rank,
         "customer_editjoin": _customer_editjoin,
         "fellegi_em_customers": _fellegi_em_customers,
+        "customer_jw_pairs": _customer_jw_pairs,
         "fingerprint_containment_docs": _fingerprint_containment,
         "doc_unigram_logprob": _doc_unigram_logprob,
         "lineitem_bloom_semi": _lineitem_bloom_semi,
@@ -2090,6 +2105,18 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY 1, 2
         """,
         "fellegi_em_customers": _fellegi_sql(iters=8),
+        "customer_jw_pairs": """
+            WITH ranked AS (
+              SELECT c_custkey, c_name,
+                     ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) - 1 AS rn
+              FROM customer
+            )
+            SELECT LEAST(a.c_custkey, b.c_custkey) AS "left",
+                   GREATEST(a.c_custkey, b.c_custkey) AS "right",
+                   jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+            FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 5
+            WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97
+        """,
         "customer_editjoin": """
             SELECT a.c_custkey AS "left", b.c_custkey AS "right",
                    CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist

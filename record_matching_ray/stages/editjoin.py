@@ -181,3 +181,48 @@ def edit_distance_join(
     out = cand.groupby(["left", "right"]).min("dist")
     out = out.rename_columns({"min(dist)": "dist"})
     return conformed(out, _PAIR_SCHEMA)
+
+
+def jw_window_join(
+    ds: ray.data.Dataset,
+    id_col: str,
+    str_col: str,
+    window: int = 6,
+    threshold: float = 0.9,
+) -> ray.data.Dataset:
+    """Jaro-Winkler similarity join under sorted-neighborhood candidates:
+    pairs within `window` ranks of each other (ORDER BY str, id) whose
+    jaro_winkler(str_a, str_b) >= threshold. The SNM + JW combination is
+    the classic dirty-key linkage join (Hernandez-Stolfo blocking, Winkler
+    comparator); unlike edit_distance_join's FastSS it is heuristic —
+    recall is bounded by the window, which is the documented SNM
+    trade-off. Output: (left, right, jw), left/right in id order per pair.
+
+    One rank shuffle (see fellegi.sorted_neighborhood_pairs); JW verify is
+    memoized per unique pair inside the batch."""
+    from record_matching_ray.functions.strsim import jaro_winkler_batch
+    from record_matching_ray.stages.fellegi import sorted_neighborhood_pairs
+
+    pairs = sorted_neighborhood_pairs(
+        ds, sort_col=str_col, tie_col=id_col, payload_cols=[id_col],
+        window=window,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column(f"l_{str_col}").to_pylist()
+        b = t.column(f"r_{str_col}").to_pylist()
+        jw = jaro_winkler_batch(a, b)
+        keep = jw >= threshold
+        li = t.column(f"l_{id_col}").to_numpy(zero_copy_only=False)
+        ri = t.column(f"r_{id_col}").to_numpy(zero_copy_only=False)
+        lo = np.minimum(li, ri)[keep]
+        hi = np.maximum(li, ri)[keep]
+        return pa.table(
+            {
+                "left": pa.array(lo, pa.int64()),
+                "right": pa.array(hi, pa.int64()),
+                "jw": pa.array(jw[keep], pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")

@@ -77,3 +77,29 @@ def test_deletion_signatures_complete_random():
             for j in range(i + 1, len(strs)):
                 if levenshtein(strs[i], strs[j]) <= k:
                     assert per[i] & per[j], (strs[i], strs[j], k)
+
+
+def test_jw_window_join_vs_bruteforce():
+    """SNM + JW verify vs a brute-force window reference (incl. the
+    rank-window semantics and canonical id ordering)."""
+    from record_matching_ray.functions.strsim import jaro_winkler
+    from record_matching_ray.stages.editjoin import jw_window_join
+
+    rows = [{"id": i, "name": s} for i, s in enumerate(NAMES) if s]
+    ds = rd.from_items(rows).repartition(3)
+    window, thr = 4, 0.8
+    got = {
+        (r["left"], r["right"], round(r["jw"], 9))
+        for r in jw_window_join(ds, "id", "name", window, thr).take_all()
+    }
+    order = sorted(rows, key=lambda r: (r["name"], r["id"]))
+    want = set()
+    for i in range(len(order)):
+        for d in range(1, window):
+            if i + d < len(order):
+                a, b = order[i], order[i + d]
+                jw = jaro_winkler(a["name"], b["name"])
+                if jw >= thr:
+                    lo, hi = sorted((a["id"], b["id"]))
+                    want.add((lo, hi, round(jw, 9)))
+    assert got == want
