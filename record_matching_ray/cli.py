@@ -190,6 +190,35 @@ def cmd_refine(args) -> None:
     print(f"refined -> {sdir}")
 
 
+def cmd_assign(args) -> None:
+    """Incremental ER: assign a NEW page batch to the clusters of a
+    completed run (pipelines/incremental.py) — base clusters stay
+    immutable; output is one (url, cluster_id, from_base) row per new
+    page, written as a manifested stage keyed by --input-key."""
+    _ray_up()
+    from record_matching_ray.pipelines.incremental import incremental_assign
+    from record_matching_ray.sources import read_pages
+    from record_matching_ray.state import manifest as mf
+
+    sdir = _stage_dir(args, f"assign_{args.input_key or 'new'}")
+    if mf.is_complete(sdir, _fp(args)):
+        print(f"assignments complete: {sdir}")
+        return
+    cluster_stage = (
+        "refined"
+        if mf.is_complete(_stage_dir(args, "refined"), _fp(args))
+        else "clusters"
+    )
+    res = incremental_assign(
+        read_pages(args.new_pages),
+        mf.read_stage(_stage_dir(args, "features")),
+        mf.read_stage(_stage_dir(args, cluster_stage)),
+        _cfg(args),
+    )
+    mf.write_stage(res["assignments"], sdir, _fp(args))
+    print(f"assignments -> {sdir}")
+
+
 def cmd_block_stats(args) -> None:
     """Observable skew diagnostics: block-size histogram, hot blocks,
     pair-cap overflow bound (stages/blocking.py:block_size_stats)."""
@@ -382,6 +411,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("block-stats")
     common(sp)
     sp.set_defaults(fn=cmd_block_stats)
+
+    sp = sub.add_parser("assign")
+    common(sp)
+    sp.add_argument("--new-pages", dest="new_pages", required=True)
+    sp.set_defaults(fn=cmd_assign)
 
     sp = sub.add_parser("train")
     common(sp)

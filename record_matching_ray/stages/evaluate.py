@@ -203,3 +203,86 @@ def cluster_error_taxonomy(
         ),
         "pure_clusters": int((per_cluster["n_distinct"] == 1).sum()),
     }
+
+
+@dataclass
+class BlockingMetrics:
+    """Standard blocking-quality numbers (Christen 2012, ch. 7)."""
+
+    n_records: int
+    n_candidates: int
+    n_true_pairs: int
+    n_covered: int  # |candidates ∩ true pairs|
+
+    @property
+    def reduction_ratio(self) -> float:
+        total = self.n_records * (self.n_records - 1) // 2
+        return 1.0 - self.n_candidates / total if total else 0.0
+
+    @property
+    def pairs_completeness(self) -> float:
+        return self.n_covered / self.n_true_pairs if self.n_true_pairs else 1.0
+
+    @property
+    def pairs_quality(self) -> float:
+        return self.n_covered / self.n_candidates if self.n_candidates else 1.0
+
+
+def blocking_metrics(
+    pairs: ray.data.Dataset,
+    truth: ray.data.Dataset,
+    n_records: int,
+) -> BlockingMetrics:
+    """Blocking quality of a candidate pair set (uid space, like
+    generate_candidate_pairs' output) against truth clusters (url,
+    entity_id): reduction ratio, pairs completeness, pairs quality.
+
+    The truth table collects to a driver map (bounded like
+    adjusted_rand_vs_truth — truth is a labeled sample, not the corpus);
+    the candidate set streams through one partial-count pass, so the
+    blocking's own output size never materializes."""
+    from record_matching_ray.stages.blocking import page_uids
+
+    ent: dict[int, int] = {}
+    sizes: dict[int, int] = {}
+    eid_codes: dict[str, int] = {}
+    for t in truth.iter_batches(batch_format="pyarrow", batch_size=None):
+        urls = t.column("url").to_pylist()
+        eids = t.column("entity_id").to_pylist()
+        for u, e in zip(page_uids(urls), eids):
+            code = eid_codes.setdefault(str(e), len(eid_codes))
+            ent[int(u)] = code
+            sizes[code] = sizes.get(code, 0) + 1
+    n_true = sum(s * (s - 1) // 2 for s in sizes.values())
+
+    import ray as _ray
+
+    ent_ref = _ray.put(ent)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _ray.get(ent_ref) if isinstance(ent_ref, _ray.ObjectRef) else ent_ref
+        l = t.column("left").to_numpy(zero_copy_only=False)
+        r = t.column("right").to_numpy(zero_copy_only=False)
+        cov = sum(
+            1
+            for a, b in zip(l, r)
+            if (ea := m.get(int(a))) is not None and ea == m.get(int(b))
+        )
+        return pa.table(
+            {
+                "cand": pa.array([t.num_rows], pa.int64()),
+                "cov": pa.array([cov], pa.int64()),
+            }
+        )
+
+    parts = (
+        pairs.select_columns(["left", "right"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    return BlockingMetrics(
+        n_records=n_records,
+        n_candidates=sum(r["cand"] for r in parts),
+        n_true_pairs=n_true,
+        n_covered=sum(r["cov"] for r in parts),
+    )

@@ -108,3 +108,40 @@ def test_cli_export_shards(tmp_path, capsys):
         idx = json.load(f)
     assert idx["total_rows"] == 120
     assert all(s["rows"] <= 50 for s in idx["shards"])
+
+
+def test_cli_assign_incremental(tmp_path, capsys):
+    """assign: run-all on a base corpus, then attach a second corpus
+    batch; manifested + idempotent like every other stage."""
+    import pyarrow.parquet as pq
+
+    corpus = str(tmp_path / "corpus")
+    run = str(tmp_path / "run")
+    main(["gen-corpus", "--out", corpus, "--pages", "240", "--entities", "48",
+          "--seed", "9"])
+    # split the pages dir: first shards as base, last as the new batch
+    import glob
+    import shutil
+
+    shards = sorted(glob.glob(f"{corpus}/pages/*.parquet"))
+    base_dir, new_dir = str(tmp_path / "base"), str(tmp_path / "new")
+    os.makedirs(base_dir), os.makedirs(new_dir)
+    for s in shards[:-1]:
+        shutil.copy(s, base_dir)
+    shutil.copy(shards[-1], new_dir)
+
+    main(["run-all", "--pages", base_dir, "--out", run])
+    main(["assign", "--out", run, "--new-pages", new_dir,
+          "--input-key", "batch2"])
+    out_dir = f"{run}/assign_batch2"
+    assert os.path.isdir(out_dir)
+    t = pq.read_table(out_dir)
+    n_new = pq.read_table(new_dir).num_rows
+    assert t.num_rows == n_new
+    assert set(t.column_names) >= {"url", "cluster_id", "from_base"}
+    # idempotent skip
+    mtime = os.path.getmtime(f"{out_dir}/_MANIFEST.json")
+    main(["assign", "--out", run, "--new-pages", new_dir,
+          "--input-key", "batch2"])
+    assert "complete" in capsys.readouterr().out
+    assert os.path.getmtime(f"{out_dir}/_MANIFEST.json") == mtime

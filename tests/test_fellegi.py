@@ -84,3 +84,46 @@ def test_fellegi_em_matches_numpy_reference_and_separates():
         assert abs(got_m - m_true[f]) < 0.1 and abs(got_u - u_true[f]) < 0.1
     lam = out["__lambda__"]
     assert abs(lam[0] - p) < 1e-9 and abs(lam[0] - frac) < 0.1
+
+
+def test_blocking_metrics_vs_bruteforce():
+    """Reduction ratio / pairs completeness / pairs quality against a
+    brute-force count on the synthetic labeled corpus."""
+    from record_matching_ray.config import PipelineConfig
+    from record_matching_ray.pipelines.er import build_features
+    from record_matching_ray.stages import blocking
+    from record_matching_ray.stages.evaluate import blocking_metrics
+    from record_matching_ray.testgen import make_pages
+
+    pages, labeled, truth = make_pages(400, 80, 5)
+    pages_ds = rd.from_arrow(pages).materialize()
+    cfg = PipelineConfig()
+    feats = build_features(pages_ds, cfg, concurrency=2).materialize()
+    pairs = blocking.generate_candidate_pairs(
+        feats, cfg, blocking.compute_hot_hosts(feats, cfg)
+    ).materialize()
+    m = blocking_metrics(pairs, rd.from_arrow(truth), n_records=400)
+
+    # brute-force reference
+    ent = {r["url"]: r["entity_id"] for r in truth.to_pylist()}
+    uid_of = dict(
+        zip(
+            blocking.page_uids(list(ent)),
+            (ent[u] for u in ent),
+        )
+    )
+    cand = [(r["left"], r["right"]) for r in pairs.take_all()]
+    cov = sum(1 for a, b in cand if uid_of.get(a) == uid_of.get(b))
+    from collections import Counter
+
+    sizes = Counter(ent.values())
+    n_true = sum(s * (s - 1) // 2 for s in sizes.values())
+    assert m.n_candidates == len(cand)
+    assert m.n_covered == cov
+    assert m.n_true_pairs == n_true
+    # the flagship blocking covers essentially every true pair directly
+    # (clusters only need CONNECTIVITY, so closure recovers the tail) and
+    # prunes the quadratic space hard
+    assert m.pairs_completeness > 0.999
+    assert m.reduction_ratio > 0.85  # 400 rows, ~7.5% of pairs are true
+    assert 0 < m.pairs_quality <= 1.0
