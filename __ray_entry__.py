@@ -1007,6 +1007,74 @@ def _doc_sample_hash(sf_dir: str):
     return sample_by_hash(_docs(sf_dir), col="text", rate=0.25)
 
 
+def _lang_distinct_estimate(sf_dir: str):
+    """Grouped HLL approx-distinct (textstats.approx_distinct_per_group)
+    checked as an invariant: per lang, the estimate must land within 3
+    relative-standard-errors of the exact distinct-text count (computed
+    exactly and distributed via hash partials); the oracle emits the same
+    (lang, exact_n, ok=true) rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from record_matching_ray.functions.hashing import hash_strings
+    from record_matching_ray.stages.textstats import approx_distinct_per_group
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+    est_rows = {
+        r["lang"]: (r["est"], r["rse"])
+        for r in approx_distinct_per_group(
+            docs, "lang", "text", precision_bits=10
+        ).take_all()
+    }
+
+    # exact distinct per lang: per-batch (lang, text-hash) dedup partials,
+    # one groupby(lang) unique-count — hashes shuffle, never texts
+    def partial(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        h = hash_strings(t.column("text").to_pylist()).view(np.int64)
+        # keep (lang, hash) pairs unique within the batch
+        seen = {}
+        out_l, out_h = [], []
+        for lg, hh in zip(langs, h):
+            k = (lg, int(hh))
+            if k not in seen:
+                seen[k] = True
+                out_l.append(lg)
+                out_h.append(int(hh))
+        return pa.table(
+            {"lang": pa.array(out_l, pa.string()), "h": pa.array(out_h, pa.int64())}
+        )
+
+    def count_unique(g: pa.Table) -> pa.Table:
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": pa.array([g.column("lang")[0].as_py()], pa.string()),
+                "exact_n": pa.array([len(np.unique(h))], pa.int64()),
+            }
+        )
+
+    exact = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(count_unique, batch_format="pyarrow")
+        .take_all()
+    )
+    langs = sorted(r["lang"] for r in exact)
+    ex = {r["lang"]: r["exact_n"] for r in exact}
+    ok = [
+        abs(est_rows[l][0] - ex[l]) <= 3.0 * est_rows[l][1] * ex[l]
+        for l in langs
+    ]
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "exact_n": pa.array([ex[l] for l in langs], pa.int64()),
+            "ok": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
 def _doc_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement (A-ES keys,
     Efraimidis-Spirakis): 100 docs by u^(1/n_chars), u from
@@ -1910,6 +1978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_hash": _doc_sample_hash,
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_weighted_sample": _doc_weighted_sample,
+        "lang_distinct_estimate": _lang_distinct_estimate,
         "user_sessions": _user_sessions,
         "events_hopping": _events_hopping,
         "order_price_quantiles": _order_price_quantiles,
@@ -2469,6 +2538,10 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub_docs": _pii_sql(),
         "doc_sample_hash": _sample_hash_sql(),
         "doc_stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "lang_distinct_estimate": """
+            SELECT lang, COUNT(DISTINCT text) AS exact_n, true AS ok
+            FROM documents GROUP BY lang
+        """,
         "doc_weighted_sample": """
             WITH keyed AS (
               SELECT doc_id, n_chars,

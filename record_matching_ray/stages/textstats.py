@@ -854,3 +854,83 @@ def bpe_token_stats(batch: pa.Table) -> pa.Table:
             "n_ws_tokens": pa.array(n_ws, pa.int64()),
         }
     )
+
+
+def approx_distinct_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    precision_bits: int = 10,
+):
+    """GROUP BY group_col, approx COUNT(DISTINCT value_col) — the grouped
+    companion to approx_distinct. Per batch each group folds into its own
+    2^b register array (one row per group per batch, the registers ride
+    as a list column); one groupby(group) merges registers elementwise
+    and estimates. Shuffle volume is O(groups x batches x 2^b) — bounded
+    by the group vocabulary, never the row count.
+
+    Returns a Dataset (group, est, rse) with rse = 1.04/sqrt(m)."""
+    import numpy as np
+
+    from record_matching_ray.functions.hashing import _U64, hash_strings, mix64
+
+    m = 1 << precision_bits
+    width = 64 - precision_bits
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column(value_col).to_pylist()
+        if vals and not isinstance(vals[0], str):
+            vals = [str(v) for v in vals]
+        groups = np.asarray(
+            ["" if g is None else str(g) for g in t.column(group_col).to_pylist()],
+            dtype=object,
+        )
+        h = mix64(hash_strings(vals))
+        idx = (h & _U64(m - 1)).astype(np.int64)
+        rest = (h >> np.uint64(precision_bits)).astype(np.uint64)
+        rank = np.zeros(len(h), dtype=np.int64)
+        nonzero = rest != 0
+        rank[nonzero] = width - np.floor(
+            np.log2(rest[nonzero].astype(np.float64))
+        ).astype(np.int64)
+        rank[~nonzero] = width + 1
+        uniq, codes = np.unique(groups, return_inverse=True)
+        regs = np.zeros((len(uniq), m), dtype=np.int64)
+        np.maximum.at(regs, (codes, idx), rank)
+        return pa.table(
+            {
+                group_col: pa.array(uniq.tolist(), pa.string()),
+                "regs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(regs.ravel(), pa.int64()), m
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        regs = (
+            g.column("regs")
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(g.num_rows, m)
+        )
+        r = regs.max(axis=0)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.power(2.0, -r.astype(np.float64)))
+        zeros = int((r == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        return pa.table(
+            {
+                group_col: pa.array([g.column(group_col)[0].as_py()], pa.string()),
+                "est": pa.array([int(round(est))], pa.int64()),
+                "rse": pa.array([1.04 / np.sqrt(m)], pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

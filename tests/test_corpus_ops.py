@@ -518,3 +518,29 @@ def test_weighted_sample_topk_exact_and_partition_invariant():
             ).take_all()
         ]
         assert got == want, parts
+
+
+def test_approx_distinct_per_group_bound():
+    """Grouped HLL: per-group estimates land within 3 RSE of truth, and
+    register merging is partition-independent."""
+    rng = np.random.default_rng(9)
+    rows = []
+    truth = {"a": 700, "b": 150, "c": 1}
+    for g, n in truth.items():
+        vals = [f"{g}-val-{i}" for i in range(n)]
+        for _ in range(3):  # duplicates must not inflate the estimate
+            for v in vals:
+                rows.append({"g": g, "v": v})
+    rng.shuffle(rows)
+    for parts in (2, 9):
+        ds = rd.from_items(rows).repartition(parts)
+        out = {
+            r["g"]: (r["est"], r["rse"])
+            for r in textstats.approx_distinct_per_group(
+                ds, "g", "v", precision_bits=10
+            ).take_all()
+        }
+        assert set(out) == set(truth)
+        for g, n in truth.items():
+            est, rse = out[g]
+            assert abs(est - n) <= max(3 * rse * n, 2), (g, est, n)
