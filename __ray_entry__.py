@@ -1979,6 +1979,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_weighted_sample": _doc_weighted_sample,
         "lang_distinct_estimate": _lang_distinct_estimate,
+        "parts_small_only": an.parts_small_only,
+        "event_value_median": an.event_value_median,
         "user_sessions": _user_sessions,
         "events_hopping": _events_hopping,
         "order_price_quantiles": _order_price_quantiles,
@@ -2541,6 +2543,17 @@ def oracle_sql() -> dict[str, str]:
         "lang_distinct_estimate": """
             SELECT lang, COUNT(DISTINCT text) AS exact_n, true AS ok
             FROM documents GROUP BY lang
+        """,
+        "parts_small_only": """
+            SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity = 1
+            EXCEPT
+            SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity = 50
+        """,
+        "event_value_median": """
+            SELECT event_type,
+                   median(value) AS median_value,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
         """,
         "doc_weighted_sample": """
             WITH keyed AS (

@@ -1770,3 +1770,74 @@ SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
 FROM events e JOIN st USING (event_type)
 WHERE st.std > 0 AND abs((e.value - st.mean) / st.std) > 3.0
 """
+
+
+def parts_small_only(sf_dir: str) -> ray.data.Dataset:
+    """Distributed set difference (SQL EXCEPT): parts shipped at quantity
+    1 but NEVER at quantity 50 ("never bulk-ordered"). Per-batch
+    (partkey, in_A, in_B) bit partials, one groupby(key) OR-merge,
+    stateless filter — the shuffle moves two bits per distinct key per
+    batch, never the fact rows. The same plan implements INTERSECT
+    (keep A&B) and symmetric difference."""
+    lines = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        in_a = q == 1.0
+        in_b = q == 50.0
+        keep = in_a | in_b
+        keys = t.column("l_partkey").to_numpy(zero_copy_only=False)[keep]
+        isa = in_a[keep].astype(np.int64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        a = np.zeros(len(uniq), dtype=np.int64)
+        b = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(a, inv, isa)
+        np.maximum.at(b, inv, 1 - isa)
+        return pa.table(
+            {
+                "l_partkey": pa.array(uniq, pa.int64()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    merged = (
+        lines.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Max(on="a", alias_name="a"), Max(on="b", alias_name="b"))
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if "l_partkey" not in t.column_names:  # empty hash-shuffle block
+            return pa.table({"l_partkey": pa.array([], pa.int64())})
+        keep = pc.and_(pc.equal(t.column("a"), 1), pc.equal(t.column("b"), 0))
+        return pa.table({"l_partkey": t.column("l_partkey").filter(keep)})
+
+    return merged.map_batches(final, batch_format="pyarrow")
+
+
+def event_value_median(sf_dir: str) -> ray.data.Dataset:
+    """Exact interpolated median (percentile_cont 0.5) of `value` per
+    event type — the EXACT continuous-domain companion to
+    quantiles.group_quantiles (integer histograms) and approx_quantiles
+    (coresets): each type's values sort inside ONE group, so this is for
+    categorical-grained keys; for heavy groups use the coreset op."""
+    events = _read(sf_dir, "events", ["event_type", "value"])
+
+    def median(g: pa.Table) -> pa.Table:
+        v = np.sort(g.column("value").to_numpy(zero_copy_only=False))
+        n = len(v)
+        med = float(v[n // 2]) if n % 2 else float((v[n // 2 - 1] + v[n // 2]) / 2.0)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [g.column("event_type")[0].as_py()], pa.string()
+                ),
+                "median_value": pa.array([med], pa.float64()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    return events.groupby("event_type").map_groups(median, batch_format="pyarrow")

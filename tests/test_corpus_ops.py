@@ -544,3 +544,24 @@ def test_approx_distinct_per_group_bound():
         for g, n in truth.items():
             est, rse = out[g]
             assert abs(est - n) <= max(3 * rse * n, 2), (g, est, n)
+
+
+def test_event_value_median_interpolation(tmp_path):
+    """Even-count groups interpolate (percentile_cont semantics)."""
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["a"] * 4 + ["b"] * 3, pa.string()),
+            "value": pa.array([4.0, 1.0, 3.0, 2.0, 10.0, 30.0, 20.0]),
+            # unused cols so the reader projection matters
+            "event_id": pa.array(range(7), pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    from record_matching_ray.pipelines.analytics import event_value_median
+
+    out = {r["event_type"]: (r["median_value"], r["n"])
+           for r in event_value_median(str(tmp_path)).take_all()}
+    assert out["a"] == (2.5, 4)  # (2+3)/2
+    assert out["b"] == (20.0, 3)
