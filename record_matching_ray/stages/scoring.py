@@ -341,3 +341,51 @@ def edges_from_scores(scored: ray.data.Dataset, cfg: PipelineConfig) -> ray.data
         )
 
     return scored.map_batches(keep, batch_format="pyarrow")
+
+
+class ExplainScorer(PairScorer):
+    """PairScorer variant that emits the match-weight decomposition per
+    pair — splink-style "waterfall" explainability: for each feature,
+    its value x_f AND its logit contribution w_f * x_f, plus the
+    intercept, total logit and sigmoid score. Same actor-pool contract
+    (weights resolved once per actor, memoized name kernels)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        for c in self._caches.values():
+            if len(c) > 1_000_000:
+                c.clear()
+        feats = compute_pair_features(batch, self.cfg.embed_dim, self._caches)
+        contrib = feats * self.weights[None, :]
+        logit = contrib.sum(axis=1) + self.intercept
+        cols = {
+            "left": batch.column("left"),
+            "right": batch.column("right"),
+        }
+        for i, fname in enumerate(FEATURE_NAMES):
+            cols[fname] = pa.array(feats[:, i], pa.float64())
+            cols[f"w_{fname}"] = pa.array(contrib[:, i], pa.float64())
+        cols["intercept"] = pa.array(
+            np.full(len(logit), self.intercept), pa.float64()
+        )
+        cols["logit"] = pa.array(logit, pa.float64())
+        cols["score"] = pa.array(expit(logit), pa.float64())
+        return pa.table(cols)
+
+
+def explain_pairs(
+    pairs_with_payload: ray.data.Dataset,
+    cfg: PipelineConfig,
+    weights: tuple[float, np.ndarray] | None = None,
+) -> ray.data.Dataset:
+    """Match-weight waterfall for candidate pairs (see ExplainScorer).
+    Input is attach_pair_payload's output; run on a SELECTED pair set
+    (disputed matches, a cluster under review), not the full candidate
+    stream — the output is ~4x wider than the score table."""
+    weights_ref = ray.put(weights) if weights is not None else None
+    return pairs_with_payload.map_batches(
+        ExplainScorer,
+        fn_constructor_args=(cfg, weights_ref),
+        batch_format="pyarrow",
+        batch_size=cfg.scorer_batch_size,
+        concurrency=(1, max(cfg.scorer_concurrency, cluster_parallelism())),
+    )

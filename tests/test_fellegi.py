@@ -127,3 +127,35 @@ def test_blocking_metrics_vs_bruteforce():
     assert m.pairs_completeness > 0.999
     assert m.reduction_ratio > 0.85  # 400 rows, ~7.5% of pairs are true
     assert 0 < m.pairs_quality <= 1.0
+
+
+def test_explain_pairs_waterfall_consistent():
+    """Contributions sum to the logit; sigmoid(logit) equals the scorer's
+    score; features match the plain scorer's feature emission."""
+    from record_matching_ray.config import PipelineConfig
+    from record_matching_ray.pipelines.er import build_features
+    from record_matching_ray.stages import blocking
+    from record_matching_ray.stages.scoring import explain_pairs
+    from record_matching_ray.testgen import make_pages
+
+    pages, _, _ = make_pages(200, 40, 3)
+    pages_ds = rd.from_arrow(pages).materialize()
+    cfg = PipelineConfig()
+    feats = build_features(pages_ds, cfg, concurrency=2).materialize()
+    pairs = blocking.generate_candidate_pairs(
+        feats, cfg, blocking.compute_hot_hosts(feats, cfg)
+    )
+    wide = blocking.attach_pair_payload(pairs, feats, cfg, num_partitions=4,
+                                        restore_urls=False)
+    rows = explain_pairs(wide, cfg).take_all()
+    assert rows
+    from record_matching_ray.config import FEATURE_NAMES
+
+    w = np.asarray(cfg.weights, dtype=np.float64)
+    for r in rows[:200]:
+        contribs = [r[f"w_{f}"] for f in FEATURE_NAMES]
+        assert abs(sum(contribs) + r["intercept"] - r["logit"]) < 1e-9
+        for i, f in enumerate(FEATURE_NAMES):
+            assert abs(r[f] * w[i] - r[f"w_{f}"]) < 1e-12
+        assert abs(1.0 / (1.0 + np.exp(-r["logit"])) - r["score"]) < 1e-9
+        assert 0.0 <= r["score"] <= 1.0
