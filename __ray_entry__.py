@@ -1980,6 +1980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": _doc_weighted_sample,
         "lang_distinct_estimate": _lang_distinct_estimate,
         "parts_small_only": an.parts_small_only,
+        "source_mixture_weights": an.source_mixture_weights,
         "event_value_median": an.event_value_median,
         "user_sessions": _user_sessions,
         "events_hopping": _events_hopping,
@@ -2548,6 +2549,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity = 1
             EXCEPT
             SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity = 50
+        """,
+        "source_mixture_weights": """
+            WITH c AS (
+              SELECT lang, source, COUNT(*) AS cnt
+              FROM documents GROUP BY lang, source
+            )
+            SELECT lang, source, cnt,
+                   pow(cnt, 0.7) / SUM(pow(cnt, 0.7)) OVER () AS weight,
+                   pow(cnt, 0.7) / SUM(pow(cnt, 0.7)) OVER ()
+                     * SUM(cnt) OVER () / cnt AS epochs
+            FROM c
         """,
         "event_value_median": """
             SELECT event_type,

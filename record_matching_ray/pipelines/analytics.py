@@ -1841,3 +1841,59 @@ def event_value_median(sf_dir: str) -> ray.data.Dataset:
         )
 
     return events.groupby("event_type").map_groups(median, batch_format="pyarrow")
+
+
+def source_mixture_weights(sf_dir: str, alpha: float = 0.7) -> ray.data.Dataset:
+    """Training-mixture weights per (lang, source): temperature-scaled
+    sampling shares w_g = n_g^alpha / sum(n^alpha) (the multilingual
+    mixing rule of Conneau & Lample 2019 / mT5), plus the implied
+    duplication factor w_g * N / n_g ("epochs" each group would see at
+    one pass of the mixed stream). One partial-count pass; the power
+    normalization runs on the group-bounded aggregate only."""
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["lang", "source"]), ["lang", "source"]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        # group-bounded relation: one row per (lang, source)
+        if "cnt" not in t.column_names:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                    "epochs": pa.array([], pa.float64()),
+                }
+            )
+        n = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = np.power(n, alpha)
+        w = p / p.sum()
+        total = n.sum()
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "cnt": pc.cast(t.column("cnt"), pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+                "epochs": pa.array(w * total / n, pa.float64()),
+            }
+        )
+
+    # repartition(1): the normalization needs ALL group rows in one block
+    # (the aggregate is <= |langs|x|sources| rows — driver-trivial)
+    return counts.repartition(1).map_batches(
+        weigh, batch_format="pyarrow", batch_size=None
+    )
