@@ -975,6 +975,17 @@ def _dup_ngram_rate(sf_dir: str):
     return dup_ngram_rate(_docs(sf_dir), n=8)
 
 
+def _dedup_spans_docs(sf_dir: str):
+    """Duplicated-span REMOVAL (stages/dupspans.dedup_spans): drop every
+    token covered by an 8-gram shared across >= 2 docs; the oracle
+    rebuilds each cleaned text in SQL (string grams, coverage ranges,
+    ordered string_agg), so the transform's OUTPUT TEXT is verified, not
+    just its counters."""
+    from record_matching_ray.stages.dupspans import dedup_spans
+
+    return dedup_spans(_docs(sf_dir), n=8)
+
+
 def _doc_fingerprints(sf_dir: str):
     """Winnowing fingerprints, exploded (doc_id, fp) with md5 gram
     hashes: DuckDB recomputes every k-char gram hash
@@ -2003,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _doc_fingerprints,
         "doc_bpe_tokens": _doc_bpe_tokens,
         "dup_ngram_rate_docs": _dup_ngram_rate,
+        "dedup_spans_docs": _dedup_spans_docs,
         "knn_triangles": _triangle_counts,
         "cooccurrence_pmi_docs": _cooccurrence_pmi,
         "user_funnel": _user_funnel,
@@ -2417,6 +2429,48 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / sum(gm.m) AS dup_frac
             FROM gm JOIN df USING (g)
             GROUP BY 1
+        """,
+        "dedup_spans_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ts
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS g
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1,
+                            greatest(len(ts) - 7, 0))) AS i) s
+            ),
+            df AS (
+              SELECT g FROM (SELECT g, doc_id FROM grams GROUP BY 1, 2)
+              GROUP BY g HAVING count(*) >= 2
+            ),
+            cov AS (
+              SELECT DISTINCT grams.doc_id, u.j
+              FROM grams JOIN df USING (g),
+                   LATERAL (SELECT unnest(generate_series(i, i + 7)) AS j) u
+            ),
+            tokrows AS (
+              SELECT doc_id, v.j, ts[v.j] AS tok
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(ts))) AS j) v
+            ),
+            kept AS (
+              SELECT t.doc_id,
+                     string_agg(t.tok, ' ' ORDER BY t.j) AS clean_text,
+                     count(*) AS n_kept
+              FROM tokrows t LEFT JOIN cov c
+                ON t.doc_id = c.doc_id AND t.j = c.j
+              WHERE c.doc_id IS NULL
+              GROUP BY t.doc_id
+            )
+            SELECT l.doc_id,
+                   COALESCE(k.clean_text, '') AS clean_text,
+                   CAST(l.L AS BIGINT) AS n_tokens,
+                   CAST(l.L - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+            FROM (SELECT doc_id, len(ts) AS L FROM toks) l
+            LEFT JOIN kept k USING (doc_id)
         """,
         "semantic_search_docs": r"""
             WITH dt AS (

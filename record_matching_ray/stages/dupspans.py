@@ -174,3 +174,183 @@ def dup_ngram_rate(
 
 
 __all__ = ["dup_ngram_rate"]
+
+
+_OCC_SCHEMA = pa.schema(
+    [("pk", pa.int64()), ("gram", pa.int64()), ("doc_id", pa.int64()),
+     ("pos", pa.int64())]
+)
+_POS_SCHEMA = pa.schema(
+    [("pk2", pa.int64()), ("doc_id", pa.int64()), ("pos", pa.int64()),
+     ("text", pa.string())]
+)
+_CLEAN_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("clean_text", pa.string()),
+        ("n_tokens", pa.int64()),
+        ("n_removed", pa.int64()),
+    ]
+)
+
+
+def dedup_spans(
+    docs: ray.data.Dataset,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact duplicated-span REMOVAL — the transform dup_ngram_rate only
+    measures (Lee et al. 2022 exact-substring dedup): every token covered
+    by an n-gram that occurs in >= 2 distinct documents is dropped;
+    output is (doc_id, clean_text, n_tokens, n_removed) for EVERY doc
+    (short docs pass through normalized). Text normalization is the
+    measurement op's: trim, lowercase, whitespace tokens, single-space
+    rejoin — clean_text is a token stream, not byte-preserving.
+
+    Ray shape: two coarse-pk shuffles, both vectorized sweeps (never a
+    group per gram/doc):
+    1. gram-occurrence rows (gram, doc, pos) co-locate by gram % P; one
+       lexsorted sweep finds grams with >= 2 distinct docs and emits
+       their (doc, pos) occurrences. Shuffle volume is one row per gram
+       OCCURRENCE — the honest O(corpus tokens) cost of exact span
+       removal (Lee et al. pay the same bound via suffix arrays).
+    2. duplicated positions + the doc text co-locate by doc % P (tagged
+       union, no join); a diff-array coverage mask rebuilds each doc.
+    """
+    from record_matching_ray.functions.hashing import _U64, mix64
+
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        toks, off = _tokenize(t.column(text_col).to_pylist())
+        th = hash_strings(toks) if toks else np.empty(0, dtype=np.uint64)
+        grams, doc_ids, poss = [], [], []
+        for i in range(len(ids)):
+            seg = th[off[i] : off[i + 1]]
+            if len(seg) < n:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(seg, n)
+            g = combine_rows(np.ascontiguousarray(win)).view(np.int64)
+            grams.append(g)
+            doc_ids.append(np.full(len(g), ids[i], dtype=np.int64))
+            poss.append(np.arange(len(g), dtype=np.int64))
+        if not grams:
+            return _OCC_SCHEMA.empty_table()
+        gg = np.concatenate(grams)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(gg.astype(_U64)) % _U64(P)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "gram": pa.array(gg, pa.int64()),
+                "doc_id": pa.array(np.concatenate(doc_ids), pa.int64()),
+                "pos": pa.array(np.concatenate(poss), pa.int64()),
+            }
+        )
+
+    def dup_sweep(g: pa.Table) -> pa.Table:
+        gr = g.column("gram").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, gr))
+        gr_s, id_s, pos_s = gr[order], ids[order], pos[order]
+        new_seg = np.concatenate(([True], gr_s[1:] != gr_s[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        # distinct docs per gram segment: count doc-change points + 1
+        doc_change = np.concatenate(
+            ([False], (id_s[1:] != id_s[:-1]) & ~new_seg[1:])
+        )
+        n_seg = seg_id[-1] + 1 if len(seg_id) else 0
+        distinct = np.ones(n_seg, dtype=np.int64)
+        np.add.at(distinct, seg_id[doc_change], 1)
+        keep = distinct[seg_id] >= 2
+        return pa.table(
+            {
+                "pk2": pa.array(
+                    (mix64(id_s[keep].astype(_U64)) % _U64(P)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(id_s[keep], pa.int64()),
+                "pos": pa.array(pos_s[keep], pa.int64()),
+                "text": pa.array([None] * int(keep.sum()), pa.string()),
+            }
+        )
+
+    occ = conformed(
+        docs.map_batches(occ_rows, batch_format="pyarrow"), _OCC_SCHEMA
+    )
+    dup_pos = occ.groupby("pk").map_groups(
+        lambda g: dup_sweep(g.drop_columns(["pk"])), batch_format="pyarrow"
+    )
+
+    def text_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pk2": pa.array(
+                    (mix64(ids.astype(_U64)) % _U64(P)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(np.full(len(ids), -1), pa.int64()),
+                "text": t.column(text_col),
+            }
+        )
+
+    tagged = conformed(dup_pos, _POS_SCHEMA).union(
+        conformed(
+            docs.map_batches(text_rows, batch_format="pyarrow"), _POS_SCHEMA
+        )
+    )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        texts = g.column("text").to_pylist()
+        order = np.lexsort((pos, ids))
+        out_id, out_text, out_nt, out_rm = [], [], [], []
+        start = 0
+        m = len(order)
+        for i in range(1, m + 1):
+            if i == m or ids[order[i]] != ids[order[start]]:
+                seg = order[start:i]
+                start = i
+                # text row sorts first (pos=-1)
+                if pos[seg[0]] != -1:
+                    continue  # positions without a text row (can't happen)
+                text = texts[seg[0]]
+                toks = (text or "").strip().lower().split()
+                L = len(toks)
+                diff = np.zeros(L + n + 1, dtype=np.int64)
+                for j in seg[1:]:
+                    p = pos[j]
+                    diff[p] += 1
+                    diff[min(p + n, L)] -= 1
+                covered = np.cumsum(diff[:L]) > 0 if L else np.zeros(0, bool)
+                kept = [t_ for t_, c in zip(toks, covered) if not c]
+                out_id.append(int(ids[seg[0]]))
+                out_text.append(" ".join(kept))
+                out_nt.append(L)
+                out_rm.append(int(covered.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "clean_text": pa.array(out_text, pa.string()),
+                "n_tokens": pa.array(out_nt, pa.int64()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+            }
+        )
+
+    out = tagged.groupby("pk2").map_groups(
+        lambda g: rebuild(g.drop_columns(["pk2"])), batch_format="pyarrow"
+    )
+    return conformed(out, _CLEAN_SCHEMA)
+
+
+__all__ = ["dup_ngram_rate", "dedup_spans"]

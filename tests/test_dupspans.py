@@ -84,3 +84,51 @@ def test_dup_ngram_rate_all_unique_corpus():
     rows = dup_ngram_rate(_docs(texts), n=4).take_all()
     assert len(rows) == 3
     assert all(r["dup_grams"] == 0 and r["dup_frac"] == 0.0 for r in rows)
+
+
+def test_dedup_spans_vs_bruteforce():
+    """Span removal: tokens covered by any n-gram shared across >=2 docs
+    are dropped; short docs pass through normalized; full coverage
+    empties the text."""
+    import numpy as np
+    import ray.data as rd
+
+    from record_matching_ray.stages.dupspans import dedup_spans
+
+    boiler = "all rights reserved copyright two thousand twenty four inc"
+    docs = [
+        {"doc_id": 0, "text": f"Unique alpha words here {boiler} tail zero"},
+        {"doc_id": 1, "text": f"Other beta stuff {boiler} trailing one"},
+        {"doc_id": 2, "text": "Totally original content with no duplication at all whatsoever"},
+        {"doc_id": 3, "text": "short doc"},
+        {"doc_id": 4, "text": boiler},  # fully covered -> empty
+        {"doc_id": 5, "text": boiler},
+    ]
+    n = 4
+    out = {
+        r["doc_id"]: r
+        for r in dedup_spans(
+            rd.from_items(docs).repartition(3), n=n, num_partitions=4
+        ).take_all()
+    }
+    assert set(out) == set(range(6))
+
+    # brute-force reference
+    toks = {d["doc_id"]: d["text"].strip().lower().split() for d in docs}
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    for i, ts in toks.items():
+        for j in range(len(ts) - n + 1):
+            owners[tuple(ts[j : j + n])].add(i)
+    for i, ts in toks.items():
+        covered = np.zeros(len(ts), dtype=bool)
+        for j in range(len(ts) - n + 1):
+            if len(owners[tuple(ts[j : j + n])]) >= 2:
+                covered[j : j + n] = True
+        want = " ".join(t for t, c in zip(ts, covered) if not c)
+        assert out[i]["clean_text"] == want, i
+        assert out[i]["n_tokens"] == len(ts)
+        assert out[i]["n_removed"] == int(covered.sum())
+    assert out[4]["clean_text"] == "" and out[5]["clean_text"] == ""
+    assert out[3]["clean_text"] == "short doc"
