@@ -18,10 +18,11 @@ of an optimal alignment). So:
    view); each combo's hash is one masked weighted row-sum with wrapping
    uint64 polynomial weights — no per-row Python. Hash collisions only
    ever ADD candidates (verified exactly below), never lose pairs.
-2. one hash shuffle on the signature (``groupby("sig")``) — bucket sizes
-   are deletion neighborhoods, naturally small; ``max_bucket`` caps
-   adversarial skew (cap events are observable via the dropped counter
-   semantics of the dedup family).
+2. one hash shuffle on a COARSE partition key (``sig % P``, the repo's
+   coarse-groupby pattern): equal signatures still co-locate, but Python
+   dispatches once per partition, not once per tiny deletion-neighborhood
+   bucket; one lexsort per partition walks every bucket. ``max_bucket``
+   caps adversarial skew.
 3. bucket-local exact verify: canonical (min,max) id pairs, length
    prefilter ``|len(a)-len(b)| <= k``, then memoized two-row-DP
    levenshtein — only on candidates, never all pairs.
@@ -126,6 +127,10 @@ def edit_distance_join(
     if k < 0:
         raise ValueError("k must be >= 0")
 
+    from record_matching_ray.stages.util import coarse_groupby_partitions
+
+    P = coarse_groupby_partitions()
+
     def sig_rows(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         strings = t.column(str_col).to_pylist()
@@ -133,50 +138,80 @@ def edit_distance_join(
         rows, sigs = deletion_signatures(strings, k)
         return pa.table(
             {
+                "pk": pa.array(
+                    (sigs.view(np.uint64) % np.uint64(P)).view(np.int64),
+                    pa.int64(),
+                ),
                 "sig": pa.array(sigs, pa.int64()),
                 "id": pa.array(ids[rows], pa.int64()),
                 "s": pa.array([strings[r] for r in rows], pa.string()),
             }
         )
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
+    def sweep_pairs(g: pa.Table) -> pa.Table:
+        """One pass over a coarse partition: lexsort by (sig, id), then
+        every signature bucket is a contiguous segment."""
+        sig = g.column("sig").to_numpy(zero_copy_only=False)
         ids = g.column("id").to_numpy(zero_copy_only=False)
-        uniq, first = np.unique(ids, return_index=True)
-        if len(uniq) < 2:
-            return _PAIR_SCHEMA.empty_table()
-        if len(uniq) > max_bucket:
-            first = first[:max_bucket]
-            uniq = uniq[:max_bucket]
-        strs = g.column("s").take(pa.array(first, pa.int64())).to_pylist()
-        lens = np.asarray([len(s) for s in strs], dtype=np.int64)
-        a, b = np.triu_indices(len(uniq), k=1)
-        near = np.abs(lens[a] - lens[b]) <= k
-        a, b = a[near], b[near]
-        if len(a) == 0:
-            return _PAIR_SCHEMA.empty_table()
+        order = np.lexsort((ids, sig))
+        sig_s, id_s = sig[order], ids[order]
+        strs_col = g.column("s")
+        lefts: list[np.ndarray] = []
+        rights: list[np.ndarray] = []
+        dists: list[np.ndarray] = []
         cache: dict[tuple[str, str], int] = {}
-        dist = np.empty(len(a), dtype=np.int64)
-        for i in range(len(a)):
-            key = (strs[a[i]], strs[b[i]])
-            d = cache.get(key)
-            if d is None:
-                d = levenshtein(*key)
-                cache[key] = d
-            dist[i] = d
-        keep = dist <= k
+        new_seg = np.concatenate(([True], sig_s[1:] != sig_s[:-1]))
+        starts = np.nonzero(new_seg)[0].tolist() + [len(sig_s)]
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            if hi - lo < 2:
+                continue
+            seg = order[lo:hi]
+            seg_ids = id_s[lo:hi]
+            uniq, first = np.unique(seg_ids, return_index=True)
+            if len(uniq) < 2:
+                continue
+            if len(uniq) > max_bucket:
+                first = first[:max_bucket]
+                uniq = uniq[:max_bucket]
+            strs = [strs_col[int(seg[j])].as_py() for j in first]
+            lens = np.asarray([len(s) for s in strs], dtype=np.int64)
+            a, b = np.triu_indices(len(uniq), k=1)
+            near = np.abs(lens[a] - lens[b]) <= k
+            a, b = a[near], b[near]
+            if len(a) == 0:
+                continue
+            dist = np.empty(len(a), dtype=np.int64)
+            for i in range(len(a)):
+                key = (strs[a[i]], strs[b[i]])
+                d = cache.get(key)
+                if d is None:
+                    d = levenshtein(*key)
+                    cache[key] = d
+                dist[i] = d
+            keep = dist <= k
+            if keep.any():
+                lefts.append(uniq[a[keep]])
+                rights.append(uniq[b[keep]])
+                dists.append(dist[keep])
+        if not lefts:
+            return _PAIR_SCHEMA.empty_table()
         return pa.table(
             {
-                "left": pa.array(uniq[a[keep]], pa.int64()),
-                "right": pa.array(uniq[b[keep]], pa.int64()),
-                "dist": pa.array(dist[keep], pa.int64()),
+                "left": pa.array(np.concatenate(lefts), pa.int64()),
+                "right": pa.array(np.concatenate(rights), pa.int64()),
+                "dist": pa.array(np.concatenate(dists), pa.int64()),
             }
         )
 
     cand = (
         ds.select_columns([id_col, str_col])
         .map_batches(sig_rows, batch_format="pyarrow")
-        .groupby("sig")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(
+            lambda g: sweep_pairs(g.drop_columns(["pk"])),
+            batch_format="pyarrow",
+        )
     )
     out = cand.groupby(["left", "right"]).min("dist")
     out = out.rename_columns({"min(dist)": "dist"})
