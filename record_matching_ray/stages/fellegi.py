@@ -161,17 +161,56 @@ def fellegi_sunter_em(
     init_m: float = 0.9,
     init_u: float = 0.1,
     init_p: float = 0.1,
+    driver_max_rows: int = 2_000_000,
 ) -> pa.Table:
     """EM over binary agreement columns. Returns one row per field
     (field, m, u, match_weight, nonmatch_weight) plus a ``__lambda__``
     row carrying (p, 1-p) in (m, u); weights are log2 ratios on clamped
-    probabilities. ``gammas`` streams once per iteration; only 2F+2
-    floats ever reach the driver per batch."""
+    probabilities.
+
+    Hybrid finish (same shape as clustering's): when the gamma table is
+    counted-small it collects ONCE (n x F int8 — a few MB per million
+    pairs) and the fixed-point loop runs in numpy, skipping 8 rounds of
+    per-iteration scheduling latency; beyond the bound each iteration is
+    one streaming pass where only 2F+2 floats reach the driver per
+    batch. Identical update equations either way."""
     F = len(gamma_cols)
     gam = gammas.select_columns(gamma_cols).materialize()
     m = np.full(F, init_m)
     u = np.full(F, init_u)
     p = float(init_p)
+
+    if gam.count() <= driver_max_rows:
+        mats = [
+            np.stack(
+                [
+                    t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                    for c in gamma_cols
+                ],
+                axis=1,
+            )
+            for t in gam.iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        gf = (
+            np.concatenate(mats)
+            if mats
+            else np.zeros((0, F), dtype=np.float64)
+        )
+        n = len(gf)
+        for _ in range(iters):
+            a = np.full(n, p)
+            b = np.full(n, 1.0 - p)
+            for f in range(F):
+                a = a * np.where(gf[:, f] == 1.0, m[f], 1.0 - m[f])
+                b = b * np.where(gf[:, f] == 1.0, u[f], 1.0 - u[f])
+            w = a / (a + b)
+            sw, snw = w.sum(), (1.0 - w).sum()
+            for f in range(F):
+                m[f] = (w * gf[:, f]).sum() / sw
+                u[f] = ((1.0 - w) * gf[:, f]).sum() / snw
+            p = sw / n
+        return _em_result(gamma_cols, m, u, p)
 
     for _ in range(iters):
         mm, uu, pp = m.copy(), u.copy(), p
@@ -202,6 +241,12 @@ def fellegi_sunter_em(
             u[f] = sum(r[f"snwg{f}"] for r in parts) / snw
         p = sw / n_tot
 
+    return _em_result(gamma_cols, m, u, p)
+
+
+def _em_result(
+    gamma_cols: list[str], m: np.ndarray, u: np.ndarray, p: float
+) -> pa.Table:
     mc = np.clip(m, _EPS, 1 - _EPS)
     uc = np.clip(u, _EPS, 1 - _EPS)
     return pa.table(

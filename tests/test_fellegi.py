@@ -53,12 +53,23 @@ def test_fellegi_em_matches_numpy_reference_and_separates():
     ds = rd.from_arrow(
         pa.table({f"g{f}": g[:, f] for f in range(F)})
     ).repartition(6)
-    out = {
-        r["field"]: (r["m"], r["u"])
-        for r in fellegi_sunter_em(
-            ds, [f"g{f}" for f in range(F)], iters=20
-        ).to_pylist()
-    }
+    # both plans: counted-small driver fixed-point AND the streaming
+    # per-iteration partial path (driver_max_rows=0 forces it)
+    outs = [
+        {
+            r["field"]: (r["m"], r["u"])
+            for r in fellegi_sunter_em(
+                ds, [f"g{f}" for f in range(F)], iters=20,
+                driver_max_rows=bound,
+            ).to_pylist()
+        }
+        for bound in (2_000_000, 0)
+    ]
+    out = outs[0]
+    for f in range(F):
+        for o in outs[1:]:
+            assert abs(o[f"g{f}"][0] - out[f"g{f}"][0]) < 1e-9
+            assert abs(o[f"g{f}"][1] - out[f"g{f}"][1]) < 1e-9
 
     # local reference EM (identical update equations)
     m = np.full(F, 0.9)
