@@ -141,9 +141,13 @@ def _er_clusters_documents(sf_dir: str):
 
 
 def _canonical_documents(sf_dir: str):
-    from record_matching_ray.pipelines.docs_er import canonical_documents
+    """Canonical entity forms per near-dup cluster, fully oracle-checked:
+    cluster ids relabeled to min member doc_id (er_clusters_documents'
+    component premise), the extractor's name/year rules reproduced in SQL
+    (RE2 on both sides), completeness as the exact IEEE mean."""
+    from record_matching_ray.pipelines.docs_er import canonical_documents_checked
 
-    return canonical_documents(sf_dir)
+    return canonical_documents_checked(sf_dir)
 
 
 def _minhash_neardup(sf_dir: str):
@@ -1506,6 +1510,135 @@ _ER_CLUSTERS_SQL = (
 """
 )
 
+# Mirror of stages/extract.normalize_name over lower(substr(text,1,80))
+# (column alias `s`): first-comma "Last, First" reorder, the 7-rule
+# abbreviation table, punctuation -> space, whitespace collapse. Both
+# sides run RE2-compatible patterns; validated byte-identical vs the
+# Python extractor over the full sf0.01 corpus.
+_NORMALIZE_NAME_SQL = r"""trim(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(
+  CASE WHEN instr(s, ',') > 0
+       THEN trim(substr(s, instr(s, ',') + 1)) || ' ' || trim(substr(s, 1, instr(s, ',') - 1))
+       ELSE s END,
+  '\bwm\.?\b', 'william', 'g'), '\bjno\.?\b', 'john', 'g'), '\bthos\.?\b', 'thomas', 'g'),
+  '\bchas\.?\b', 'charles', 'g'), '\bgeo\.?\b', 'george', 'g'), '\brobt\.?\b', 'robert', 'g'),
+  '\bjas\.?\b', 'james', 'g'),
+  '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+
+# canonical_documents oracle: ER clusters via the jaccard>=0.5 component
+# CTE (er_clusters_documents' premise), then poc2's canonical-form rules
+# re-expressed relationally — name priority = (has_year, completeness,
+# url) ranking, frequency aggregation = (count DESC, first-url ASC)
+# ranking with the min_count-2-if-size>5 rule, Counter first-seen tie ==
+# MIN(url) because the engine sweeps members in url order.
+_CANONICAL_DOCS_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + """,
+    und AS (
+      SELECT l AS a, r AS b FROM jac WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT r AS a, l AS b FROM jac WHERE jaccard >= 0.5
+    ),
+    reach(n, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT und.a, reach.lbl FROM und JOIN reach ON reach.n = und.b
+    ),
+    clus AS (SELECT n AS doc_id, MIN(lbl) AS cid FROM reach GROUP BY n),
+    mem AS (
+      SELECT CAST(c.cid AS VARCHAR) AS cluster_id,
+             'doc://' || d.source || '/' || lpad(CAST(d.doc_id AS VARCHAR), 10, '0') AS url,
+             """
+    + _NORMALIZE_NAME_SQL
+    + r""" AS name,
+             TRY_CAST(regexp_extract(d.text, '\b(1[0-9]{3}|20[0-2][0-9])\b', 1) AS DOUBLE) AS year,
+             d.lang AS lang
+      FROM clus c JOIN (
+        SELECT doc_id, source, text, lang, lower(substr(text, 1, 80)) AS s
+        FROM documents) d ON d.doc_id = c.doc_id
+    ),
+    base AS (
+      SELECT cluster_id, COUNT(*) AS "size", MIN(url) AS canonical_url,
+             MIN(year) AS year_min, MAX(year) AS year_max,
+             CAST(SUM(CASE WHEN name <> '' THEN 1 ELSE 0 END
+                      + CASE WHEN year IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN lang <> '' THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS completeness
+      FROM mem GROUP BY cluster_id
+    ),
+    best AS (
+      SELECT cluster_id, name AS canonical_name, year FROM (
+        SELECT cluster_id, name, year,
+               row_number() OVER (PARTITION BY cluster_id ORDER BY
+                 CASE WHEN year IS NOT NULL THEN 0 ELSE 1 END,
+                 (CASE WHEN name <> '' THEN 1 ELSE 0 END
+                  + CASE WHEN year IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN lang <> '' THEN 1 ELSE 0 END) DESC,
+                 url) AS rn
+        FROM mem) WHERE rn = 1
+    ),
+    vf_names AS (
+      SELECT cluster_id, name AS v, COUNT(*) AS c, MIN(url) AS fu
+      FROM mem WHERE name <> '' GROUP BY cluster_id, name
+    ),
+    names_ranked AS (
+      SELECT v.cluster_id, v.v,
+             row_number() OVER (PARTITION BY v.cluster_id
+                                ORDER BY v.c DESC, v.fu) AS rn
+      FROM vf_names v JOIN base b ON b.cluster_id = v.cluster_id
+      WHERE v.c >= CASE WHEN b."size" > 5 THEN 2 ELSE 1 END
+    ),
+    names_agg AS (
+      SELECT cluster_id, string_agg(v, '; ' ORDER BY rn) AS names
+      FROM names_ranked WHERE rn <= 5 GROUP BY cluster_id
+    ),
+    vf_langs AS (
+      SELECT cluster_id, lang AS v, COUNT(*) AS c, MIN(url) AS fu
+      FROM mem WHERE lang <> '' GROUP BY cluster_id, lang
+    ),
+    langs_ranked AS (
+      SELECT v.cluster_id, v.v,
+             row_number() OVER (PARTITION BY v.cluster_id
+                                ORDER BY v.c DESC, v.fu) AS rn
+      FROM vf_langs v JOIN base b ON b.cluster_id = v.cluster_id
+      WHERE v.c >= CASE WHEN b."size" > 5 THEN 2 ELSE 1 END
+    ),
+    langs_agg AS (
+      SELECT cluster_id, string_agg(v, '; ' ORDER BY rn) AS langs
+      FROM langs_ranked WHERE rn <= 5 GROUP BY cluster_id
+    ),
+    lang_mode AS (
+      SELECT cluster_id, v AS lang FROM (
+        SELECT cluster_id, v,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY c DESC, fu) AS rn
+        FROM vf_langs) WHERE rn = 1
+    ),
+    su AS (
+      SELECT cluster_id, string_agg(url, '; ' ORDER BY url) AS sample_urls
+      FROM (SELECT cluster_id, url,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY url) AS rn
+            FROM mem)
+      WHERE rn <= 3 GROUP BY cluster_id
+    )
+    SELECT b.cluster_id, b.canonical_url, bs.canonical_name, bs.year,
+           b."size", b.year_min, b.year_max,
+           COALESCE(lm.lang, '') AS lang,
+           COALESCE(na.names, '') AS names,
+           COALESCE(la.langs, '') AS langs,
+           su.sample_urls, b.completeness
+    FROM base b
+    JOIN best bs ON bs.cluster_id = b.cluster_id
+    LEFT JOIN lang_mode lm ON lm.cluster_id = b.cluster_id
+    LEFT JOIN names_agg na ON na.cluster_id = b.cluster_id
+    LEFT JOIN langs_agg la ON la.cluster_id = b.cluster_id
+    JOIN su ON su.cluster_id = b.cluster_id
+"""
+)
+
 _EMBEDDING_NEARDUP_SQL = """
     SELECT a.vec_id AS "left", b.vec_id AS "right",
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -2331,6 +2464,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_docs": _NGRAM_JACCARD_SQL,
         "minhash_neardup_docs": _MINHASH_NEARDUP_SQL,
         "er_clusters_documents": _ER_CLUSTERS_SQL,
+        "canonical_documents": _CANONICAL_DOCS_SQL,
         "simhash_neardup_docs": _SIMHASH_SQL,
         "doc_fingerprints": _WINNOW_SQL,
         "doc_bpe_tokens": r"""

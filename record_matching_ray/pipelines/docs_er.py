@@ -69,3 +69,69 @@ def canonical_documents(sf_dir: str, cfg: PipelineConfig | None = None) -> ray.d
     pages = docs_to_pages(docs)
     res = run_er(pages, cfg or DOCS_CFG, input_key=sf_dir)
     return res["canonical"]
+
+
+def canonical_documents_checked(
+    sf_dir: str, cfg: PipelineConfig | None = None
+) -> ray.data.Dataset:
+    """Oracle-checkable canonical forms: cluster ids relabeled to the min
+    member doc_id (same component premise as er_clusters_documents — the
+    corpus' near-dup pairs sit at jaccard >= 0.9 with a wide gap below 0.5,
+    so ER clusters == jaccard>=0.5 components), completeness emitted as the
+    exact IEEE mean so DuckDB reproduces every value bit-identically.
+
+    The relabel is one groupby over (cluster -> min doc_id) — rows =
+    #clusters, not members — plus one hash join back onto the membership;
+    both shuffles are bounded by the cluster relation, not the corpus."""
+    import numpy as np
+
+    from record_matching_ray.stages.canonicalize import canonicalize
+    from record_matching_ray.stages.util import conformed, shuffle_partitions
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    pages = docs_to_pages(docs)
+    res = run_er(pages, cfg or DOCS_CFG, input_key=sf_dir)
+    clusters = res["clusters"]  # (url, cluster_id) — url ends in doc_id
+
+    def parse(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        ids = np.array([int(u[-10:]) for u in urls], dtype=np.int64)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "cid": t.column("cluster_id"),
+            }
+        )
+
+    parsed = conformed(
+        clusters.map_batches(parse, batch_format="pyarrow"),
+        pa.schema(
+            [("url", pa.string()), ("doc_id", pa.int64()), ("cid", pa.string())]
+        ),
+    )
+    canon = parsed.groupby("cid").min("doc_id").rename_columns(
+        {"min(doc_id)": "min_doc"}
+    )
+    relabeled = parsed.join(
+        canon,
+        join_type="inner",
+        num_partitions=shuffle_partitions(),
+        on=("cid",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "url": t.column("url"),
+                "cluster_id": pa.array(
+                    [str(v) for v in t.column("min_doc").to_pylist()], pa.string()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    relabeled = conformed(
+        relabeled, pa.schema([("url", pa.string()), ("cluster_id", pa.string())])
+    )
+    return canonicalize(relabeled, res["features"], completeness_mode="exact")

@@ -47,8 +47,13 @@ def _freq_join(values: list[str], size: int, top: int = 5) -> str:
     return "; ".join(kept[:top])
 
 
-def _canonical_segments(g: pa.Table) -> pa.Table:
-    """All clusters of one hash partition, one Python sweep."""
+def _canonical_segments(g: pa.Table, completeness_mode: str = "round2") -> pa.Table:
+    """All clusters of one hash partition, one Python sweep.
+
+    completeness_mode: "round2" keeps poc2:2203's round(mean, 2); "exact"
+    emits the raw IEEE mean (sum/size) so a SQL oracle reproduces the value
+    bit-identically (Python round's ties-to-even on binary doubles differs
+    from DuckDB's round/round_even on ~0.04% of small-integer ratios)."""
     cids = np.asarray(g.column("cluster_id").to_pylist(), dtype=object)
     urls = np.asarray(g.column("url").to_pylist(), dtype=object)
     names = g.column("name").to_pylist()
@@ -104,7 +109,10 @@ def _canonical_segments(g: pa.Table) -> pa.Table:
         out["names"].append(_freq_join(seg_names, size))
         out["langs"].append(_freq_join(seg_langs, size))
         out["sample_urls"].append("; ".join(seg_urls[:3]))
-        out["completeness"].append(round(sum(compl(k) for k in seg) / size, 2))
+        mean_compl = sum(compl(k) for k in seg) / size
+        out["completeness"].append(
+            round(mean_compl, 2) if completeness_mode == "round2" else mean_compl
+        )
         i = j
     return pa.table(
         {
@@ -219,6 +227,7 @@ def canonicalize(
     clusters: ray.data.Dataset,
     features: ray.data.Dataset,
     num_partitions: int | None = None,
+    completeness_mode: str = "round2",
 ) -> ray.data.Dataset:
     """clusters(url, cluster_id) ⋈ features -> one canonical row per cluster."""
     if num_partitions is None:
@@ -243,5 +252,8 @@ def canonicalize(
     return (
         joined.map_batches(add_pk, batch_format="pyarrow")
         .groupby("pk")
-        .map_groups(_canonical_segments, batch_format="pyarrow")
+        .map_groups(
+            lambda g: _canonical_segments(g, completeness_mode),
+            batch_format="pyarrow",
+        )
     )

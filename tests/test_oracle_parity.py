@@ -37,7 +37,9 @@ def _compare(res, odf):
     for c in cols:
         av, bv = a[c].values, b[c].values
         if np.issubdtype(a[c].dtype, np.floating):
-            assert np.array_equal(av.astype(float), bv.astype(float)), c
+            assert np.array_equal(
+                av.astype(float), bv.astype(float), equal_nan=True
+            ), c
         else:
             assert (av == bv).all(), c
 
@@ -53,6 +55,7 @@ def _compare(res, odf):
         "langid_docs",
         "doc_distinct_estimate",
         "filtered_vector_search",
+        "canonical_documents",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
