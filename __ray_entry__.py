@@ -334,6 +334,40 @@ def _events_lag_delta(sf_dir: str):
     return lag_delta(events, key_col="user_id", ts_col="ts", tie_col="event_id")
 
 
+def _events_range_window(sf_dir: str):
+    """Time-based RANGE window (1-hour sliding frame per user) —
+    stages/temporal.time_range_window: hash-partition by key, fused
+    rank-space searchsorted frame bounds, exact integer micro-units."""
+    from record_matching_ray.stages.temporal import time_range_window
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return time_range_window(events, window_us=3_600_000_000)
+
+
+def _user_latest_event(sf_dir: str):
+    """Latest-wins snapshot merge (CDC/upsert compaction) —
+    stages/temporal.latest_snapshot: batch-local argmax combiner, then
+    one key shuffle; at most keys x batches rows move."""
+    from record_matching_ray.stages.temporal import latest_snapshot
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    return latest_snapshot(events)
+
+
+def _embedding_covariance(sf_dir: str):
+    """Upper-triangle sample covariance of the embedding column —
+    stages/vectorstats.embedding_covariance: one X^T.X matmul per batch,
+    dimension-bounded moment shuffle, shared explicit-formula oracle."""
+    from record_matching_ray.stages.vectorstats import embedding_covariance
+
+    return embedding_covariance(_embs(sf_dir))
+
+
 _BM25_TERMS = ["data", "hash", "join", "dup"]
 
 
@@ -2085,6 +2119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_order_asof": _events_order_asof,
         "events_window_join": _events_window_join,
         "events_lag_delta": _events_lag_delta,
+        "events_range_window": _events_range_window,
+        "user_latest_event": _user_latest_event,
+        "embedding_covariance": _embedding_covariance,
         "orders_moving_window": _orders_moving_window,
         "orders_price_ntile": _orders_price_ntile,
         "orders_price_rank": _orders_price_rank,
@@ -2304,6 +2341,41 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id),
                              ts) AS delta_us
             FROM events
+        """,
+        "events_range_window": """
+            SELECT event_id,
+                   SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w
+                     AS win_sum_c,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "user_latest_event": """
+            SELECT user_id, ts, event_id, event_type, value FROM (
+              SELECT user_id, ts, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC)
+                       AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "embedding_covariance": """
+            WITH x AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings
+            ),
+            p AS (
+              SELECT a.i AS i, b.i AS j, count(*) AS n,
+                     SUM(a.v) AS si, SUM(b.v) AS sj, SUM(a.v * b.v) AS sij
+              FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+              GROUP BY 1, 2
+            )
+            SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                   CAST(n AS BIGINT) AS n,
+                   round((sij - si * sj / n) / (n - 1), 6) AS cov
+            FROM p
         """,
         "orders_price_ntile": """
             WITH p AS (

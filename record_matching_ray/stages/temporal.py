@@ -1092,3 +1092,142 @@ def cohort_retention(
         )
 
     return conformed(acc.map_batches(finish, batch_format="pyarrow"), OUT)
+
+
+def time_range_window(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_us: int = 3_600_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Time-based RANGE window aggregate per key:
+    ``SUM/COUNT(...) OVER (PARTITION BY key ORDER BY ts
+    RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)``.
+
+    Completes the window family next to the ROWS-window
+    (``moving_window_sum``): the frame is every row of the same key whose
+    timestamp falls in ``[ts - window, ts]`` — boundary inclusive and
+    PEER-inclusive (rows sharing the current timestamp are in the frame
+    even when they sort after it), which is SQL's exact RANGE rule.
+
+    Same contract as the other window ops: hash-partition by key, one
+    lexsort per partition; the frame sum is two ``searchsorted`` bounds
+    into a segment-aware prefix sum — no per-row loop, no frame
+    materialization. Values accumulate as exact integer micro-units
+    (round(value * 1e6)), so summation is order-independent and the
+    DuckDB oracle needs no float tolerance."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+    w = np.int64(window_us)
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        micros = pc.cast(
+            pc.round(pc.multiply(t.column(value_col), 1_000_000.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(keys.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(keys, pa.int64()),
+                "t": pc.cast(t.column(ts_col), pa.int64()),  # us since epoch
+                "rid": t.column(id_col),
+                "value_c": micros,
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        keys = g.column("k").to_numpy(zero_copy_only=False)
+        ts = g.column("t").to_numpy(zero_copy_only=False)
+        rid = g.column("rid").to_numpy(zero_copy_only=False)
+        v = g.column("value_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((rid, ts, keys))
+        k_s, t_s, r_s, v_s = keys[order], ts[order], rid[order], v[order]
+        n = len(order)
+        cp = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(v_s, out=cp[1:])
+        new_seg = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        # fused rank-space composite key (same trick as asof_join): rank
+        # timestamps against the partition's unique-ts table so
+        # (segment, rank) fits an int64 monotone composite, then TWO
+        # whole-partition searchsorted calls bound every row's frame —
+        # no per-key loop
+        ut = np.unique(t_s)
+        M = np.int64(len(ut) + 1)
+        rank = np.searchsorted(ut, t_s, side="left")
+        comp = seg_id * M + rank
+        lo = np.searchsorted(
+            comp, seg_id * M + np.searchsorted(ut, t_s - w, side="left"), side="left"
+        )
+        hi = np.searchsorted(comp, seg_id * M + rank, side="right")
+        return pa.table(
+            {
+                id_col: pa.array(r_s, pa.int64()),
+                "win_sum_c": pa.array(cp[hi] - cp[lo], pa.int64()),
+                "win_n": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col, value_col, id_col])
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
+    )
+
+
+def latest_snapshot(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    payload_cols: tuple[str, ...] = ("event_type", "value"),
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Latest-wins snapshot merge (CDC/upsert compaction): collapse a
+    keyed change stream to ONE row per key — the row with the greatest
+    ``(ts, id)`` — i.e. SQL's
+    ``row_number() OVER (PARTITION BY key ORDER BY ts DESC, id DESC) = 1``.
+
+    Scale shape: each batch first prunes locally to one candidate row per
+    key it sees (argmax inside the batch — the combiner), so the shuffle
+    moves at most keys x batches rows, never the stream; one int-pk
+    hash shuffle + per-partition sweep finishes exactly."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+    cols = [key_col, ts_col, id_col, *payload_cols]
+
+    def prune(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        rid = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((rid, ts, keys))
+        k_s = keys[order]
+        last = np.concatenate((k_s[1:] != k_s[:-1], [True]))
+        take = pa.array(order[last], pa.int64())
+        out = t.select(cols).take(take)
+        pk = (mix64(k_s[last].astype(_U64)) % _U64(P)).astype(np.int64)
+        return out.append_column("pk", pa.array(pk, pa.int64()))
+
+    def sweep(g: pa.Table) -> pa.Table:
+        keys = g.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        rid = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((rid, ts, keys))
+        k_s = keys[order]
+        last = np.concatenate((k_s[1:] != k_s[:-1], [True]))
+        return g.select(cols).take(pa.array(order[last], pa.int64()))
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(prune, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
+    )

@@ -102,4 +102,94 @@ def embedding_dim_stats(
     return conformed(mom.map_batches(finish, batch_format="pyarrow"), OUT_SCHEMA)
 
 
-__all__ = ["embedding_dim_stats"]
+__all__ = ["embedding_dim_stats", "embedding_covariance"]
+
+
+_COV_PART = pa.schema(
+    [
+        ("pk", pa.int64()),
+        ("i", pa.int64()),
+        ("j", pa.int64()),
+        ("n", pa.int64()),
+        ("si", pa.float64()),
+        ("sj", pa.float64()),
+        ("sij", pa.float64()),
+    ]
+)
+COV_SCHEMA = pa.schema(
+    [
+        ("i", pa.int64()),
+        ("j", pa.int64()),
+        ("n", pa.int64()),
+        ("cov", pa.float64()),
+    ]
+)
+
+
+def embedding_covariance(
+    embs: ray.data.Dataset, emb_col: str = "embedding"
+) -> ray.data.Dataset:
+    """Upper-triangle sample covariance matrix of an embedding column —
+    the one-pass sufficient-statistics primitive behind PCA/whitening/
+    drift detection at corpus scale.
+
+    Ray shape (100 TB-safe): each batch contributes exactly
+    d*(d+1)/2 moment rows (i, j, n, sum_i, sum_j, sum_ij) computed by ONE
+    ``X.T @ X`` matmul — the shuffle is bounded by the dimension, never
+    the row count — then a single int-key groupby merges partials and the
+    finish pass applies the explicit sample-covariance formula
+    (sij - si*sj/n) / (n-1), rounded to 6 decimals; the DuckDB oracle
+    evaluates the same expression tree. ``i``/``j`` are 1-based (SQL's
+    generate_subscripts convention), i <= j."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = _emb_matrix(t.column(emb_col))
+        if mat.size == 0:
+            return _COV_PART.empty_table()
+        n, d = mat.shape
+        iu, ju = np.triu_indices(d)
+        xtx = mat.T @ mat
+        s = mat.sum(axis=0)
+        return pa.table(
+            {
+                "pk": pa.array(iu * np.int64(d) + ju, pa.int64()),
+                "i": pa.array(iu + 1, pa.int64()),
+                "j": pa.array(ju + 1, pa.int64()),
+                "n": pa.array(np.full(len(iu), n, dtype=np.int64), pa.int64()),
+                "si": pa.array(s[iu], pa.float64()),
+                "sj": pa.array(s[ju], pa.float64()),
+                "sij": pa.array(xtx[iu, ju], pa.float64()),
+            }
+        )
+
+    acc = (
+        conformed(embs.map_batches(partial, batch_format="pyarrow"), _COV_PART)
+        .groupby("pk")
+        .aggregate(
+            ray.data.aggregate.Min("i"),
+            ray.data.aggregate.Min("j"),
+            ray.data.aggregate.Sum("n"),
+            ray.data.aggregate.Sum("si"),
+            ray.data.aggregate.Sum("sj"),
+            ray.data.aggregate.Sum("sij"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(n)" not in t.column_names:
+            return COV_SCHEMA.empty_table()
+        n = t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.float64)
+        si = t.column("sum(si)").to_numpy(zero_copy_only=False)
+        sj = t.column("sum(sj)").to_numpy(zero_copy_only=False)
+        sij = t.column("sum(sij)").to_numpy(zero_copy_only=False)
+        cov = np.round((sij - si * sj / n) / (n - 1.0), 6)
+        return pa.table(
+            {
+                "i": t.column("min(i)"),
+                "j": t.column("min(j)"),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "cov": pa.array(cov, pa.float64()),
+            }
+        )
+
+    return conformed(acc.map_batches(finish, batch_format="pyarrow"), COV_SCHEMA)

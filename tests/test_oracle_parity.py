@@ -22,7 +22,7 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "events"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return c
 
@@ -56,6 +56,9 @@ def _compare(res, odf):
         "doc_distinct_estimate",
         "filtered_vector_search",
         "canonical_documents",
+        "events_range_window",
+        "user_latest_event",
+        "embedding_covariance",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):

@@ -325,3 +325,83 @@ def test_rank_per_group_sql_tie_semantics():
     assert all(r["rank"] == 4 and r["dense_rank"] == 2 for r in a3)
     # round-trip identity: every input row present exactly once
     assert set(by_tie) == set(range(len(rows)))
+
+
+def test_time_range_window_vs_bruteforce():
+    import numpy as np
+
+    from record_matching_ray.stages.temporal import time_range_window
+
+    rng = np.random.default_rng(7)
+    n = 400
+    keys = rng.integers(0, 12, n)
+    ts_us = rng.integers(0, 3_600_000_000 * 6, n)  # 6h span
+    vals = np.round(rng.uniform(0, 100, n), 2)
+    base = dt.datetime(2024, 1, 1)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "user_id": pa.array(keys, pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(microseconds=int(t)) for t in ts_us],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+    ).repartition(5)
+    w = 3_600_000_000
+    out = (
+        time_range_window(ds, window_us=w)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    cents = np.round(vals * 1e6).astype(np.int64)
+    for r in out.itertuples(index=False):
+        i = r.event_id
+        # SQL RANGE frame: same key, ts in [ts_i - w, ts_i] inclusive —
+        # peers with the exact same ts are in the frame
+        mask = (keys == keys[i]) & (ts_us >= ts_us[i] - w) & (ts_us <= ts_us[i])
+        assert r.win_n == mask.sum(), i
+        assert r.win_sum_c == cents[mask].sum(), i
+
+
+def test_latest_snapshot_vs_bruteforce_and_partition_invariant():
+    import numpy as np
+
+    from record_matching_ray.stages.temporal import latest_snapshot
+
+    rng = np.random.default_rng(11)
+    n = 300
+    keys = rng.integers(0, 20, n)
+    ts_us = rng.integers(0, 1000, n)  # force ts ties so the id tiebreak runs
+    base = dt.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(keys, pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(microseconds=int(t)) for t in ts_us],
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array([f"t{k % 3}" for k in keys], pa.string()),
+            "value": pa.array(rng.uniform(0, 10, n), pa.float64()),
+        }
+    )
+    expect = {}
+    for i in range(n):
+        k = int(keys[i])
+        if k not in expect or (ts_us[i], i) > expect[k]:
+            expect[k] = (ts_us[i], i)
+    for parts in (1, 7):
+        out = (
+            latest_snapshot(rd.from_arrow(tbl).repartition(parts))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(expect)
+        for r in out.itertuples(index=False):
+            assert expect[r.user_id][1] == r.event_id, r.user_id

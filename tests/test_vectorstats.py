@@ -48,3 +48,30 @@ def test_dim_stats_partitioning_independent():
         key=lambda r: r["dim"],
     )
     assert a == b
+
+
+def test_embedding_covariance_matches_numpy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.stages.vectorstats import embedding_covariance
+
+    rng = np.random.default_rng(3)
+    n, d = 120, 6
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel(), pa.float32()), d
+                )
+            }
+        )
+    ).repartition(4)
+    out = embedding_covariance(ds).to_pandas().sort_values(["i", "j"])
+    ref = np.cov(mat.astype(np.float64).T, ddof=1)
+    assert len(out) == d * (d + 1) // 2
+    for r in out.itertuples(index=False):
+        assert r.n == n
+        assert abs(r.cov - ref[r.i - 1, r.j - 1]) < 2e-6, (r.i, r.j)
