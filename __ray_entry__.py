@@ -368,6 +368,16 @@ def _embedding_covariance(sf_dir: str):
     return embedding_covariance(_embs(sf_dir))
 
 
+def _source_token_kl(sf_dir: str):
+    """Per-source KL divergence vs the corpus unigram distribution —
+    stages/textstats.source_token_kl: one token-pk shuffle over the
+    vocabulary-bounded (source, token) relation, counted-small N_s
+    broadcast, shared expression tree with the oracle."""
+    from record_matching_ray.stages.textstats import source_token_kl
+
+    return source_token_kl(_docs(sf_dir, columns=("source", "text")))
+
+
 _BM25_TERMS = ["data", "hash", "join", "dup"]
 
 
@@ -2119,6 +2129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_order_asof": _events_order_asof,
         "events_window_join": _events_window_join,
         "events_lag_delta": _events_lag_delta,
+        "source_token_kl": _source_token_kl,
         "events_range_window": _events_range_window,
         "user_latest_event": _user_latest_event,
         "embedding_covariance": _embedding_covariance,
@@ -2341,6 +2352,27 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id),
                              ts) AS delta_us
             FROM events
+        """,
+        "source_token_kl": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents
+            ),
+            c_st AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            ns AS (SELECT source, CAST(sum(c) AS DOUBLE) AS ns
+                   FROM c_st GROUP BY 1),
+            ct AS (SELECT tok, CAST(sum(c) AS DOUBLE) AS ct
+                   FROM c_st GROUP BY 1),
+            n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c_st)
+            SELECT s.source, CAST(ns.ns AS BIGINT) AS n_tokens,
+                   round(SUM((s.c / ns.ns)
+                             * ln((s.c / ns.ns) / (ct.ct / n.n))), 6) AS kl
+            FROM c_st s JOIN ns USING (source) JOIN ct USING (tok)
+            CROSS JOIN n
+            GROUP BY 1, 2
         """,
         "events_range_window": """
             SELECT event_id,

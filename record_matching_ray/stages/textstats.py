@@ -934,3 +934,160 @@ def approx_distinct_per_group(
         .groupby(group_col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def source_token_kl(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    group_col: str = "source",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group KL divergence KL(P_group || P_corpus) between unigram
+    token distributions — the data-mixture diagnostic that quantifies how
+    far each source's language drifts from the blended corpus (companion
+    to source_mixture_weights' n^alpha shares).
+
+    Scale shape: ONE token-pk shuffle. Each batch collapses to its
+    (group, token) vocabulary; every row of a token lands in the same
+    partition, so a single sweep finishes c_st AND the corpus marginal
+    C_t per segment without a join. Group totals N_s are a counted-small
+    driver relation (#groups rows) broadcast into the sweep. Per-group
+    terms leave each partition pre-summed (rows = groups x partitions),
+    so the final groupby is tiny. KL rounds to 6 decimals with the same
+    expression tree as the DuckDB oracle: (c/ns) * ln((c/ns)/(ct/n))."""
+    import pandas as pd
+
+    from record_matching_ray.functions.hashing import hash_strings, mix64, _U64
+    from record_matching_ray.stages.util import (
+        conformed,
+        coarse_groupby_partitions,
+        shuffle_partitions,
+    )
+
+    if num_partitions is None:
+        num_partitions = coarse_groupby_partitions()
+    P = num_partitions
+
+    PART = pa.schema(
+        [
+            ("pk", pa.int64()),
+            ("g", pa.string()),
+            ("tok", pa.string()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups, toks = [], []
+        for g, s in zip(
+            t.column(group_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            s = s.strip().lower()
+            if not s:
+                continue
+            ts = _WS_SPLIT.split(s)
+            toks.extend(ts)
+            groups.extend([g] * len(ts))
+        if not toks:
+            return PART.empty_table()
+        fused = np.asarray(
+            [g + "\x1f" + tk for g, tk in zip(groups, toks)], dtype=object
+        )
+        codes, uniq = pd.factorize(fused, sort=False)
+        cnts = np.bincount(codes, minlength=len(uniq))
+        gs, tks = zip(*(u.split("\x1f", 1) for u in uniq))
+        pk = (mix64(hash_strings(list(tks))) % _U64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(pk, pa.int64()),
+                "g": pa.array(list(gs), pa.string()),
+                "tok": pa.array(list(tks), pa.string()),
+                "c": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    # materialize the VOCABULARY-bounded partial relation (rows = distinct
+    # (group, token) per batch, never the corpus) so the N_s pass below
+    # doesn't re-tokenize the whole corpus a second time
+    parts = conformed(
+        docs.map_batches(partial, batch_format="pyarrow"), PART
+    ).materialize()
+
+    # group totals: vocabulary-row partials -> #groups rows on the driver
+    ns_rows = (
+        parts.map_batches(
+            lambda t: pa.TableGroupBy(t.select(["g", "c"]), ["g"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["g", "c"]),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .sum("c")
+        .take_all()
+    )
+    ns_map = {r["g"]: float(r["sum(c)"]) for r in ns_rows}
+    n_total = float(sum(ns_map.values()))
+
+    def sweep(g: pa.Table) -> pa.Table:
+        gs = np.asarray(g.column("g").to_pylist(), dtype=object)
+        tks = np.asarray(g.column("tok").to_pylist(), dtype=object)
+        cs = g.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((gs, tks))
+        g_s, t_s, c_s = gs[order], tks[order], cs[order]
+        n = len(order)
+        # collapse duplicate (token, group) partials from different batches
+        new_pair = np.concatenate(
+            ([True], (t_s[1:] != t_s[:-1]) | (g_s[1:] != g_s[:-1]))
+        )
+        pair_id = np.cumsum(new_pair) - 1
+        c_st = np.bincount(pair_id, weights=c_s)
+        pg = g_s[new_pair]
+        pt = t_s[new_pair]
+        # corpus marginal per token segment
+        new_tok = np.concatenate(([True], pt[1:] != pt[:-1]))
+        tok_id = np.cumsum(new_tok) - 1
+        ct = np.bincount(tok_id, weights=c_st)[tok_id]
+        ns = np.asarray([ns_map[x] for x in pg], dtype=np.float64)
+        p = c_st / ns
+        term = p * np.log(p / (ct / n_total))
+        uniq_g, gidx = np.unique(pg, return_inverse=True)
+        acc = np.zeros(len(uniq_g), dtype=np.float64)
+        np.add.at(acc, gidx, term)
+        return pa.table(
+            {
+                group_col: pa.array(list(uniq_g), pa.string()),
+                "kl_part": pa.array(acc, pa.float64()),
+            }
+        )
+
+    acc = (
+        parts.groupby("pk")
+        .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
+        .groupby(group_col)
+        .sum("kl_part")
+    )
+
+    OUT = pa.schema(
+        [
+            (group_col, pa.string()),
+            ("n_tokens", pa.int64()),
+            ("kl", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(kl_part)" not in t.column_names:
+            return OUT.empty_table()
+        gs = t.column(group_col).to_pylist()
+        kl = t.column("sum(kl_part)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_col: pa.array(gs, pa.string()),
+                "n_tokens": pa.array(
+                    [int(ns_map[x]) for x in gs], pa.int64()
+                ),
+                "kl": pa.array(np.round(kl, 6), pa.float64()),
+            }
+        )
+
+    return conformed(acc.map_batches(finish, batch_format="pyarrow"), OUT)

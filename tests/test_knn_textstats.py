@@ -308,3 +308,54 @@ def test_bpe_token_stats_counts():
     assert out[2]["n_bpe_tokens"] == 3  # "hello" | "  " (ws run) | "world"
     assert out[3]["n_bpe_tokens"] == 0
     assert out[2]["n_ws_tokens"] == 2
+
+
+def test_source_token_kl_vs_bruteforce():
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.stages.textstats import source_token_kl
+
+    docs = [
+        ("a", "x y z x"),
+        ("a", "x x q"),
+        ("b", "z z z w"),
+        ("b", "w w y"),
+        ("c", "x y z w q"),
+    ] * 4
+    tbl = pa.table(
+        {
+            "source": pa.array([s for s, _ in docs], pa.string()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    out = (
+        source_token_kl(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .set_index("source")
+    )
+    # brute-force reference
+    cst = Counter()
+    for s, t in docs:
+        for tok in t.split():
+            cst[(s, tok)] += 1
+    ns = Counter()
+    ct = Counter()
+    for (s, tok), c in cst.items():
+        ns[s] += c
+        ct[tok] += c
+    n = sum(ns.values())
+    for s in ns:
+        kl = sum(
+            (c / ns[s]) * math.log((c / ns[s]) / (ct[tok] / n))
+            for (s2, tok), c in cst.items()
+            if s2 == s
+        )
+        assert out.loc[s, "n_tokens"] == ns[s]
+        assert abs(out.loc[s, "kl"] - kl) < 1e-6, s
+    # KL is non-negative and zero only for a distribution equal to corpus
+    assert (out["kl"] >= 0).all()

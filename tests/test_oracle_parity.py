@@ -59,6 +59,7 @@ def _compare(res, odf):
         "events_range_window",
         "user_latest_event",
         "embedding_covariance",
+        "source_token_kl",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
