@@ -568,6 +568,23 @@ def _customer_jw_pairs(sf_dir: str):
     return jw_window_join(cust, "c_custkey", "c_name", window=6, threshold=0.97)
 
 
+def _part_soft_tfidf(sf_dir: str):
+    """Soft-TFIDF hybrid comparator (Cohen, Ravikumar & Fienberg 2003)
+    under sorted-neighborhood candidates over part names
+    (stages/tfidf.soft_tfidf_pairs): corpus idf over distinct tokens,
+    theta-gated best-Jaro-Winkler token matches with a deterministic
+    (jw DESC, tok ASC) argmax tie-break. The oracle recomputes the entire
+    formula — idf, L2 norms, per-token JW argmax, the gated sum — in SQL."""
+    from record_matching_ray.stages.tfidf import soft_tfidf_pairs
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    return soft_tfidf_pairs(
+        parts, "p_partkey", "p_name", window=6, theta=0.9, threshold=0.25
+    )
+
+
 def _fellegi_em_customers(sf_dir: str):
     """Unsupervised Fellegi-Sunter m/u estimation over sorted-neighborhood
     candidate pairs of customers (stages/fellegi.py): 4 agreement fields
@@ -2139,6 +2156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_editjoin": _customer_editjoin,
         "fellegi_em_customers": _fellegi_em_customers,
         "customer_jw_pairs": _customer_jw_pairs,
+        "part_soft_tfidf": _part_soft_tfidf,
         "fingerprint_containment_docs": _fingerprint_containment,
         "doc_unigram_logprob": _doc_unigram_logprob,
         "lineitem_bloom_semi": _lineitem_bloom_semi,
@@ -2437,6 +2455,53 @@ def oracle_sql() -> dict[str, str]:
                    jaro_winkler_similarity(a.c_name, b.c_name) AS jw
             FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 5
             WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97
+        """,
+        "part_soft_tfidf": """
+            WITH ranked AS (
+              SELECT p_partkey AS id, p_name AS name,
+                     ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) - 1 AS rn
+              FROM part
+            ),
+            prs AS (
+              SELECT LEAST(a.id, b.id) AS lid, GREATEST(a.id, b.id) AS rid
+              FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 5
+            ),
+            toks AS (
+              SELECT DISTINCT id, tok FROM (
+                SELECT id, unnest(string_split(lower(name), ' ')) AS tok
+                FROM ranked
+              ) WHERE tok <> ''
+            ),
+            df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+            n AS (SELECT COUNT(*) AS n FROM ranked),
+            w AS (
+              SELECT t.id, t.tok, ln(n.n * 1.0 / df.df) AS idf
+              FROM toks t, df, n WHERE t.tok = df.tok
+            ),
+            nrm AS (SELECT id, sqrt(SUM(idf * idf)) AS nrm FROM w GROUP BY id),
+            tokpairs AS (
+              SELECT p.lid, p.rid,
+                     wl.idf / nl.nrm AS vl, wr.idf / nr.nrm AS vr,
+                     jaro_winkler_similarity(wl.tok, wr.tok) AS jw,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY p.lid, p.rid, wl.tok
+                       ORDER BY jaro_winkler_similarity(wl.tok, wr.tok) DESC,
+                                wr.tok ASC
+                     ) AS rk
+              FROM prs p
+              JOIN w wl ON wl.id = p.lid
+              JOIN w wr ON wr.id = p.rid
+              JOIN nrm nl ON nl.id = p.lid
+              JOIN nrm nr ON nr.id = p.rid
+            ),
+            sims AS (
+              SELECT lid AS "left", rid AS "right",
+                     ROUND(SUM(CASE WHEN jw >= 0.9 THEN vl * vr * jw
+                                    ELSE 0 END), 6) AS soft_tfidf
+              FROM tokpairs WHERE rk = 1
+              GROUP BY lid, rid
+            )
+            SELECT * FROM sims WHERE soft_tfidf >= 0.25
         """,
         "customer_editjoin": """
             SELECT a.c_custkey AS "left", b.c_custkey AS "right",

@@ -227,3 +227,162 @@ def tfidf_pair_cosine(
         batch_format="pyarrow",
         concurrency=(1, cluster_parallelism()),
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft-TFIDF hybrid comparator (Cohen, Ravikumar & Fienberg 2003)
+
+
+def distinct_token_idf(
+    ds: ray.data.Dataset, str_col: str
+) -> tuple[dict[str, float], int]:
+    """({token: ln(N/df)}, N) over DISTINCT tokens per record.
+
+    The broadcast side is the string vocabulary itself (Soft-TFIDF needs
+    the token TEXT for the secondary Jaro-Winkler distance, so hashes
+    don't suffice); df counts shuffle one row per (batch, token) — the
+    per-batch vocabulary, never the token stream."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t.column(str_col).to_pylist():
+            toks.extend(set(("" if s is None else s).lower().split()))
+        uh, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(uh, pa.string()),
+                "df": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    n = ds.count()
+    df_rows = (
+        ds.select_columns([str_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("tok")
+        .sum("df")
+        .take_all()
+    )  # vocabulary-bounded by construction
+    idf = {r["tok"]: float(np.log(n / r["sum(df)"])) for r in df_rows}
+    return idf, n
+
+
+class _SoftTfidfVerify:
+    """Actor-pool verify: per unique (l,r) name pair, Soft-TFIDF
+    similarity with theta-gated per-token best Jaro-Winkler matches.
+    Memoized per unique string pair — SNM windows over a repetitive name
+    column (e.g. adjective+noun part names) re-present the same pair
+    many times per batch."""
+
+    def __init__(self, idf_ref, theta: float):
+        self.idf = ray.get(idf_ref) if isinstance(idf_ref, ray.ObjectRef) else idf_ref
+        self.theta = theta
+        self.cache: dict[tuple[str, str], float] = {}
+        self.vcache: dict[str, tuple[list[str], np.ndarray]] = {}
+
+    def _vec(self, s: str) -> tuple[list[str], np.ndarray]:
+        got = self.vcache.get(s)
+        if got is None:
+            toks = sorted(set(s.lower().split()))
+            w = np.array([self.idf.get(t, 0.0) for t in toks], dtype=np.float64)
+            nrm = float(np.sqrt(np.sum(w * w)))
+            got = self.vcache[s] = (toks, w / nrm if nrm > 0 else w)
+        return got
+
+    def _sim(self, a: str, b: str) -> float:
+        from record_matching_ray.functions.strsim import jaro_winkler
+
+        key = (a, b)
+        got = self.cache.get(key)
+        if got is not None:
+            return got
+        ta, va = self._vec(a)
+        tb, vb = self._vec(b)
+        sim = 0.0
+        for i, wl in enumerate(ta):
+            # tb is sorted ascending, so the FIRST max is the
+            # lexicographically-smallest argmax — the oracle's
+            # (jw DESC, tok ASC) tie-break
+            jws = np.array([jaro_winkler(wl, wr) for wr in tb])
+            j = int(np.argmax(jws)) if len(jws) else 0
+            if len(jws) and jws[j] >= self.theta:
+                sim += va[i] * vb[j] * float(jws[j])
+        self.cache[key] = sim
+        return sim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        raise NotImplementedError  # bound in soft_tfidf_pairs
+
+
+def soft_tfidf_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    str_col: str,
+    window: int = 6,
+    theta: float = 0.9,
+    threshold: float = 0.25,
+) -> ray.data.Dataset:
+    """Soft-TFIDF similarity join (Cohen, Ravikumar & Fienberg 2003,
+    "A Comparison of String Distance Metrics for Name-Matching Tasks")
+    under sorted-neighborhood candidates.
+
+    SoftTFIDF(S,T) = sum over tokens w of S whose best Jaro-Winkler match
+    v* in T has JW(w,v*) >= theta of V(w,S) * V(v*,T) * JW(w,v*), where
+    V(w,S) = idf(w) / ||idf(S)||_2 over DISTINCT tokens (set semantics)
+    and idf = ln(N / df). The direction is canonical: S is the min-id
+    record of each pair. Ties in the argmax break to the
+    lexicographically smallest v* so a SQL oracle (ORDER BY jw DESC,
+    tok ASC) reproduces the exact same matches.
+
+    Output: (left, right, soft_tfidf) with round(sim, 6) >= threshold,
+    left < right. Replaces the hybrid comparator family the reference's
+    per-pair TfidfVectorizer reached for (claude_poc_v2:1172-1208) with
+    the published corpus-IDF formulation.
+
+    Scale shape: one SNM rank shuffle (see fellegi.py — no global sort);
+    idf vocabulary broadcast once via ray.put; verify is an actor pool
+    memoized per unique name pair."""
+    from record_matching_ray.stages.fellegi import sorted_neighborhood_pairs
+    from record_matching_ray.stages.util import cluster_parallelism
+
+    idf, _n = distinct_token_idf(ds, str_col)
+    idf_ref = ray.put(idf)
+
+    pairs = sorted_neighborhood_pairs(
+        ds.select_columns([id_col, str_col]),
+        sort_col=str_col,
+        tie_col=id_col,
+        payload_cols=[id_col],
+        window=window,
+    )
+
+    class Verify(_SoftTfidfVerify):
+        def __init__(self):
+            super().__init__(idf_ref, theta)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names_l = t.column(f"l_{str_col}").to_pylist()
+            names_r = t.column(f"r_{str_col}").to_pylist()
+            li = t.column(f"l_{id_col}").to_numpy(zero_copy_only=False)
+            ri = t.column(f"r_{id_col}").to_numpy(zero_copy_only=False)
+            swap = li > ri
+            sims = np.empty(len(names_l), dtype=np.float64)
+            for i, (a, b) in enumerate(zip(names_l, names_r)):
+                if swap[i]:
+                    a, b = b, a
+                sims[i] = self._sim(a or "", b or "")
+            sims = np.round(sims, 6)
+            keep = sims >= threshold
+            return pa.table(
+                {
+                    "left": pa.array(np.minimum(li, ri)[keep], pa.int64()),
+                    "right": pa.array(np.maximum(li, ri)[keep], pa.int64()),
+                    "soft_tfidf": pa.array(sims[keep], pa.float64()),
+                }
+            )
+
+    return pairs.map_batches(
+        Verify,
+        batch_format="pyarrow",
+        concurrency=(1, cluster_parallelism()),
+    )

@@ -103,3 +103,62 @@ def test_jw_window_join_vs_bruteforce():
                     lo, hi = sorted((a["id"], b["id"]))
                     want.add((lo, hi, round(jw, 9)))
     assert got == want
+
+
+def test_soft_tfidf_pairs_vs_bruteforce():
+    """Soft-TFIDF (Cohen et al. 2003) under SNM candidates vs an
+    in-process reference: set-semantics corpus idf, theta-gated best-JW
+    token matches with (jw DESC, tok ASC) tie-break, canonical min-id
+    direction."""
+    import math
+
+    from record_matching_ray.functions.strsim import jaro_winkler
+    from record_matching_ray.stages.tfidf import soft_tfidf_pairs
+
+    rows = [{"id": i, "name": s} for i, s in enumerate(NAMES) if s]
+    ds = rd.from_items(rows).repartition(3)
+    window, theta, thr = 4, 0.85, 0.2
+    got = {
+        (r["left"], r["right"], r["soft_tfidf"])
+        for r in soft_tfidf_pairs(
+            ds, "id", "name", window=window, theta=theta, threshold=thr
+        ).take_all()
+    }
+
+    n = len(rows)
+    df: dict[str, int] = {}
+    for r in rows:
+        for t in set(r["name"].lower().split()):
+            df[t] = df.get(t, 0) + 1
+    idf = {t: math.log(n / c) for t, c in df.items()}
+
+    def vec(s):
+        toks = sorted(set(s.lower().split()))
+        w = np.array([idf[t] for t in toks])
+        nrm = float(np.sqrt((w * w).sum()))
+        return toks, (w / nrm if nrm > 0 else w)
+
+    def soft(a, b):
+        ta, va = vec(a)
+        tb, vb = vec(b)
+        sim = 0.0
+        for i, wl in enumerate(ta):
+            jws = [jaro_winkler(wl, wr) for wr in tb]
+            j = int(np.argmax(jws))
+            if jws[j] >= theta:
+                sim += va[i] * vb[j] * jws[j]
+        return round(sim, 6)
+
+    order = sorted(rows, key=lambda r: (r["name"], r["id"]))
+    want = set()
+    for i in range(len(order)):
+        for d in range(1, window):
+            if i + d < len(order):
+                a, b = order[i], order[i + d]
+                lo, hi = sorted((a["id"], b["id"]))
+                aa = a["name"] if a["id"] == lo else b["name"]
+                bb = b["name"] if a["id"] == lo else a["name"]
+                s = soft(aa, bb)
+                if s >= thr:
+                    want.add((lo, hi, s))
+    assert got == want

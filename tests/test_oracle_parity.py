@@ -22,7 +22,7 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings", "events"]:
+    for t in ["documents", "embeddings", "events", "part"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return c
 
@@ -60,6 +60,7 @@ def _compare(res, odf):
         "user_latest_event",
         "embedding_covariance",
         "source_token_kl",
+        "part_soft_tfidf",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
