@@ -554,6 +554,132 @@ def _customer_editjoin(sf_dir: str):
     return edit_distance_join(cust, "c_custkey", "c_name", k=1)
 
 
+_KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM = 6, 3, 64
+
+
+def _kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table
+    (stages/kmeans.kmeans_fit_predict): deterministic min-id init,
+    exact integer-scaled centroid sums (order-independent — the oracle's
+    SUM() reproduces them bit for bit), sequential per-dim distance
+    accumulation shared with the oracle's unrolled expression."""
+    from record_matching_ray.stages.kmeans import kmeans_fit_predict
+
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out, _ = kmeans_fit_predict(embs, _KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM)
+    return out
+
+
+def _semdedup_embeddings(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means partition + exact cosine
+    components within each cluster; keep_id = min id per
+    component (stages/kmeans.semdedup). The oracle recomputes the full
+    k-means AND the per-cluster duplicate components (recursive CTE)."""
+    from record_matching_ray.stages.kmeans import semdedup
+
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semdedup(
+        embs, _KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM, threshold=0.4
+    )
+
+
+def _kmeans_sql(
+    k: int = _KMEANS_K,
+    iters: int = _KMEANS_ITERS,
+    dim: int = _KMEANS_DIM,
+    semdedup: bool = False,
+    threshold: float = 0.4,
+) -> str:
+    """Unrolled Lloyd iterations in SQL (the pagerank-oracle pattern,
+    exact here: integer-scaled sums + shared left-associative distance
+    expression). With semdedup=True, appends the per-cluster cosine
+    component CTE and returns (vec_id, cluster, keep_id)."""
+    scale = "1099511627776.0"  # 2^40, matches stages/kmeans.SCALE
+
+    def dist(e: str, c: str) -> str:
+        return " + ".join(
+            f"({e}.e{d} - {c}.d{d}) * ({e}.e{d} - {c}.d{d})" for d in range(dim)
+        )
+
+    ecols = ", ".join(
+        f"CAST(embedding[{d + 1}] AS DOUBLE) AS e{d}" for d in range(dim)
+    )
+    init_cols = ", ".join(f"e{d} AS d{d}" for d in range(dim))
+    parts = [
+        "WITH RECURSIVE " if semdedup else "WITH ",
+        f"pts AS MATERIALIZED (SELECT vec_id, {ecols} FROM embeddings),",
+        f"c0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,"
+        f" {init_cols} FROM (SELECT * FROM pts ORDER BY vec_id LIMIT {k})),",
+    ]
+    for i in range(iters):
+        d_expr = dist("p", "c")
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT p.vec_id, c.cluster, ROW_NUMBER() OVER ("
+            f"PARTITION BY p.vec_id ORDER BY {d_expr} ASC, c.cluster ASC) AS rk"
+            f" FROM pts p CROSS JOIN c{i} c),"
+        )
+        parts.append(f"a{i} AS MATERIALIZED (SELECT vec_id, cluster FROM d{i} WHERE rk = 1),")
+        scols = ", ".join(
+            f"SUM(CAST(FLOOR(p.e{d2} * {scale}) AS BIGINT)) AS s{d2}"
+            for d2 in range(dim)
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT a.cluster, COUNT(*) AS cnt, {scols}"
+            f" FROM a{i} a JOIN pts p USING (vec_id) GROUP BY a.cluster),"
+        )
+        ccols = ", ".join(
+            f"CASE WHEN s.cnt IS NULL THEN c.d{d2}"
+            f" ELSE (CAST(s.s{d2} AS DOUBLE) / {scale}) / s.cnt END AS d{d2}"
+            for d2 in range(dim)
+        )
+        parts.append(
+            f"c{i + 1} AS MATERIALIZED (SELECT c.cluster, {ccols} FROM c{i} c"
+            f" LEFT JOIN s{i} s USING (cluster)),"
+        )
+    d_expr = dist("p", "c")
+    parts.append(
+        f"fin AS MATERIALIZED (SELECT p.vec_id, c.cluster, ROUND({d_expr}, 6) AS dist,"
+        f" ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY {d_expr} ASC,"
+        f" c.cluster ASC) AS rk FROM pts p CROSS JOIN c{iters} c)"
+    )
+    if not semdedup:
+        parts.append("SELECT vec_id, cluster, dist FROM fin WHERE rk = 1")
+        return "\n".join(parts)
+    parts[-1] += ","
+    parts.append(
+        """
+        asg AS (SELECT vec_id, cluster FROM fin WHERE rk = 1),
+        dup AS (
+          SELECT a.vec_id AS l, b.vec_id AS r
+          FROM asg a JOIN asg b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+          WHERE ROUND(list_cosine_similarity(
+                  CAST(ea.embedding AS DOUBLE[]),
+                  CAST(eb.embedding AS DOUBLE[])), 6) >= {thr}
+        ),
+        und AS (
+          SELECT l AS a, r AS b FROM dup
+          UNION ALL SELECT r AS a, l AS b FROM dup
+        ),
+        reach(n, lbl) AS (
+          SELECT vec_id, vec_id FROM asg
+          UNION
+          SELECT und.a, reach.lbl FROM und JOIN reach ON reach.n = und.b
+        ),
+        comp AS (SELECT n AS vec_id, MIN(lbl) AS keep_id FROM reach GROUP BY n)
+        SELECT a.vec_id, a.cluster, c.keep_id
+        FROM asg a JOIN comp c USING (vec_id)
+        """.replace("{thr}", repr(threshold))
+    )
+    return "\n".join(parts)
+
+
 def _customer_jw_pairs(sf_dir: str):
     """Jaro-Winkler similarity join (>= 0.97) under sorted-neighborhood
     candidates — the classic SNM + Winkler-comparator linkage join
@@ -2157,6 +2283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fellegi_em_customers": _fellegi_em_customers,
         "customer_jw_pairs": _customer_jw_pairs,
         "part_soft_tfidf": _part_soft_tfidf,
+        "kmeans_embeddings": _kmeans_embeddings,
+        "semdedup_embeddings": _semdedup_embeddings,
         "fingerprint_containment_docs": _fingerprint_containment,
         "doc_unigram_logprob": _doc_unigram_logprob,
         "lineitem_bloom_semi": _lineitem_bloom_semi,
@@ -2456,6 +2584,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 5
             WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97
         """,
+        "kmeans_embeddings": _kmeans_sql(),
+        "semdedup_embeddings": _kmeans_sql(semdedup=True),
         "part_soft_tfidf": """
             WITH ranked AS (
               SELECT p_partkey AS id, p_name AS name,

@@ -61,6 +61,8 @@ def _compare(res, odf):
         "embedding_covariance",
         "source_token_kl",
         "part_soft_tfidf",
+        "kmeans_embeddings",
+        "semdedup_embeddings",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
