@@ -554,6 +554,32 @@ def _customer_editjoin(sf_dir: str):
     return edit_distance_join(cust, "c_custkey", "c_name", k=1)
 
 
+def _doc_chunks(sf_dir: str):
+    """Fixed-size token chunks with overlap (RAG / context-window prep,
+    stages/packing.chunk_documents): chunk c covers tokens
+    [c*30, c*30+40); final chunk may be shorter; empty docs emit
+    nothing. Stateless flat emission — no shuffle."""
+    from record_matching_ray.stages.packing import chunk_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(docs, chunk_size=40, overlap=10)
+
+
+def _doc_bigram_logprob(sf_dir: str):
+    """Bigram-LM quality score (stages/textstats.bigram_logprob): mean
+    ln(c(a,b)/cl(a)) per doc under the corpus' own bigram distribution —
+    the conditional extension of doc_unigram_logprob, same exact-tail
+    broadcast contract. The oracle retrains the same bigram model."""
+    from record_matching_ray.stages.textstats import bigram_logprob
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bigram_logprob(docs)
+
+
 _KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM = 6, 3, 64
 
 
@@ -2285,6 +2311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_soft_tfidf": _part_soft_tfidf,
         "kmeans_embeddings": _kmeans_embeddings,
         "semdedup_embeddings": _semdedup_embeddings,
+        "doc_chunks": _doc_chunks,
+        "doc_bigram_logprob": _doc_bigram_logprob,
         "fingerprint_containment_docs": _fingerprint_containment,
         "doc_unigram_logprob": _doc_unigram_logprob,
         "lineitem_bloom_semi": _lineitem_bloom_semi,
@@ -2586,6 +2614,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_embeddings": _kmeans_sql(),
         "semdedup_embeddings": _kmeans_sql(semdedup=True),
+        "doc_chunks": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            st AS (
+              SELECT doc_id, ts,
+                     unnest(generate_series(0, len(ts) - 1, 30)) AS start
+              FROM toks WHERE len(ts) > 0
+            )
+            SELECT doc_id, start // 30 AS chunk_id,
+                   CAST(len(ts[start + 1 : start + 40]) AS BIGINT) AS n_tokens,
+                   array_to_string(ts[start + 1 : start + 40], ' ') AS chunk_text
+            FROM st
+        """,
+        "doc_bigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     generate_subscripts(ts, 1) AS p
+              FROM toks
+            ),
+            big AS (
+              SELECT a.doc_id, a.tok AS x, b.tok AS y
+              FROM pos a JOIN pos b
+                ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            ),
+            bc AS (SELECT x, y, count(*) AS c FROM big GROUP BY 1, 2),
+            lc AS (SELECT x, count(*) AS cl FROM big GROUP BY 1),
+            sc AS (
+              SELECT big.doc_id,
+                     ln(CAST(bc.c AS DOUBLE)) - ln(CAST(lc.cl AS DOUBLE)) AS lp
+              FROM big JOIN bc ON big.x = bc.x AND big.y = bc.y
+                        JOIN lc ON big.x = lc.x
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(avg(lp), 6) AS avg_logprob
+              FROM sc GROUP BY 1
+            )
+            SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(a.avg_logprob, 0.0) AS avg_logprob
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "part_soft_tfidf": """
             WITH ranked AS (
               SELECT p_partkey AS id, p_name AS name,

@@ -202,6 +202,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "er_clusters_documents",
         "decontaminate_docs",
         "tfidf_pair_cosine_docs",
+        "kmeans_embeddings",
+        "semdedup_embeddings",
+        "part_soft_tfidf",
     ]
     times: dict[str, float] = {}
     for name in names:

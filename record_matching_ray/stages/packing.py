@@ -118,3 +118,49 @@ def pack_sequences(
             ]
         ),
     )
+
+
+def chunk_documents(
+    docs: ray.data.Dataset,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Fixed-size token chunks with overlap — the RAG / context-window
+    preparation transform. Chunk c of a doc covers tokens
+    [c*step, c*step + chunk_size) with step = chunk_size - overlap; the
+    final chunk may be shorter; empty docs emit nothing.
+
+    Output: (doc_id, chunk_id, n_tokens, chunk_text). Stateless
+    flat-emission map_batches — embarrassingly parallel, output rows ~
+    (1 + overlap/chunk_size) x input tokens, no shuffle. Tokenization is
+    the \\s+ rule shared with token_stats and its SQL oracle."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        out_id, out_chunk, out_n, out_text = [], [], [], []
+        for i, s in enumerate(t.column(text_col).to_pylist()):
+            toks = _WS_SPLIT.split(s.strip()) if s and s.strip() else []
+            n = len(toks)
+            for c, start in enumerate(range(0, n, step)):
+                seg = toks[start : start + chunk_size]
+                out_id.append(ids[i])
+                out_chunk.append(c)
+                out_n.append(len(seg))
+                out_text.append(" ".join(seg))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "chunk_id": pa.array(out_chunk, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pyarrow"
+    )

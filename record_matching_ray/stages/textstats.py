@@ -1091,3 +1091,130 @@ def source_token_kl(
         )
 
     return conformed(acc.map_batches(finish, batch_format="pyarrow"), OUT)
+
+
+def bigram_logprob(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+):
+    """Bigram-LM quality score per document: the mean
+    ``ln(c(a,b) / cl(a))`` over the doc's adjacent token pairs, under the
+    corpus' own bigram distribution (the conditional extension of
+    unigram_logprob; cl(a) = total bigram occurrences with left token a).
+    Output: (doc_id, n_bigrams, avg_logprob); docs with < 2 tokens score
+    0 with n_bigrams = 0.
+
+    Scale shape: ONE (bigram-hash, left-hash, partial-count) shuffle
+    bounded by the corpus BIGRAM vocabulary; the left-context totals
+    derive from that aggregate (a second, vocabulary-sized groupby — no
+    second pass over the corpus). Broadcast heads keep count >= min_count
+    rows; every dropped row has count EXACTLY min_count-1 = 1, so the
+    default ln(1) = 0 term reproduces the full distribution bit for bit
+    (same exact-tail contract as unigram_logprob / tfidf.idf_table)."""
+    import ray
+    import ray.data
+
+    from record_matching_ray.functions.hashing import (
+        _U64,
+        combine_rows,
+        hash_strings,
+    )
+
+    def _flat_bigrams(texts: list[str]):
+        token_lists = [s.lower().split() for s in texts]
+        lens = np.array([len(x) for x in token_lists], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        flat = hash_strings([tok for toks in token_lists for tok in toks])
+        if len(flat) < 2:
+            return (
+                lens,
+                np.empty(0, dtype=_U64),
+                np.empty(0, dtype=_U64),
+            )
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        # positions whose successor starts a new doc (and doc boundaries
+        # at the very end) are not bigrams
+        ends = offsets[1:-1] - 1
+        valid[ends[ends >= 0]] = False
+        pairs = np.ascontiguousarray(
+            np.stack([flat[:-1], flat[1:]], axis=1)
+        )
+        bh = combine_rows(pairs)[valid]
+        lh = flat[:-1][valid]
+        return lens, bh, lh
+
+    def bc_partial(t: pa.Table) -> pa.Table:
+        _, bh, lh = _flat_bigrams(t.column(text_col).to_pylist())
+        ub, idx, c = np.unique(bh, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "bh": pa.array(ub.view(np.int64), pa.int64()),
+                "lh": pa.array(lh[idx].view(np.int64), pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    bc = (
+        docs.map_batches(bc_partial, batch_format="pyarrow")
+        .groupby("bh")
+        .aggregate(
+            ray.data.aggregate.Sum(on="cnt", alias_name="cnt"),
+            ray.data.aggregate.Min(on="lh", alias_name="lh"),
+        )
+        .materialize()
+    )
+    # left-context totals from the bigram aggregate — vocabulary-sized
+    lc = bc.groupby("lh").sum("cnt").rename_columns({"sum(cnt)": "cl"})
+
+    def _head(ds, key, val, floor):
+        import ray as _ray
+
+        parts = [
+            t
+            for t in (_ray.get(r) for r in ds.filter(
+                expr=f"{val} >= {int(floor)}"
+            ).to_arrow_refs())
+            if t.num_rows and t.num_columns
+        ]
+        if not parts:
+            return np.empty(0, dtype=_U64), np.empty(0, dtype=np.float64)
+        tt = pa.concat_tables(parts)
+        keys = tt.column(key).to_numpy(zero_copy_only=False).view(_U64)
+        vals = tt.column(val).to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(keys)
+        return keys[order], np.log(vals[order])
+
+    b_keys, b_logc = _head(bc, "bh", "cnt", min_count)
+    l_keys, l_logc = _head(lc, "lh", "cl", min_count)
+    ref = ray.put((b_keys, b_logc, l_keys, l_logc))
+
+    def _lookup(keys, logs, h):
+        if len(keys) == 0 or len(h) == 0:
+            return np.zeros(len(h), dtype=np.float64)
+        pos = np.clip(np.searchsorted(keys, h), 0, len(keys) - 1)
+        return np.where(keys[pos] == h, logs[pos], 0.0)  # ln(1) = 0 tail
+
+    def score(t: pa.Table) -> pa.Table:
+        bk, bl, lk, ll = ray.get(ref)
+        lens, bh, lh = _flat_bigrams(t.column(text_col).to_pylist())
+        lp = _lookup(bk, bl, bh) - _lookup(lk, ll, lh)
+        nb = np.maximum(lens - 1, 0)
+        boffsets = np.concatenate([[0], np.cumsum(nb)])
+        sums = (
+            np.add.reduceat(np.concatenate([lp, [0.0]]), boffsets[:-1])
+            if len(lens)
+            else np.empty(0)
+        )
+        sums = np.where(nb > 0, sums, 0.0)
+        avg = np.divide(sums, nb, out=np.zeros_like(sums), where=nb > 0)
+        return pa.table(
+            {
+                "doc_id": t.column(id_col),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "avg_logprob": pa.array(np.round(avg, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

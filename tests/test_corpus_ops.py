@@ -565,3 +565,58 @@ def test_event_value_median_interpolation(tmp_path):
            for r in event_value_median(str(tmp_path)).take_all()}
     assert out["a"] == (2.5, 4)  # (2+3)/2
     assert out["b"] == (20.0, 3)
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_overlap_and_tail():
+    texts = ["a b c d e f g", "x y", ""]
+    rows = packing.chunk_documents(
+        _docs(texts), chunk_size=4, overlap=2
+    ).take_all()
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"]) for r in rows}
+    # step = 2: starts 0,2,4,6 for the 7-token doc
+    assert got[(0, 0)] == (4, "a b c d")
+    assert got[(0, 1)] == (4, "c d e f")
+    assert got[(0, 2)] == (3, "e f g")
+    assert got[(0, 3)] == (1, "g")
+    assert got[(1, 0)] == (2, "x y")
+    # empty doc emits nothing
+    assert all(d != 2 for d, _ in got)
+    assert len(got) == 5
+
+
+def test_chunk_documents_rejects_bad_overlap():
+    with pytest.raises(ValueError):
+        packing.chunk_documents(_docs(["a"]), chunk_size=4, overlap=4)
+
+
+# ---------------------------------------------------------------- bigram LM
+
+
+def test_bigram_logprob_vs_bruteforce():
+    import math
+
+    texts = ["a b a b c", "a b", "c", "", "b c a b"]
+    rows = textstats.bigram_logprob(_docs(texts)).take_all()
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in rows}
+
+    bigs, lefts = Counter(), Counter()
+    for t in texts:
+        toks = t.lower().split()
+        for i in range(len(toks) - 1):
+            bigs[(toks[i], toks[i + 1])] += 1
+            lefts[toks[i]] += 1
+    for d, t in enumerate(texts):
+        toks = t.lower().split()
+        nb = max(len(toks) - 1, 0)
+        assert got[d][0] == nb
+        if nb == 0:
+            assert got[d][1] == 0.0
+            continue
+        lp = sum(
+            math.log(bigs[(toks[i], toks[i + 1])]) - math.log(lefts[toks[i]])
+            for i in range(nb)
+        )
+        assert abs(got[d][1] - round(lp / nb, 6)) < 1e-9

@@ -63,6 +63,8 @@ def _compare(res, odf):
         "part_soft_tfidf",
         "kmeans_embeddings",
         "semdedup_embeddings",
+        "doc_chunks",
+        "doc_bigram_logprob",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
