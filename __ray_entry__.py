@@ -554,6 +554,35 @@ def _customer_editjoin(sf_dir: str):
     return edit_distance_join(cust, "c_custkey", "c_name", k=1)
 
 
+def _bpe_merges_docs(sf_dir: str):
+    """BPE tokenizer TRAINING over the corpus (stages/bpe.py, Sennrich
+    et al. 2016): distributed word-count shuffle (vocabulary-bounded),
+    merges learned on the count table with deterministic tie-breaks.
+    Iterative global-argmax training is not SQL-expressible, so this is
+    a rows-only driver check; tests/test_bpe.py pins the merges against
+    a brute-force recount reference and partition invariance."""
+    from record_matching_ray.stages.bpe import bpe_train
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bpe_train(docs, n_merges=32)
+
+
+def _bpe_fertility_docs(sf_dir: str):
+    """Tokenizer fertility (subwords per word) of every document under
+    the corpus-trained BPE (stages/bpe.bpe_encode_counts): merges
+    broadcast once, per-unique-word memoized actor-pool encode.
+    Rows-only for the same reason as bpe_merges_docs."""
+    from record_matching_ray.stages.bpe import bpe_merges, bpe_encode_counts, word_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = bpe_merges(word_counts(docs), 32)
+    return bpe_encode_counts(docs, merges)
+
+
 def _doc_chunks(sf_dir: str):
     """Fixed-size token chunks with overlap (RAG / context-window prep,
     stages/packing.chunk_documents): chunk c covers tokens
@@ -2313,6 +2342,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": _semdedup_embeddings,
         "doc_chunks": _doc_chunks,
         "doc_bigram_logprob": _doc_bigram_logprob,
+        # BPE training/encode: iterative global argmax — genuinely not
+        # SQL-expressible; rows-only driver check, pytest-pinned
+        "bpe_merges_docs": _bpe_merges_docs,
+        "bpe_fertility_docs": _bpe_fertility_docs,
         "fingerprint_containment_docs": _fingerprint_containment,
         "doc_unigram_logprob": _doc_unigram_logprob,
         "lineitem_bloom_semi": _lineitem_bloom_semi,
