@@ -554,6 +554,20 @@ def _customer_editjoin(sf_dir: str):
     return edit_distance_join(cust, "c_custkey", "c_name", k=1)
 
 
+def _doc_set_jaccard(sf_dir: str):
+    """EXACT distinct-token-set Jaccard self-join via prefix filtering
+    (Bayardo et al. 2007 AllPairs; stages/editjoin.set_jaccard_join) —
+    the recall-guaranteed counterpart of the MinHash sketch family. The
+    oracle is the brute-force all-pairs Jaccard, so this check covers
+    the prefix-filter completeness end to end."""
+    from record_matching_ray.stages.editjoin import set_jaccard_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return set_jaccard_join(docs, "doc_id", "text", threshold=0.9)
+
+
 def _bpe_merges_docs(sf_dir: str):
     """BPE tokenizer TRAINING over the corpus (stages/bpe.py, Sennrich
     et al. 2016): distributed word-count shuffle (vocabulary-bounded),
@@ -2342,6 +2356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": _semdedup_embeddings,
         "doc_chunks": _doc_chunks,
         "doc_bigram_logprob": _doc_bigram_logprob,
+        "doc_set_jaccard": _doc_set_jaccard,
         # BPE training/encode: iterative global argmax — genuinely not
         # SQL-expressible; rows-only driver check, pytest-pinned
         "bpe_merges_docs": _bpe_merges_docs,
@@ -2647,6 +2662,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_embeddings": _kmeans_sql(),
         "semdedup_embeddings": _kmeans_sql(semdedup=True),
+        "doc_set_jaccard": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                FROM documents
+              ) WHERE tok <> ''
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i
+              FROM toks a JOIN toks b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT l AS "left", r AS "right",
+                   round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter JOIN sz sa ON sa.doc_id = l
+                       JOIN sz sb ON sb.doc_id = r
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
+        """,
         "doc_chunks": r"""
             WITH toks AS (
               SELECT doc_id,

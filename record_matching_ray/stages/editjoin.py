@@ -261,3 +261,149 @@ def jw_window_join(
         )
 
     return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join: prefix filtering (AllPairs / PPJoin)
+
+
+def set_jaccard_join(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """All id pairs whose DISTINCT-token sets have Jaccard >= threshold —
+    EXACT, via prefix filtering (Bayardo, Ma & Srikant 2007 "Scaling Up
+    All Pairs Similarity Search"; the AllPairs/PPJoin candidate rule).
+    Unlike the MinHash/SimHash family this has a recall GUARANTEE: if
+    J(A,B) >= t, the first ``n - ceil(t*n) + 1`` tokens of each set in
+    a shared global rarity order overlap, so every true pair surfaces in
+    at least one prefix-token bucket. Output: (left, right, jaccard).
+
+    Distributed layout: one DF pass bounded by the token vocabulary
+    (same contract as tfidf.idf_table) gives the global order
+    (df ASC, hash ASC — rarest first, so prefix buckets are the SMALL
+    df groups by construction); ranks broadcast once via ray.put; one
+    emit pass ships each record to its <= prefix-length buckets with its
+    rank-sorted set packed as bytes; bucket-local exact verify with the
+    PPJoin length filter t*|A| <= |B| <= |A|/t; pair dedup by groupby.
+    At 100 TB the vocabulary head can be min_df-pruned like idf_table —
+    df=1 tokens bucket nothing anyway (their groups have one member)."""
+    import math
+
+    import ray as _ray
+
+    from record_matching_ray.functions.hashing import _U64, hash_strings
+    from record_matching_ray.stages.tfidf import doc_frequencies
+    from record_matching_ray.stages.util import conformed
+
+    # global rarity order over DISTINCT-per-doc tokens
+    df_rows = doc_frequencies(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    text_col: pa.array(
+                        [
+                            " ".join(sorted(set(("" if s is None else s).lower().split())))
+                            for s in t.column(text_col).to_pylist()
+                        ],
+                        pa.string(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        text_col,
+    ).take_all()  # vocabulary-bounded
+    if df_rows:
+        hs = np.array([r["tok"] for r in df_rows], dtype=np.int64).view(_U64)
+        dfs = np.array([r["df"] for r in df_rows], dtype=np.int64)
+        order = np.lexsort((hs, dfs))  # df asc, hash asc: rank j = hs[order[j]]
+        sorted_h = np.sort(hs)
+        rank_of_sorted = np.empty(len(hs), dtype=np.int64)
+        rank_of_sorted[np.searchsorted(sorted_h, hs[order])] = np.arange(len(hs))
+    else:
+        sorted_h = np.empty(0, dtype=_U64)
+        rank_of_sorted = np.empty(0, dtype=np.int64)
+    ref = _ray.put((sorted_h, rank_of_sorted))
+
+    def emit(t: pa.Table) -> pa.Table:
+        sh, rk = _ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        out_key, out_id, out_n, out_blob = [], [], [], []
+        for i, s in enumerate(t.column(text_col).to_pylist()):
+            toks = sorted(set(("" if s is None else s).lower().split()))
+            if not toks:
+                continue
+            h = np.unique(hash_strings(toks))
+            r = np.sort(rk[np.searchsorted(sh, h)])
+            n = len(r)
+            p = n - math.ceil(threshold * n) + 1
+            blob = r.tobytes()
+            for key in r[:p]:
+                out_key.append(key)
+                out_id.append(ids[i])
+                out_n.append(n)
+                out_blob.append(blob)
+        return pa.table(
+            {
+                "key": pa.array(out_key, pa.int64()),
+                "sid": pa.array(out_id, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+                "set": pa.array(out_blob, pa.binary()),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("sid").to_numpy(zero_copy_only=False)
+        uniq, idx = np.unique(ids, return_index=True)
+        empty = pa.table(
+            {
+                "left": pa.array([], pa.int64()),
+                "right": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if len(uniq) < 2:
+            return empty
+        ns = g.column("n").to_numpy(zero_copy_only=False)[idx]
+        blobs = [g.column("set")[int(j)].as_py() for j in idx]
+        a, b = np.triu_indices(len(uniq), k=1)
+        # PPJoin length filter: t*na <= nb <= na/t
+        lo = np.minimum(ns[a], ns[b])
+        hi = np.maximum(ns[a], ns[b])
+        ok = lo >= threshold * hi
+        a, b = a[ok], b[ok]
+        lefts, rights, jacs = [], [], []
+        for i, j in zip(a, b):
+            ua = np.frombuffer(blobs[i], dtype=np.int64)
+            ub = np.frombuffer(blobs[j], dtype=np.int64)
+            inter = len(np.intersect1d(ua, ub, assume_unique=True))
+            jac = inter / (len(ua) + len(ub) - inter)
+            if jac >= threshold:
+                lefts.append(min(uniq[i], uniq[j]))
+                rights.append(max(uniq[i], uniq[j]))
+                jacs.append(round(jac, 6))
+        return pa.table(
+            {
+                "left": pa.array(lefts, pa.int64()),
+                "right": pa.array(rights, pa.int64()),
+                "jaccard": pa.array(jacs, pa.float64()),
+            }
+        )
+
+    cand = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    out = cand.groupby(["left", "right"]).max("jaccard")
+    out = out.rename_columns({"max(jaccard)": "jaccard"})
+    return conformed(
+        out,
+        pa.schema(
+            [("left", pa.int64()), ("right", pa.int64()), ("jaccard", pa.float64())]
+        ),
+    )

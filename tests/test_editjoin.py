@@ -162,3 +162,47 @@ def test_soft_tfidf_pairs_vs_bruteforce():
                 if s >= thr:
                     want.add((lo, hi, s))
     assert got == want
+
+
+def test_set_jaccard_join_exact_vs_bruteforce():
+    """Prefix filtering must be COMPLETE (every true pair found) and the
+    verify exact — against brute-force set Jaccard, across partition
+    counts."""
+    from record_matching_ray.stages.editjoin import set_jaccard_join
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(60):
+        k = rng.randint(2, 9)
+        toks = list(rng.choice(vocab, size=k, replace=True))
+        texts.append(" ".join(toks))
+    # planted exact + near duplicates
+    texts[7] = texts[3]
+    texts[12] = texts[3] + " extraword"
+    t = 0.6
+
+    def brute():
+        sets = [set(s.lower().split()) for s in texts]
+        out = set()
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                if not sets[i] or not sets[j]:
+                    continue
+                inter = len(sets[i] & sets[j])
+                jac = inter / len(sets[i] | sets[j])
+                if jac >= t:
+                    out.add((i, j, round(jac, 6)))
+        return out
+
+    want = brute()
+    assert want, "fixture should contain true pairs"
+    for nparts in (1, 4):
+        ds = rd.from_items(
+            [{"id": i, "text": s} for i, s in enumerate(texts)]
+        ).repartition(nparts)
+        got = {
+            (r["left"], r["right"], r["jaccard"])
+            for r in set_jaccard_join(ds, "id", "text", threshold=t).take_all()
+        }
+        assert got == want, nparts

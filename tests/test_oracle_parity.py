@@ -65,6 +65,7 @@ def _compare(res, odf):
         "semdedup_embeddings",
         "doc_chunks",
         "doc_bigram_logprob",
+        "doc_set_jaccard",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
