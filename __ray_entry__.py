@@ -554,6 +554,20 @@ def _customer_editjoin(sf_dir: str):
     return edit_distance_join(cust, "c_custkey", "c_name", k=1)
 
 
+def _doc_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023;
+    stages/textstats.dsir_logratio): per-doc log p_target/p_source under
+    Laplace-smoothed bag-of-token models, target = lang='en' docs,
+    source = whole corpus. ONE vocabulary-bounded tf shuffle covers both
+    models; the oracle retrains them and shares the expression tree."""
+    from record_matching_ray.stages.textstats import dsir_logratio
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return dsir_logratio(docs)
+
+
 def _doc_set_jaccard(sf_dir: str):
     """EXACT distinct-token-set Jaccard self-join via prefix filtering
     (Bayardo et al. 2007 AllPairs; stages/editjoin.set_jaccard_join) —
@@ -2357,6 +2371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _doc_chunks,
         "doc_bigram_logprob": _doc_bigram_logprob,
         "doc_set_jaccard": _doc_set_jaccard,
+        "doc_dsir_weights": _doc_dsir_weights,
         # BPE training/encode: iterative global argmax — genuinely not
         # SQL-expressible; rows-only driver check, pytest-pinned
         "bpe_merges_docs": _bpe_merges_docs,
@@ -2662,6 +2677,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_embeddings": _kmeans_sql(),
         "semdedup_embeddings": _kmeans_sql(semdedup=True),
+        "doc_dsir_weights": r"""
+            WITH occ AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(
+                       string_split_regex(trim(lower(text)), '\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents
+            ),
+            ctab AS (
+              SELECT tok, count(*) AS cs,
+                     count(*) FILTER (lang = 'en') AS ct
+              FROM occ GROUP BY 1
+            ),
+            scal AS (
+              SELECT CAST(sum(cs) AS DOUBLE) AS ns,
+                     CAST(sum(ct) AS DOUBLE) AS nt,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM ctab
+            ),
+            sc AS (
+              SELECT o.doc_id,
+                     (ln(c.ct + 1.0) - ln(s.nt + s.v))
+                     - (ln(c.cs + 1.0) - ln(s.ns + s.v)) AS lp
+              FROM occ o JOIN ctab c USING (tok) CROSS JOIN scal s
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     round(sum(lp), 6) AS log_ratio
+              FROM sc GROUP BY 1
+            )
+            SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.log_ratio, 0.0) AS log_ratio
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "doc_set_jaccard": r"""
             WITH toks AS (
               SELECT DISTINCT doc_id, tok FROM (

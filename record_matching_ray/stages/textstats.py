@@ -1218,3 +1218,110 @@ def bigram_logprob(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_logratio(
+    docs,
+    target_col: str = "lang",
+    target_value: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document
+    ``log p_target(x) - log p_source(x)`` under Laplace-smoothed bag-of-
+    token models, target = rows where ``target_col == target_value``,
+    source = the whole corpus. High scores mark raw-corpus documents
+    that look like the target domain — the DSIR resampling key.
+    Output: (doc_id, n_tokens, log_ratio) with round(sum, 6).
+
+    Scale shape: ONE tf pass emitting (token, corpus-count,
+    target-count) partials — a single vocabulary-bounded shuffle covers
+    both models; the smoothed log tables broadcast once (ray.put, the
+    tfidf.idf_table contract); scoring is a stateless second pass.
+    Laplace +1 smoothing uses V = corpus vocabulary size, so every
+    corpus token has finite probability under both models."""
+    import ray
+    import ray.data  # noqa: F401
+
+    from record_matching_ray.functions.hashing import _U64, hash_strings
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        is_t = np.array(
+            [v == target_value for v in t.column(target_col).to_pylist()],
+            dtype=bool,
+        )
+        token_lists = [s.lower().split() for s in texts]
+        lens = np.array([len(x) for x in token_lists], dtype=np.int64)
+        flat = hash_strings([tok for toks in token_lists for tok in toks])
+        tmask = np.repeat(is_t, lens)
+        uh, inv, c = np.unique(flat, return_inverse=True, return_counts=True)
+        ct = np.bincount(inv, weights=tmask.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "tok": pa.array(uh.view(np.int64), pa.int64()),
+                "cs": pa.array(c.astype(np.int64), pa.int64()),
+                "ct": pa.array(ct, pa.int64()),
+            }
+        )
+
+    tf = (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(
+            ray.data.aggregate.Sum(on="cs", alias_name="cs"),
+            ray.data.aggregate.Sum(on="ct", alias_name="ct"),
+        )
+        .materialize()
+    )
+    parts = [
+        t
+        for t in (ray.get(r) for r in tf.to_arrow_refs())
+        if t.num_rows and t.num_columns
+    ]
+    if parts:
+        tt = pa.concat_tables(parts)
+        toks = tt.column("tok").to_numpy(zero_copy_only=False).view(_U64)
+        cs = tt.column("cs").to_numpy(zero_copy_only=False).astype(np.float64)
+        ct = tt.column("ct").to_numpy(zero_copy_only=False).astype(np.float64)
+    else:
+        toks = np.empty(0, dtype=_U64)
+        cs = ct = np.empty(0, dtype=np.float64)
+    order = np.argsort(toks)
+    toks, cs, ct = toks[order], cs[order], ct[order]
+    v = float(len(toks))
+    n_s, n_t = float(cs.sum()), float(ct.sum())
+    # per-token lp shared expression with the oracle:
+    # (ln(ct+1) - ln(Nt+V)) - (ln(cs+1) - ln(Ns+V))
+    lp_tab = (np.log(ct + 1.0) - np.log(n_t + v)) - (
+        np.log(cs + 1.0) - np.log(n_s + v)
+    )
+    ref = ray.put((toks, lp_tab))
+
+    def score(t: pa.Table) -> pa.Table:
+        stoks, slp = ray.get(ref)
+        token_lists = [s.lower().split() for s in t.column(text_col).to_pylist()]
+        lens = np.array([len(x) for x in token_lists], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        flat = hash_strings([tok for toks_ in token_lists for tok in toks_])
+        if len(stoks) and len(flat):
+            pos = np.clip(np.searchsorted(stoks, flat), 0, len(stoks) - 1)
+            lp = np.where(stoks[pos] == flat, slp[pos], 0.0)
+        else:
+            lp = np.zeros(len(flat), dtype=np.float64)
+        sums = (
+            np.add.reduceat(np.concatenate([lp, [0.0]]), offsets[:-1])
+            if len(lens)
+            else np.empty(0)
+        )
+        sums = np.where(lens > 0, sums, 0.0)
+        return pa.table(
+            {
+                "doc_id": t.column(id_col),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "log_ratio": pa.array(np.round(sums, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -359,3 +359,48 @@ def test_source_token_kl_vs_bruteforce():
         assert abs(out.loc[s, "kl"] - kl) < 1e-6, s
     # KL is non-negative and zero only for a distribution equal to corpus
     assert (out["kl"] >= 0).all()
+
+
+def test_dsir_logratio_vs_bruteforce():
+    """DSIR log-ratio against an in-process reference (Laplace-smoothed
+    bag-of-token models, target = flagged rows, source = corpus)."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.stages.textstats import dsir_logratio
+
+    texts = ["a b a", "b c", "a a a a", "c c d", "", "d a b"]
+    langs = ["en", "de", "en", "de", "en", "de"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_ratio"])
+        for r in dsir_logratio(ds).take_all()
+    }
+
+    cs, ct = Counter(), Counter()
+    for t, l in zip(texts, langs):
+        for w in t.split():
+            cs[w] += 1
+            if l == "en":
+                ct[w] += 1
+    v, ns, nt = len(cs), sum(cs.values()), sum(ct.values())
+    for d, t in enumerate(texts):
+        toks = t.split()
+        lp = sum(
+            (math.log(ct[w] + 1) - math.log(nt + v))
+            - (math.log(cs[w] + 1) - math.log(ns + v))
+            for w in toks
+        )
+        assert got[d][0] == len(toks)
+        assert abs(got[d][1] - round(lp, 6)) < 1e-9, d

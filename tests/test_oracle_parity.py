@@ -66,6 +66,7 @@ def _compare(res, odf):
         "doc_chunks",
         "doc_bigram_logprob",
         "doc_set_jaccard",
+        "doc_dsir_weights",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
