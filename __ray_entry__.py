@@ -899,12 +899,12 @@ def _fellegi_sql(iters: int = 8) -> str:
         mc = f"GREATEST(LEAST(m{f}, 1 - 1e-6), 1e-6)"
         uc = f"GREATEST(LEAST(u{f}, 1 - 1e-6), 1e-6)"
         out_rows.append(
-            f"SELECT '{g}' AS field, m{f} AS m, u{f} AS u, "
-            f"log2({mc} / {uc}) AS match_weight, "
-            f"log2((1 - {mc}) / (1 - {uc})) AS nonmatch_weight FROM it{iters}"
+            f"SELECT '{g}' AS field, round(m{f}, 6) AS m, round(u{f}, 6) AS u, "
+            f"round(log2({mc} / {uc}), 6) AS match_weight, "
+            f"round(log2((1 - {mc}) / (1 - {uc})), 6) AS nonmatch_weight FROM it{iters}"
         )
     out_rows.append(
-        f"SELECT '__lambda__' AS field, p AS m, 1 - p AS u, "
+        f"SELECT '__lambda__' AS field, round(p, 6) AS m, round(1 - p, 6) AS u, "
         f"0.0 AS match_weight, 0.0 AS nonmatch_weight FROM it{iters}"
     )
     union = " UNION ALL ".join(out_rows)
@@ -2504,8 +2504,8 @@ def oracle_sql() -> dict[str, str]:
               FROM x GROUP BY 1
             )
             SELECT dim, CAST(n AS BIGINT) AS n,
-                   s / n AS mean,
-                   sqrt(greatest(s2 / n - (s / n) * (s / n), 0)) AS std,
+                   round(s / n, 6) AS mean,
+                   round(sqrt(greatest(s2 / n - (s / n) * (s / n), 0)), 6) AS std,
                    mn AS vmin, mx AS vmax
             FROM s
         """,
@@ -2996,8 +2996,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pc.x AS tok_x, pc.y AS tok_y,
                    CAST(pc.c AS BIGINT) AS pair_count,
-                   ln((pc.c / tot.np)
-                      / ((ux.c / tot.nt) * (uy.c / tot.nt))) AS pmi
+                   round(ln((pc.c / tot.np)
+                      / ((ux.c / tot.nt) * (uy.c / tot.nt))), 6) AS pmi
             FROM pc
             CROSS JOIN tot
             JOIN uni ux ON ux.tok = pc.x
@@ -3240,9 +3240,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY lang, source
             )
             SELECT lang, source, cnt,
-                   pow(cnt, 0.7) / SUM(pow(cnt, 0.7)) OVER () AS weight,
-                   pow(cnt, 0.7) / SUM(pow(cnt, 0.7)) OVER ()
-                     * SUM(cnt) OVER () / cnt AS epochs
+                   round(pow(cnt, 0.7) / SUM(pow(cnt, 0.7)) OVER (), 6) AS weight,
+                   round(pow(cnt, 0.7) / SUM(pow(cnt, 0.7)) OVER ()
+                     * SUM(cnt) OVER () / cnt, 6) AS epochs
             FROM c
         """,
         "event_value_median": """

@@ -1746,7 +1746,8 @@ def event_value_outliers(sf_dir: str, z_threshold: float = 3.0) -> ray.data.Data
                 "event_id": t.column("event_id").filter(pa.array(keep)),
                 "event_type": t.column("event_type").filter(pa.array(keep)),
                 "value": pa.array(v[keep], pa.float64()),
-                "z": pa.array(z[keep], pa.float64()),
+                # round-6 output convention (sum-order drift vs SQL)
+                "z": pa.array(np.round(z[keep], 6), pa.float64()),
             }
         )
 
@@ -1766,7 +1767,7 @@ st AS (
   FROM s
 )
 SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
-       (e.value - st.mean) / st.std AS z
+       round((e.value - st.mean) / st.std, 6) AS z
 FROM events e JOIN st USING (event_type)
 WHERE st.std > 0 AND abs((e.value - st.mean) / st.std) > 3.0
 """
@@ -1887,8 +1888,10 @@ def source_mixture_weights(sf_dir: str, alpha: float = 0.7) -> ray.data.Dataset:
                 "lang": t.column("lang"),
                 "source": t.column("source"),
                 "cnt": pc.cast(t.column("cnt"), pa.int64()),
-                "weight": pa.array(w, pa.float64()),
-                "epochs": pa.array(w * total / n, pa.float64()),
+                # round-6 output convention: the pow/sum reduction order
+                # differs from the SQL window expression in the last ulp
+                "weight": pa.array(np.round(w, 6), pa.float64()),
+                "epochs": pa.array(np.round(w * total / n, 6), pa.float64()),
             }
         )
 

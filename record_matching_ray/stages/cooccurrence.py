@@ -161,7 +161,8 @@ def cooccurrence_pmi(
         y = np.array(t.column("tok_y").to_pylist(), dtype=object).astype(str)
         cx = vs[np.searchsorted(ks, x)]
         cy = vs[np.searchsorted(ks, y)]
-        pmi = np.log((c / n_pair) / ((cx / n_tok) * (cy / n_tok)))
+        # round-6 output convention (reduction-order parity with SQL)
+        pmi = np.round(np.log((c / n_pair) / ((cx / n_tok) * (cy / n_tok))), 6)
         return pa.table(
             {
                 "tok_x": t.column("tok_x"),

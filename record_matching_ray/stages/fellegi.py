@@ -249,16 +249,20 @@ def _em_result(
 ) -> pa.Table:
     mc = np.clip(m, _EPS, 1 - _EPS)
     uc = np.clip(u, _EPS, 1 - _EPS)
+    # round-6 output convention: 8 EM iterations accumulate ~1e-12 of
+    # reduction-order float drift vs a SQL oracle; rounding at the
+    # OUTPUT (never between iterations) makes the check exact
     return pa.table(
         {
             "field": pa.array(gamma_cols + ["__lambda__"], pa.string()),
-            "m": pa.array(list(m) + [p], pa.float64()),
-            "u": pa.array(list(u) + [1.0 - p], pa.float64()),
+            "m": pa.array(np.round(list(m) + [p], 6), pa.float64()),
+            "u": pa.array(np.round(list(u) + [1.0 - p], 6), pa.float64()),
             "match_weight": pa.array(
-                list(np.log2(mc / uc)) + [0.0], pa.float64()
+                np.round(list(np.log2(mc / uc)) + [0.0], 6), pa.float64()
             ),
             "nonmatch_weight": pa.array(
-                list(np.log2((1 - mc) / (1 - uc))) + [0.0], pa.float64()
+                np.round(list(np.log2((1 - mc) / (1 - uc))) + [0.0], 6),
+                pa.float64(),
             ),
         }
     )

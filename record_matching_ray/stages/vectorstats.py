@@ -86,8 +86,9 @@ def embedding_dim_stats(
         n = t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.float64)
         s = t.column("sum(s)").to_numpy(zero_copy_only=False)
         s2 = t.column("sum(s2)").to_numpy(zero_copy_only=False)
-        mean = s / n
-        std = np.sqrt(np.maximum(s2 / n - mean * mean, 0.0))
+        mean = np.round(s / n, 6)  # round-6 output convention: the
+        # sum-of-squares reduction order drifts vs SQL in the last ulp
+        std = np.round(np.sqrt(np.maximum(s2 / n - (s / n) * (s / n), 0.0)), 6)
         return pa.table(
             {
                 "dim": t.column("dim"),

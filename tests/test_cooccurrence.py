@@ -61,7 +61,8 @@ def test_pmi_matches_bruteforce(window, min_count):
     assert set(res) == set(exp)
     for k, (c, pmi) in exp.items():
         assert res[k][0] == c, k
-        assert abs(res[k][1] - pmi) < 1e-12, k
+        # engine rounds pmi to 6 decimals (oracle-parity convention)
+        assert abs(res[k][1] - round(pmi, 6)) < 1e-9, k
 
 
 def test_pmi_same_token_pair_counted():

@@ -25,8 +25,9 @@ def test_dim_stats_match_numpy():
     assert [r["dim"] for r in rows] == list(range(1, 7))
     for d, r in enumerate(rows):
         assert r["n"] == 50
-        assert abs(r["mean"] - m[:, d].mean()) < 1e-9
-        assert abs(r["std"] - m[:, d].std()) < 1e-9
+        # engine rounds mean/std to 6 decimals (oracle-parity convention)
+        assert abs(r["mean"] - m[:, d].mean()) < 1e-6
+        assert abs(r["std"] - m[:, d].std()) < 1e-6
         assert r["vmin"] == m[:, d].min() and r["vmax"] == m[:, d].max()
 
 
