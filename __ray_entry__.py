@@ -505,6 +505,42 @@ def _orders_price_ntile(sf_dir: str):
     )
 
 
+def _orders_price_dist(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST by coarse price bucket within each order
+    priority (stages/temporal.dist_rank_per_group) — the distribution
+    window functions next to RANK/DENSE_RANK/NTILE; exact integer
+    divisions, no rounding needed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from record_matching_ray.stages.temporal import dist_rank_per_group
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice", "o_orderkey"],
+    )
+
+    def to_kilo(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "price_k": pc.cast(
+                    pc.floor(pc.divide(t.column("o_totalprice"), 1000.0)),
+                    pa.int64(),
+                ),
+                "o_orderkey": t.column("o_orderkey"),
+            }
+        )
+
+    return dist_rank_per_group(
+        orders.map_batches(to_kilo, batch_format="pyarrow"),
+        "o_orderpriority",
+        "price_k",
+        "o_orderkey",
+        descending=True,
+    )
+
+
 def _orders_price_rank(sf_dir: str):
     """RANK + DENSE_RANK by price (whole thousands of dollars, so ties are
     real and SQL gap semantics are exercised) within each order priority
@@ -2362,6 +2398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_moving_window": _orders_moving_window,
         "orders_price_ntile": _orders_price_ntile,
         "orders_price_rank": _orders_price_rank,
+        "orders_price_dist": _orders_price_dist,
         "customer_editjoin": _customer_editjoin,
         "fellegi_em_customers": _fellegi_em_customers,
         "customer_jw_pairs": _customer_jw_pairs,
@@ -2835,6 +2872,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
             FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "orders_price_dist": """
+            WITH p AS (
+              SELECT o_orderpriority, o_orderkey,
+                     CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k
+              FROM orders
+            )
+            SELECT o_orderpriority, o_orderkey, price_k,
+                   PERCENT_RANK() OVER (
+                     PARTITION BY o_orderpriority ORDER BY price_k DESC
+                   ) AS percent_rank,
+                   CUME_DIST() OVER (
+                     PARTITION BY o_orderpriority ORDER BY price_k DESC
+                   ) AS cume_dist
+            FROM p
         """,
         "orders_price_rank": """
             WITH p AS (

@@ -876,6 +876,91 @@ def rank_per_group(
     )
 
 
+def dist_rank_per_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    tie_col: str,
+    descending: bool = True,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """``PERCENT_RANK()`` and ``CUME_DIST() OVER (PARTITION BY key ORDER
+    BY value [DESC])`` — SQL semantics: percent_rank = (rank-1)/(n-1)
+    (0.0 for a 1-row partition), cume_dist = (#rows preceding or peer)/n.
+    Same distributed contract as rank_per_group (hash-partition by key,
+    one lexsort per partition, vectorized value-run detection); both
+    outputs are single divisions of exact integers, so no rounding is
+    needed for oracle parity. Output: (key, tie, value, percent_rank,
+    cume_dist)."""
+    from record_matching_ray.functions.hashing import hash_strings
+
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if pa.types.is_integer(keys.type):
+            kh = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            kh = hash_strings(keys.to_pylist()).view(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(kh.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+                ),
+                "k": keys,
+                "v": t.column(value_col),
+                "tie": t.column(tie_col),
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g.column("k").to_pylist(), dtype=object)
+        v = g.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        tie = g.column("tie").to_numpy(zero_copy_only=False)
+        vo = -v if descending else v
+        order = np.lexsort((tie, vo, keys))
+        k_s, v_s, t_s = keys[order], v[order], tie[order]
+        n = len(order)
+        new_seg = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        new_run = np.concatenate(
+            ([True], (k_s[1:] != k_s[:-1]) | (v_s[1:] != v_s[:-1]))
+        )
+        seg_starts = np.nonzero(new_seg)[0]
+        seg_id = np.cumsum(new_seg) - 1
+        seg_ends = np.concatenate((seg_starts[1:], [n]))  # exclusive
+        seg_len = seg_ends[seg_id] - seg_starts[seg_id]
+        pos = np.arange(n, dtype=np.int64) - seg_starts[seg_id]
+        run_id = np.cumsum(new_run) - 1
+        run_starts = np.nonzero(new_run)[0]
+        run_ends = np.concatenate((run_starts[1:], [n]))  # exclusive
+        rank = pos[run_starts[run_id]] + 1
+        # run end relative to segment start = rows preceding-or-peer
+        peers_through = run_ends[run_id] - seg_starts[seg_id]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pr = np.where(
+                seg_len > 1, (rank - 1) / np.maximum(seg_len - 1, 1), 0.0
+            )
+        cd = peers_through / seg_len
+        return pa.table(
+            {
+                key_col: pa.array(k_s.tolist(), g.column("k").type),
+                tie_col: pa.array(t_s, pa.int64()),
+                value_col: pa.array(v_s, pa.int64()),
+                "percent_rank": pa.array(pr, pa.float64()),
+                "cume_dist": pa.array(cd, pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, value_col, tie_col])
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sequential funnel
 

@@ -405,3 +405,44 @@ def test_latest_snapshot_vs_bruteforce_and_partition_invariant():
         assert len(out) == len(expect)
         for r in out.itertuples(index=False):
             assert expect[r.user_id][1] == r.event_id, r.user_id
+
+
+def test_dist_rank_per_group_sql_semantics():
+    """PERCENT_RANK/CUME_DIST tie semantics vs a brute-force window:
+    peers share values; single-row partitions get percent_rank 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.stages.temporal import dist_rank_per_group
+
+    rows = [
+        ("a", 10, 1), ("a", 10, 2), ("a", 5, 3), ("a", 7, 4),
+        ("b", 1, 5),
+        ("c", 4, 6), ("c", 4, 7), ("c", 4, 8),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.string()),
+                "v": pa.array([r[1] for r in rows], pa.int64()),
+                "id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = {
+        r["id"]: (r["percent_rank"], r["cume_dist"])
+        for r in dist_rank_per_group(ds, "k", "v", "id", descending=True).take_all()
+    }
+    # brute force per partition, ORDER BY v DESC
+    groups = {}
+    for k, v, i in rows:
+        groups.setdefault(k, []).append((v, i))
+    for k, members in groups.items():
+        vals = sorted({v for v, _ in members}, reverse=True)
+        n = len(members)
+        for v, i in members:
+            rank = 1 + sum(1 for w, _ in members if w > v)
+            peers_through = sum(1 for w, _ in members if w >= v)
+            pr = 0.0 if n == 1 else (rank - 1) / (n - 1)
+            assert got[i] == (pr, peers_through / n), (k, i)
