@@ -590,6 +590,33 @@ def _customer_editjoin(sf_dir: str):
     return edit_distance_join(cust, "c_custkey", "c_name", k=1)
 
 
+def _part_soundex(sf_dir: str):
+    """Soundex phonetic codes (functions/strsim.soundex — the classic
+    phonetic blocking key; simplified H/W variant shared verbatim with
+    the oracle's RE2 regexp_replace chain). Stateless memoized
+    map_batches; pairing on the code is the blocking application
+    (pytest-covered on dirty person names)."""
+    import pyarrow as pa
+
+    from record_matching_ray.functions.strsim import soundex_batch
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+
+    def code(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "soundex": pa.array(
+                    soundex_batch(t.column("p_name").to_pylist()), pa.string()
+                ),
+            }
+        )
+
+    return parts.map_batches(code, batch_format="pyarrow")
+
+
 def _doc_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023;
     stages/textstats.dsir_logratio): per-doc log p_target/p_source under
@@ -2409,6 +2436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_logprob": _doc_bigram_logprob,
         "doc_set_jaccard": _doc_set_jaccard,
         "doc_dsir_weights": _doc_dsir_weights,
+        "part_soundex": _part_soundex,
         # BPE training/encode: iterative global argmax — genuinely not
         # SQL-expressible; rows-only driver check, pytest-pinned
         "bpe_merges_docs": _bpe_merges_docs,
@@ -2714,6 +2742,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_embeddings": _kmeans_sql(),
         "semdedup_embeddings": _kmeans_sql(semdedup=True),
+        "part_soundex": r"""
+            WITH s AS (
+              SELECT p_partkey,
+                     regexp_replace(upper(p_name), '[^A-Z]', '', 'g') AS u
+              FROM part
+            ),
+            m AS (
+              SELECT p_partkey, u,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(u,
+                  '[BFPV]', '1', 'g'), '[CGJKQSXZ]', '2', 'g'),
+                  '[DT]', '3', 'g'), 'L', '4', 'g'), '[MN]', '5', 'g'),
+                  'R', '6', 'g'), '[AEIOUYHW]', '0', 'g') AS mapped
+              FROM s
+            ),
+            c AS (
+              SELECT p_partkey, u, mapped,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(mapped,
+                  '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'),
+                  '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g') AS coll
+              FROM m
+            )
+            SELECT p_partkey,
+              CASE WHEN u = '' THEN ''
+                   ELSE substr(u, 1, 1) ||
+                        substr(
+                          (CASE WHEN substr(mapped, 1, 1) <> '0'
+                                THEN substr(regexp_replace(coll, '0', '', 'g'), 2)
+                                ELSE regexp_replace(coll, '0', '', 'g') END)
+                          || '000', 1, 3)
+              END AS soundex
+            FROM c
+        """,
         "doc_dsir_weights": r"""
             WITH occ AS (
               SELECT doc_id, lang,

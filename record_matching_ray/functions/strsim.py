@@ -151,3 +151,58 @@ def year_compat_batch(left, right) -> np.ndarray:
     d = np.abs(l[known] - r[known])
     out[known] = np.maximum(0.0, 1.0 - d / 25.0)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Soundex phonetic code (simplified American Soundex, RE2-expressible)
+
+_SOUNDEX_MAP = str.maketrans(
+    {
+        **{c: "1" for c in "BFPV"},
+        **{c: "2" for c in "CGJKQSXZ"},
+        **{c: "3" for c in "DT"},
+        "L": "4",
+        **{c: "5" for c in "MN"},
+        "R": "6",
+        **{c: "0" for c in "AEIOUYHW"},
+    }
+)
+
+
+def soundex(name: str) -> str:
+    """Phonetic code of the first-letter + 3-digit Soundex family — the
+    classic phonetic blocking key for dirty person names (Russell 1918;
+    simplified variant WITHOUT the H/W-adjacency rule so the exact same
+    algorithm is expressible as an RE2 regexp_replace chain in a SQL
+    oracle; H/W map to 0 like vowels). Empty/non-alphabetic input -> ''.
+
+    Spec (shared verbatim with the oracle): uppercase, strip non-letters,
+    map every letter to its digit class (vowels/H/W/Y -> 0), collapse
+    adjacent equal digits, remove zeros, drop the leading digit when the
+    first LETTER itself mapped to a nonzero digit (its run merged into
+    it), then first letter + first 3 remaining digits padded with 0."""
+    letters = [c for c in name.upper() if "A" <= c <= "Z"]
+    if not letters:
+        return ""
+    u = "".join(letters)
+    mapped = u.translate(_SOUNDEX_MAP)
+    collapsed = []
+    for ch in mapped:
+        if not collapsed or collapsed[-1] != ch:
+            collapsed.append(ch)
+    digits = "".join(c for c in collapsed if c != "0")
+    if mapped[0] != "0":
+        digits = digits[1:]
+    return u[0] + (digits + "000")[:3]
+
+
+def soundex_batch(names) -> list[str]:
+    memo: dict[str, str] = {}
+    out = []
+    for n in names:
+        s = "" if n is None else str(n)
+        got = memo.get(s)
+        if got is None:
+            got = memo[s] = soundex(s)
+        out.append(got)
+    return out

@@ -185,3 +185,29 @@ def test_expit_extremes():
 def test_mix64_no_trivial_collisions():
     xs = np.arange(10000, dtype=np.uint64)
     assert len(np.unique(mix64(xs))) == 10000
+
+
+def test_soundex_classic_values_and_blocking():
+    """Classic Soundex reference values (US-census variant: same-code
+    letter adjacent to the first collapses into it) + the blocking
+    application: phonetically-equal dirty names share a code."""
+    from record_matching_ray.functions.strsim import soundex, soundex_batch
+
+    for n, want in [
+        ("Robert", "R163"),
+        ("Rupert", "R163"),
+        ("Ashcraft", "A226"),
+        ("Tymczak", "T522"),
+        ("Pfister", "P236"),
+        ("Honeyman", "H555"),
+        ("Jackson", "J250"),
+        ("Washington", "W252"),
+        ("Lee", "L000"),
+        ("", ""),
+        ("123", ""),
+    ]:
+        assert soundex(n) == want, n
+    # blocking: spelling variants of one name collide, different names don't
+    assert soundex("smith") == soundex("Smyth")
+    assert soundex("smith") != soundex("jones")
+    assert soundex_batch(["Robert", None, "Rupert"]) == ["R163", "", "R163"]
