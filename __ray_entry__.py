@@ -590,6 +590,23 @@ def _customer_editjoin(sf_dir: str):
     return edit_distance_join(cust, "c_custkey", "c_name", k=1)
 
 
+def _hybrid_search_docs(sf_dir: str):
+    """Hybrid retrieval: dense (md5 hashing-trick cosine) + sparse (BM25)
+    top-100 pools fused by Reciprocal Rank Fusion
+    (stages/search.hybrid_search_rrf; Cormack et al. 2009). The oracle
+    recomputes BOTH full rankings and the fuse — 2-term RRF sums are
+    order-exact, so the whole hybrid hash-matches."""
+    from record_matching_ray.stages.search import hybrid_search_rrf
+
+    return hybrid_search_rrf(
+        _docs(sf_dir),
+        "spark table join window agg",
+        _BM25_TERMS,
+        k=10,
+        pool=100,
+    )
+
+
 def _part_soundex(sf_dir: str):
     """Soundex phonetic codes (functions/strsim.soundex — the classic
     phonetic blocking key; simplified H/W variant shared verbatim with
@@ -2437,6 +2454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_set_jaccard": _doc_set_jaccard,
         "doc_dsir_weights": _doc_dsir_weights,
         "part_soundex": _part_soundex,
+        "hybrid_search_docs": _hybrid_search_docs,
         # BPE training/encode: iterative global argmax — genuinely not
         # SQL-expressible; rows-only driver check, pytest-pinned
         "bpe_merges_docs": _bpe_merges_docs,
@@ -2742,6 +2760,103 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_embeddings": _kmeans_sql(),
         "semdedup_embeddings": _kmeans_sql(semdedup=True),
+        "hybrid_search_docs": r"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ),
+            db AS (
+              SELECT doc_id, md5_number_lower(tok) % 64 AS b,
+                     CASE WHEN (md5_number_lower(tok) >> 32) & 1 = 1
+                          THEN 1.0 ELSE -1.0 END AS s
+              FROM dt
+            ),
+            dv AS (SELECT doc_id, b, sum(s) AS v FROM db GROUP BY 1, 2),
+            qt AS (
+              SELECT unnest(list_filter(string_split_regex(
+                       lower('spark table join window agg'), '\s+'),
+                       x -> x <> '')) AS tok
+            ),
+            qb AS (
+              SELECT md5_number_lower(tok) % 64 AS b,
+                     CASE WHEN (md5_number_lower(tok) >> 32) & 1 = 1
+                          THEN 1.0 ELSE -1.0 END AS s
+              FROM qt
+            ),
+            qv AS (SELECT b, sum(s) AS v FROM qb GROUP BY 1),
+            dotp AS (
+              SELECT dv.doc_id, sum(dv.v * qv.v) AS dp
+              FROM dv JOIN qv USING (b) GROUP BY 1
+            ),
+            nd AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM dv GROUP BY 1),
+            nq AS (SELECT sqrt(sum(v * v)) AS nrm FROM qv),
+            dsc AS (
+              SELECT nd.doc_id,
+                     round(coalesce(dotp.dp, 0) / (nd.nrm * nq.nrm), 6)
+                       AS cos_sim
+              FROM nd LEFT JOIN dotp USING (doc_id) CROSS JOIN nq
+            ),
+            dense AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r
+              FROM dsc
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM dt GROUP BY 1),
+            bstats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl
+            ),
+            terms(term) AS (
+              VALUES ('data'), ('hash'), ('join'), ('dup')
+            ),
+            bdf AS (
+              SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM dt JOIN terms ON tok = term GROUP BY 1
+            ),
+            btf AS (
+              SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+              FROM dt JOIN terms ON tok = term GROUP BY 1, 2
+            ),
+            bsc AS (
+              SELECT btf.doc_id,
+                     ln((bstats.n - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+                       * (btf.tf * (1.2 + 1.0)
+                          / (btf.tf + 1.2 * (1.0 - 0.75
+                                             + 0.75 * dl.dl / bstats.avgdl)))
+                       AS s
+              FROM btf
+              JOIN bdf USING (term)
+              JOIN dl USING (doc_id)
+              CROSS JOIN bstats
+            ),
+            bm AS (
+              SELECT d.doc_id, round(coalesce(sum(bsc.s), 0.0), 6) AS bm25
+              FROM documents d LEFT JOIN bsc USING (doc_id)
+              GROUP BY 1
+            ),
+            sparse AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+              FROM bm
+            ),
+            contrib AS (
+              SELECT doc_id, 1.0 / (60 + r) AS c FROM dense WHERE r <= 100
+              UNION ALL
+              SELECT doc_id, 1.0 / (60 + r) AS c FROM sparse WHERE r <= 100
+            ),
+            fused AS (
+              SELECT doc_id, round(sum(c), 6) AS rrf_score
+              FROM contrib GROUP BY 1
+            )
+            SELECT doc_id, rrf_score,
+                   row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+            FROM fused
+            ORDER BY rank
+            LIMIT 10
+        """,
         "part_soundex": r"""
             WITH s AS (
               SELECT p_partkey,

@@ -196,3 +196,71 @@ def vector_search_filtered(
     out["cos_sim"] = merged.column("cos_sim")
     out["rank"] = merged.column("rank")
     return pa.table(out)
+
+
+def hybrid_search_rrf(
+    docs: ray.data.Dataset,
+    query: str,
+    terms: list[str],
+    k: int = 10,
+    pool: int = 100,
+    rrf_k: int = 60,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Hybrid retrieval: dense cosine + sparse BM25, fused by Reciprocal
+    Rank Fusion (Cormack, Clarke & Buettcher 2009): rrf(d) = sum over
+    rankers with d in their top-``pool`` of 1/(rrf_k + rank). The
+    industry-standard hybrid (Elasticsearch/OpenSearch/Vespa all ship
+    exactly this). Output: top-k (doc_id, rrf_score, rank).
+
+    Distributed layout: each ranker keeps batch-local top-``pool`` and
+    merges candidates on the driver (the kNN machinery) — the fuse sees
+    2*pool rows, never the corpus. Both component rankers are the
+    already-oracle-checked ones (semantic_search md5 variant,
+    textstats.bm25_scores), ranks break ties by doc_id, and the 2-term
+    RRF sum is order-exact (IEEE addition is commutative), so the whole
+    hybrid is SQL-reproducible."""
+    from record_matching_ray.stages.textstats import bm25_scores
+
+    dense = semantic_search(docs, query, k=pool, dim=dim, id_col=id_col,
+                            text_col=text_col, token_hash="md5")
+
+    bm = bm25_scores(docs, terms, text_col=text_col, id_col=id_col)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        s = t.column("bm25").to_numpy(zero_copy_only=False)
+        kk = min(pool, len(ids))
+        order = np.lexsort((ids, -s))[:kk]
+        return pa.table(
+            {
+                "qid": pa.array(np.zeros(kk, dtype=np.int64), pa.int64()),
+                "nid": pa.array(ids[order], pa.int64()),
+                "cos_sim": pa.array(s[order], pa.float64()),
+            }
+        )
+
+    cands = bm.map_batches(local_topk, batch_format="pyarrow").take_all()
+    sparse = _topk_merge(cands, pool)  # (qid, nid, cos_sim, rank)
+
+    rrf: dict[int, float] = {}
+    for ids, ranks in (
+        (dense.column(id_col).to_pylist(), dense.column("rank").to_pylist()),
+        (sparse.column("nid").to_pylist(), sparse.column("rank").to_pylist()),
+    ):
+        for d, r in zip(ids, ranks):
+            rrf[d] = rrf.get(d, 0.0) + 1.0 / (rrf_k + r)
+    # rank on the ROUNDED score (ties then break by doc_id) — the oracle
+    # ranks the round-6 value, so the order must match at collisions
+    top = sorted(rrf.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:k]
+    return pa.table(
+        {
+            id_col: pa.array([d for d, _ in top], pa.int64()),
+            "rrf_score": pa.array(
+                np.round([s for _, s in top], 6), pa.float64()
+            ),
+            "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+        }
+    )

@@ -130,3 +130,37 @@ def test_neighborhood_embedding_averages_host_blocks():
             assert np.allclose(got, want, atol=1e-9)
             checked += 1
     assert checked > 10
+
+
+def test_hybrid_search_rrf_fuses_both_rankers():
+    """RRF must surface a doc that is strong in exactly one ranker, and
+    score docs found by both above docs found by one at equal rank."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.stages.search import hybrid_search_rrf
+
+    texts = (
+        ["alpha beta gamma"] * 1          # 0: lexical hit for terms
+        + ["spark table join window agg"]  # 1: dense exact match
+        + ["alpha beta spark table join"]  # 2: both
+        + ["unrelated words here doc"] * 5
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = hybrid_search_rrf(
+        ds, "spark table join window agg", ["alpha", "beta"], k=5, pool=5
+    )
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert 1 in rows and 2 in rows and 0 in rows
+    # doc 2 appears in BOTH top pools -> two contributions; it must beat
+    # doc 0 (sparse-only, same-or-worse ranks)
+    assert rows[2]["rrf_score"] > rows[0]["rrf_score"]
+    # ranks are 1..k dense
+    assert sorted(r["rank"] for r in rows.values()) == list(range(1, len(rows) + 1))

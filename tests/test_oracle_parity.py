@@ -22,7 +22,7 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings", "events", "part"]:
+    for t in ["documents", "embeddings", "events", "part", "orders"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return c
 
@@ -67,6 +67,9 @@ def _compare(res, odf):
         "doc_bigram_logprob",
         "doc_set_jaccard",
         "doc_dsir_weights",
+        "part_soundex",
+        "hybrid_search_docs",
+        "orders_price_dist",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
