@@ -64,17 +64,24 @@ def write_stage(
             ds.write_parquet(tmp)
         rows = 0
         files = []
+        file_rows: dict[str, int] = {}
         for root, _dirs, fns in sorted(os.walk(tmp)):
             rel = os.path.relpath(root, tmp)
             for fn in sorted(fns):
                 if fn.endswith(".parquet"):
-                    rows += pq.read_metadata(os.path.join(root, fn)).num_rows
-                    files.append(fn if rel == "." else os.path.join(rel, fn))
+                    n = pq.read_metadata(os.path.join(root, fn)).num_rows
+                    rows += n
+                    name = fn if rel == "." else os.path.join(rel, fn)
+                    files.append(name)
+                    file_rows[name] = n
         manifest = {
             "complete": True,
             "fingerprint": fingerprint,
             "rows": rows,
             "files": files,
+            # per-partition lineage: row count per written file, so a
+            # resume/audit can verify any single partition without a scan
+            "file_rows": file_rows,
             "partition_cols": partition_cols or [],
             "counters": counters or {},
         }

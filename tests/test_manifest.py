@@ -86,3 +86,22 @@ def test_partitioned_write_and_pruned_read(tmp_path):
     pruned = mf.read_stage(sdir, partition_filter=lambda p: p["pk"] == "1")
     pdf = pruned.to_pandas()
     assert len(pdf) == 4 and set(pdf["uid"]) == {1, 4, 7, 10}
+
+
+def test_manifest_per_file_lineage(tmp_path):
+    """file_rows records one row count per written parquet file and sums
+    to the stage total — the per-partition lineage a resume/audit reads
+    without scanning data."""
+    import ray.data as rd
+
+    from record_matching_ray.state import manifest as mf
+
+    ds = rd.range(1000).repartition(4)
+    d = str(tmp_path / "stage")
+    m = mf.write_stage(ds, d, "fp:lineage")
+    assert m["rows"] == 1000
+    assert set(m["file_rows"]) == set(m["files"])
+    assert sum(m["file_rows"].values()) == 1000
+    # survives the round-trip
+    m2 = mf.read_manifest(d)
+    assert m2["file_rows"] == m["file_rows"]
