@@ -2696,8 +2696,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_range_window": """
             SELECT event_id,
-                   SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w
-                     AS win_sum_c,
+                   CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w
+                     AS BIGINT) AS win_sum_c,
                    CAST(COUNT(*) OVER w AS BIGINT) AS win_n
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts

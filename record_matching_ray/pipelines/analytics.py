@@ -845,9 +845,9 @@ def orders_running_total(sf_dir: str) -> ray.data.Dataset:
 
 ORDERS_RUNNING_TOTAL_SQL = """
 SELECT o_custkey, o_orderkey,
-       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
            OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey) AS running_cents
+                 ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS running_cents
 FROM orders
 """
 
