@@ -2399,6 +2399,95 @@ _FILTERED_VSEARCH_SQL = """
 """
 
 
+def _messy_urls(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic messy-URL table derived from (doc_id, source) — the
+    documents table has no URL column, so both sides (this and the SQL
+    CTE in _URL_RAW_SQL) synthesize the identical string per row: mixed
+    case, default port, tracking params, unsorted params, optional
+    trailing slash and fragment."""
+    import pyarrow as pa
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        urls = [
+            f"https://WWW.{s}.Example.COM:443/Docs/{i % 10}"
+            + ("/" if i % 2 == 1 else "")
+            + f"?utm_source=feed&b={i % 3}&a={i % 5}"
+            + ("&fbclid=xyz" if i % 4 == 0 else "")
+            + f"#sec{i % 2}"
+            for i, s in zip(ids, srcs)
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "url": pa.array(urls, pa.string())}
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "source")).map_batches(
+        mk, batch_format="pyarrow"
+    )
+
+
+def _url_canonical_docs(sf_dir: str):
+    from record_matching_ray.stages.urls import canonicalize_urls
+
+    return canonicalize_urls(_messy_urls(sf_dir), url_col="url")
+
+
+def _url_dedup_docs(sf_dir: str):
+    from record_matching_ray.stages.urls import url_dedup
+
+    return url_dedup(_messy_urls(sf_dir), url_col="url")
+
+
+# Shared CTE: synthesize the messy URL (mirror of _messy_urls) and
+# canonicalize it with the exact rule set of stages/urls.py:canonicalize_url.
+_URL_CANON_CTE = r"""
+    WITH raw AS (
+      SELECT doc_id,
+             'https://WWW.' || source || '.Example.COM:443/Docs/'
+             || CAST(doc_id % 10 AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+             || '?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR)
+             || '&a=' || CAST(doc_id % 5 AS VARCHAR)
+             || CASE WHEN doc_id % 4 = 0 THEN '&fbclid=xyz' ELSE '' END
+             || '#sec' || CAST(doc_id % 2 AS VARCHAR) AS url
+      FROM documents
+    ), strip AS (
+      SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS s FROM raw
+    ), parts AS (
+      SELECT doc_id, url,
+             regexp_extract(s, '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1) AS auth,
+             regexp_extract(s, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)', 1) AS pth,
+             regexp_extract(s, '\?(.*)$', 1) AS qry
+      FROM strip
+    ), norm AS (
+      SELECT doc_id, url,
+             CASE WHEN regexp_replace(lower(auth), ':(80|443)$', '') LIKE 'www.%'
+                  THEN substr(regexp_replace(lower(auth), ':(80|443)$', ''), 5)
+                  ELSE regexp_replace(lower(auth), ':(80|443)$', '') END AS host,
+             regexp_replace(pth, '/+$', '') AS p,
+             array_to_string(list_sort(list_filter(string_split(qry, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref|referrer)(=|$)'))),
+               '&') AS q
+      FROM parts
+    ), canon AS (
+      SELECT doc_id, url, host,
+             host || p || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
+      FROM norm
+    )
+"""
+
+_URL_CANONICAL_SQL = _URL_CANON_CTE + """
+    SELECT doc_id, url, host, canon_url FROM canon
+"""
+
+_URL_DEDUP_SQL = _URL_CANON_CTE + """
+    SELECT canon_url, COUNT(*) AS cnt, MIN(url) AS keep_url
+    FROM canon GROUP BY canon_url
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matching_ray.pipelines import analytics as an
 
@@ -2426,6 +2515,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": an.shipping_priority,
         # training-data ops over documents/embeddings — SQL-checked
         "exact_dedup_docs": _exact_dedup_docs,
+        "url_canonical_docs": _url_canonical_docs,
+        "url_dedup_docs": _url_dedup_docs,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "lang_source_counts": _lang_source_counts,
@@ -2629,6 +2720,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
             FROM documents GROUP BY text
         """,
+        "url_canonical_docs": _URL_CANONICAL_SQL,
+        "url_dedup_docs": _URL_DEDUP_SQL,
         "doc_token_stats": r"""
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
