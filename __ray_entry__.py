@@ -2488,6 +2488,38 @@ _URL_DEDUP_SQL = _URL_CANON_CTE + """
 """
 
 
+def _metablocking_docs(sf_dir: str):
+    from record_matching_ray.stages.metablocking import metablocking_pairs
+
+    return metablocking_pairs(_docs(sf_dir), prefix=5, min_block=2, max_block=8)
+
+
+# Mirror of stages/metablocking.py at prefix=5: bigram keys over the
+# first 5 tokens, block purging to [2, 8], CBS weights, WEP pruning with
+# the integer-exact cbs * n_edges > sum_cbs comparison.
+_METABLOCKING_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_distinct(
+               [l[1]||' '||l[2], l[2]||' '||l[3], l[3]||' '||l[4], l[4]||' '||l[5]]
+             )) AS key
+      FROM toks WHERE len(l) >= 5
+    ), sized AS (
+      SELECT key FROM bg GROUP BY key HAVING COUNT(*) BETWEEN 2 AND 8
+    ), blocks AS (
+      SELECT b.key, b.doc_id FROM bg b JOIN sized s USING (key)
+    ), pairs AS (
+      SELECT a.doc_id AS "left", b.doc_id AS "right", COUNT(*) AS cbs
+      FROM blocks a JOIN blocks b ON a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT "left", "right", cbs FROM pairs
+    WHERE cbs * (SELECT COUNT(*) FROM pairs) > (SELECT SUM(cbs) FROM pairs)
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matching_ray.pipelines import analytics as an
 
@@ -2517,6 +2549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _exact_dedup_docs,
         "url_canonical_docs": _url_canonical_docs,
         "url_dedup_docs": _url_dedup_docs,
+        "metablocking_docs": _metablocking_docs,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "lang_source_counts": _lang_source_counts,
@@ -2722,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_canonical_docs": _URL_CANONICAL_SQL,
         "url_dedup_docs": _URL_DEDUP_SQL,
+        "metablocking_docs": _METABLOCKING_SQL,
         "doc_token_stats": r"""
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
