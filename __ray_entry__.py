@@ -2488,6 +2488,57 @@ _URL_DEDUP_SQL = _URL_CANON_CTE + """
 """
 
 
+def _orders_quality_checks(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from record_matching_ray.stages.validate import Rule, check_rules
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        ],
+    )
+    rules = [
+        Rule("completeness", "o_custkey"),
+        Rule("uniqueness", "o_orderkey"),
+        Rule(
+            "compliance",
+            "o_totalprice",
+            name="price_under_250k",
+            predicate=lambda c: pc.less_equal(c, 250000.0),
+        ),
+        Rule("accepted_values", "o_orderstatus", values=("O", "F")),
+        Rule("pattern", "o_orderpriority", regex="^[1-3]-"),
+    ]
+    return check_rules(orders, rules)
+
+
+_ORDERS_QUALITY_SQL = """
+    SELECT 'completeness' AS rule, 'o_custkey' AS col,
+           ROUND(COUNT(o_custkey) * 1.0 / COUNT(*), 6) AS value FROM orders
+    UNION ALL
+    SELECT 'price_under_250k', 'o_totalprice',
+           ROUND(SUM(CASE WHEN o_totalprice <= 250000.0 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) FROM orders
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus',
+           ROUND(SUM(CASE WHEN o_orderstatus IN ('O', 'F') THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) FROM orders
+    UNION ALL
+    SELECT 'pattern', 'o_orderpriority',
+           ROUND(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-3]-')
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) FROM orders
+    UNION ALL
+    SELECT 'uniqueness', 'o_orderkey',
+           ROUND(COUNT(DISTINCT o_orderkey) * 1.0 / COUNT(*), 6) FROM orders
+"""
+
+
 def _metablocking_docs(sf_dir: str):
     from record_matching_ray.stages.metablocking import metablocking_pairs
 
@@ -2550,6 +2601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical_docs": _url_canonical_docs,
         "url_dedup_docs": _url_dedup_docs,
         "metablocking_docs": _metablocking_docs,
+        "orders_quality_checks": _orders_quality_checks,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "lang_source_counts": _lang_source_counts,
@@ -2756,6 +2808,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_docs": _URL_CANONICAL_SQL,
         "url_dedup_docs": _URL_DEDUP_SQL,
         "metablocking_docs": _METABLOCKING_SQL,
+        "orders_quality_checks": _ORDERS_QUALITY_SQL,
         "doc_token_stats": r"""
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
