@@ -2488,6 +2488,66 @@ _URL_DEDUP_SQL = _URL_CANON_CTE + """
 """
 
 
+def _media_pixel_stats(sf_dir: str):
+    """REAL image decode path, oracle-checked: deterministic 8x8 gray
+    gradients (pixel[i] = (vec_id*31 + i) % 256) are encoded to actual
+    PNG bytes (zlib IDAT, functions/media_codecs.py:png_encode), shipped
+    as a binary column, then png_decode'd inside a distributed
+    map_batches that reports per-image pixel stats. The DuckDB oracle
+    recomputes the stats from the pixel formula alone — a decoder bug
+    (filters, strides, bit depth) goes red on the value hash."""
+    import numpy as np
+    import pyarrow as pa
+
+    from record_matching_ray.functions.media_codecs import png_decode, png_encode
+
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+
+    def to_png(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        payloads = [
+            png_encode(
+                ((int(v) * 31 + np.arange(64)) % 256).astype(np.uint8).reshape(8, 8)
+            )
+            for v in ids
+        ]
+        return pa.table(
+            {"vec_id": t.column("vec_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def pixel_stats(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id")
+        means, mins, maxs = [], [], []
+        for p in t.column("payload").to_pylist():
+            img = png_decode(p)
+            px = img.astype(np.int64)
+            means.append(round(float(px.sum()) / px.size, 6))
+            mins.append(int(px.min()))
+            maxs.append(int(px.max()))
+        return pa.table(
+            {
+                "vec_id": ids,
+                "mean_px": pa.array(means, pa.float64()),
+                "min_px": pa.array(mins, pa.int64()),
+                "max_px": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    return embs.map_batches(to_png, batch_format="pyarrow").map_batches(
+        pixel_stats, batch_format="pyarrow"
+    )
+
+
+_MEDIA_PIXEL_SQL = """
+    SELECT e.vec_id,
+           ROUND(SUM((e.vec_id * 31 + g.i) % 256) * 1.0 / 64, 6) AS mean_px,
+           MIN((e.vec_id * 31 + g.i) % 256) AS min_px,
+           MAX((e.vec_id * 31 + g.i) % 256) AS max_px
+    FROM embeddings e CROSS JOIN range(64) g(i)
+    GROUP BY e.vec_id
+"""
+
+
 def _orders_quality_checks(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -2602,6 +2662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup_docs": _url_dedup_docs,
         "metablocking_docs": _metablocking_docs,
         "orders_quality_checks": _orders_quality_checks,
+        "media_pixel_stats": _media_pixel_stats,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "lang_source_counts": _lang_source_counts,
@@ -2809,6 +2870,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_docs": _URL_DEDUP_SQL,
         "metablocking_docs": _METABLOCKING_SQL,
         "orders_quality_checks": _ORDERS_QUALITY_SQL,
+        "media_pixel_stats": _MEDIA_PIXEL_SQL,
         "doc_token_stats": r"""
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\s+')) AS n_tokens,

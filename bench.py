@@ -205,6 +205,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kmeans_embeddings",
         "semdedup_embeddings",
         "part_soft_tfidf",
+        "url_dedup_docs",
+        "metablocking_docs",
+        "orders_quality_checks",
     ]
     times: dict[str, float] = {}
     for name in names:
