@@ -2631,6 +2631,57 @@ _METABLOCKING_SQL = r"""
 """
 
 
+def _events_lead_first_last(sf_dir: str):
+    """LEAD(ts) + FIRST_VALUE/LAST_VALUE(event_id) per user over
+    (ts, event_id) order, LAST_VALUE on the full partition frame
+    (stages/temporal.lead_first_last — hash-partition by key, one
+    vectorized lexsort + segment-edge gathers per partition)."""
+    from record_matching_ray.stages.temporal import lead_first_last
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return lead_first_last(events, key_col="user_id", ts_col="ts", tie_col="event_id")
+
+
+def _daily_activity_full(sf_dir: str):
+    """FULL OUTER JOIN shape via tagged union
+    (pipelines/analytics.daily_activity_full_outer): per-day order vs
+    event counts keeping days present on either side, unmatched side
+    NULL; no join operator, one hash shuffle of day-level partials."""
+    from record_matching_ray.pipelines.analytics import daily_activity_full_outer
+
+    return daily_activity_full_outer(sf_dir)
+
+
+def _count_min_topk(sf_dir: str):
+    """Count-Min sketch invariant check (textstats.count_min_topk_check):
+    for the exact top-20 tokens the CMS estimate must sit in
+    [exact, exact + ceil(e/width * N)] — the sketch's guarantee. The
+    oracle recomputes the exact top-20 and emits the same ok=true rows;
+    a sketch violation flips ok and fails the value hash."""
+    from record_matching_ray.stages.textstats import count_min_topk_check
+
+    return count_min_topk_check(_docs(sf_dir, columns=("doc_id", "text")), k=20)
+
+
+def _part_tf_weights(sf_dir: str):
+    """Term-frequency-adjusted Fellegi-Sunter weights (Winkler 1989 /
+    splink tf_adjustments; stages/fellegi.tf_adjusted_weights): SNM
+    candidate pairs over p_name, agreement on p_brand weighted by the
+    BRAND's own relative frequency (u_v = cnt(v)/N) instead of the
+    field-level u = sum_v (cnt_v/N)^2. The oracle recomputes the window,
+    the frequencies and both log2 expressions."""
+    from record_matching_ray.stages.fellegi import tf_adjusted_weights
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
+    )
+    return tf_adjusted_weights(
+        parts, sort_col="p_name", tie_col="p_partkey", tf_col="p_brand", m=0.95
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matching_ray.pipelines import analytics as an
 
@@ -2768,6 +2819,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (canonical's name extraction + ER cluster ids are
         # engine-mechanical; pytest-covered instead)
         "canonical_documents": _canonical_documents,
+        # round-2 fourth epoch: window/outer-join/sketch/TF-weight adds
+        "events_lead_first_last": _events_lead_first_last,
+        "daily_activity_full": _daily_activity_full,
+        "count_min_topk": _count_min_topk,
+        "part_tf_weights": _part_tf_weights,
     }
 
 
@@ -3744,4 +3800,46 @@ def oracle_sql() -> dict[str, str]:
         "curated_corpus_docs": _CURATED_SQL,
         "pagerank_docs": _pagerank_sql(iters=5, d=0.85),
         "tfidf_pair_cosine_docs": _TFIDF_PAIR_SQL,
+        "events_lead_first_last": """
+            SELECT user_id, event_id, ts,
+                   lead(ts) OVER w AS next_ts,
+                   first_value(event_id) OVER w AS first_id,
+                   last_value(event_id) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS last_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "daily_activity_full": an.DAILY_ACTIVITY_FULL_OUTER_SQL,
+        # invariant oracle: recompute the exact top-20 (same tokenizer as
+        # top_tokens_docs) and emit ok=true — the Ray side's ok flips on
+        # any Count-Min guarantee violation and fails the value hash
+        "count_min_topk": _TOP_TOKENS_SQL.replace(
+            "SELECT token, cnt, rank FROM ranked",
+            "SELECT token, cnt, rank, TRUE AS ok FROM ranked",
+        ),
+        "part_tf_weights": """
+            WITH ranked AS (
+              SELECT p_partkey, p_name, p_brand,
+                     ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) - 1 AS rn
+              FROM part
+            ), freq AS (
+              SELECT p_brand AS v, COUNT(*) AS cnt FROM part GROUP BY 1
+            ), tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM freq),
+            uf AS (
+              SELECT SUM((cnt / t.n) * (cnt / t.n)) AS u_field
+              FROM freq, tot t
+            )
+            SELECT a.p_partkey AS l_p_partkey, b.p_partkey AS r_p_partkey,
+                   a.p_brand = b.p_brand AS agree,
+                   ROUND(CASE WHEN a.p_brand = b.p_brand
+                         THEN log2(0.95 / (f.cnt / t.n))
+                         ELSE log2((1 - 0.95) / (1 - u.u_field)) END,
+                         6) AS weight
+            FROM ranked a
+            JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 5
+            LEFT JOIN freq f ON f.v = a.p_brand
+            CROSS JOIN tot t CROSS JOIN uf u
+        """,
     }

@@ -1900,3 +1900,127 @@ def source_mixture_weights(sf_dir: str, alpha: float = 0.7) -> ray.data.Dataset:
     return counts.repartition(1).map_batches(
         weigh, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join via tagged union (keeps unmatched rows from BOTH sides)
+
+
+def daily_activity_full_outer(sf_dir: str) -> ray.data.Dataset:
+    """Per-day order count vs event count, keeping every day that appears
+    on EITHER side — the FULL OUTER JOIN shape. Extends order_fulfillment's
+    tagged union from left-outer to full-outer: each side pre-aggregates
+    (day, n, is_side) per batch, one groupby(day) sums the tags, and a
+    side's count is NULL exactly when its presence tag summed to zero
+    (SQL's unmatched-side NULL). No join operator, no empty-partition
+    hazard, one hash shuffle over <= |days| x batches rows.
+
+    Output: (day date32, n_orders nullable, n_events nullable)."""
+    ACC = pa.schema(
+        [
+            ("day", pa.date32()),
+            ("n_orders", pa.int64()),
+            ("is_o", pa.int64()),
+            ("n_events", pa.int64()),
+            ("is_e", pa.int64()),
+        ]
+    )
+
+    def _day_counts(col: pa.ChunkedArray) -> pa.Table:
+        days = pa.compute.cast(col, pa.date32())
+        g = pa.TableGroupBy(pa.table({"day": days}), "day").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["day", "n"])
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        g = _day_counts(t.column("o_orderdate"))
+        n = g.num_rows
+        one = pa.array(np.ones(n, np.int64), pa.int64())
+        zero = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "n_orders": g.column("n"),
+                "is_o": one,
+                "n_events": zero,
+                "is_e": zero,
+            }
+        )
+
+    def event_rows(t: pa.Table) -> pa.Table:
+        g = _day_counts(t.column("ts"))
+        n = g.num_rows
+        one = pa.array(np.ones(n, np.int64), pa.int64())
+        zero = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "n_orders": zero,
+                "is_o": zero,
+                "n_events": g.column("n"),
+                "is_e": one,
+            }
+        )
+
+    orders = conformed(
+        _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+            order_rows, batch_format="pyarrow"
+        ),
+        ACC,
+    )
+    events = conformed(
+        _read(sf_dir, "events", ["ts"]).map_batches(
+            event_rows, batch_format="pyarrow"
+        ),
+        ACC,
+    )
+    acc = (
+        orders.union(events)
+        .groupby("day")
+        .aggregate(
+            ray.data.aggregate.Sum("n_orders"),
+            ray.data.aggregate.Sum("is_o"),
+            ray.data.aggregate.Sum("n_events"),
+            ray.data.aggregate.Sum("is_e"),
+        )
+    )
+
+    OUT = pa.schema(
+        [
+            ("day", pa.date32()),
+            ("n_orders", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(is_o)" not in t.column_names:
+            return OUT.empty_table()
+        no = t.column("sum(n_orders)").to_numpy(zero_copy_only=False)
+        ne = t.column("sum(n_events)").to_numpy(zero_copy_only=False)
+        miss_o = t.column("sum(is_o)").to_numpy(zero_copy_only=False) == 0
+        miss_e = t.column("sum(is_e)").to_numpy(zero_copy_only=False) == 0
+        return pa.table(
+            {
+                "day": t.column("day"),
+                "n_orders": pa.array(no, pa.int64(), mask=miss_o),
+                "n_events": pa.array(ne, pa.int64(), mask=miss_e),
+            }
+        )
+
+    return conformed(acc.map_batches(finish, batch_format="pyarrow"), OUT)
+
+
+DAILY_ACTIVITY_FULL_OUTER_SQL = """
+SELECT COALESCE(o.day, e.day) AS day,
+       o.n_orders, e.n_events
+FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1) e
+  ON o.day = e.day
+"""

@@ -266,3 +266,94 @@ def _em_result(
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Term-frequency-adjusted match weights (Winkler 1989; splink's
+# tf_adjustments): an exact agreement on a RARE value is far stronger
+# evidence than on a common one, so the per-value u-probability replaces
+# the field-level u for agreeing pairs.
+
+
+def tf_adjusted_weights(
+    ds: ray.data.Dataset,
+    sort_col: str,
+    tie_col: str,
+    tf_col: str,
+    m: float = 0.95,
+    window: int = 6,
+    bucket_prefix_len: int = 4,
+) -> ray.data.Dataset:
+    """Per-candidate-pair TF-adjusted Fellegi-Sunter weight on ``tf_col``.
+
+    For pairs (from sorted-neighborhood blocking on ``sort_col``) that
+    AGREE on ``tf_col`` = v the weight is log2(m / (cnt(v)/N)) — the
+    value's own relative frequency is its u-probability; disagreeing
+    pairs get the standard log2((1-m)/(1-u)) with the field-level
+    u = sum_v (cnt(v)/N)^2 (the exact random-agreement probability).
+
+    Scale shape: value frequencies collapse per batch to the field's
+    VOCABULARY before one groupby-sum shuffle (categorical fields — the
+    only kind TF adjustment applies to — have bounded vocabularies), and
+    the (value -> count) table broadcasts into the stateless pair pass.
+    Weights round to 6 decimals for oracle parity.
+
+    Output: (l_<tie>, r_<tie>, agree bool, weight float64)."""
+
+    def freq_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select([tf_col]), tf_col).aggregate([([], "count_all")])
+        return g.rename_columns(["v", "cnt"])
+
+    freqs = (
+        ds.select_columns([tf_col])
+        .map_batches(freq_partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("cnt")
+        .take_all()
+    )
+    cnt_map = {r["v"]: int(r["sum(cnt)"]) for r in freqs}
+    n_total = sum(cnt_map.values())
+    u_field = sum((c / n_total) ** 2 for c in cnt_map.values())
+    w_disagree = float(np.log2((1.0 - m) / (1.0 - u_field)))
+    w_agree = {
+        v: float(np.log2(m / (c / n_total))) for v, c in cnt_map.items()
+    }
+    ref = ray.put((w_agree, w_disagree))
+
+    pairs = sorted_neighborhood_pairs(
+        ds,
+        sort_col=sort_col,
+        tie_col=tie_col,
+        payload_cols=[tf_col],
+        window=window,
+        bucket_prefix_len=bucket_prefix_len,
+    )
+    lt, rt = f"l_{tie_col}", f"r_{tie_col}"
+    OUT = pa.schema(
+        [
+            (lt, pa.int64()),
+            (rt, pa.int64()),
+            ("agree", pa.bool_()),
+            ("weight", pa.float64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        wa, wd = ray.get(ref)
+        lv = t.column(f"l_{tf_col}").to_pylist()
+        rv = t.column(f"r_{tf_col}").to_pylist()
+        agree = [a == b for a, b in zip(lv, rv)]
+        w = np.array(
+            [wa[a] if ag else wd for a, ag, b in zip(lv, agree, rv)],
+            dtype=np.float64,
+        )
+        return pa.table(
+            {
+                lt: t.column(lt),
+                rt: t.column(rt),
+                "agree": pa.array(agree, pa.bool_()),
+                "weight": pa.array(np.round(w, 6), pa.float64()),
+            }
+        )
+
+    return conformed(pairs.map_batches(score, batch_format="pyarrow"), OUT)

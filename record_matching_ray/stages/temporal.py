@@ -643,6 +643,88 @@ def lag_delta(
     )
 
 
+def lead_first_last(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Forward-looking / partition-edge window functions per key:
+    ``LEAD(ts)``, ``FIRST_VALUE(tie)`` and ``LAST_VALUE(tie)`` over
+    ``(PARTITION BY key ORDER BY ts, tie)``, with LAST_VALUE on the full
+    partition frame (``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING`` — SQL's default running frame makes LAST_VALUE the
+    current row, which is trivial).
+
+    FIRST/LAST carry the *tie column's* value at the ordering's edges —
+    the value rides the (ts, tie) sort order rather than being a min/max
+    of itself, which is the part a plain aggregate can't express.
+
+    Same partitioning contract as lag_delta: hash-partition by key, one
+    vectorized lexsort per partition, shifted compare + segment-edge
+    gathers; timestamps and ids stay exact integers so oracle parity
+    needs no rounding."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(keys.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(keys, pa.int64()),
+                "t": t.column(ts_col),
+                "tie": t.column(tie_col),
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        keys = g.column("k").to_numpy(zero_copy_only=False)
+        ts = g.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        tie = g.column("tie").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
+        k_s, t_s, tie_s = keys[order], ts[order], tie[order]
+        n = len(k_s)
+        # next row belongs to the same key -> LEAD exists
+        same_next = np.concatenate((k_s[:-1] == k_s[1:], [False]))
+        nxt = np.empty_like(t_s)
+        if n:
+            nxt[:-1] = t_s[1:]
+            nxt[-1] = t_s[-1]
+        # segment edges: first/last sorted row of each key run
+        new_seg = (
+            np.concatenate(([True], k_s[1:] != k_s[:-1]))
+            if n
+            else np.zeros(0, dtype=bool)
+        )
+        seg_id = np.cumsum(new_seg) - 1
+        starts = np.nonzero(new_seg)[0]
+        ends = np.concatenate((starts[1:], [n])) - 1 if n else starts
+        return pa.table(
+            {
+                key_col: pa.array(k_s, pa.int64()),
+                tie_col: pa.array(tie_s, pa.int64()),
+                ts_col: pa.array(t_s, pa.timestamp("us")),
+                "next_ts": pa.array(
+                    np.where(same_next, nxt, t_s), pa.timestamp("us"), mask=~same_next
+                ),
+                "first_id": pa.array(tie_s[starts[seg_id]], pa.int64()),
+                "last_id": pa.array(tie_s[ends[seg_id]], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col, tie_col])
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
+    )
+
+
 def moving_window_sum(
     ds: ray.data.Dataset,
     key_col: str = "o_custkey",

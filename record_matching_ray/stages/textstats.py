@@ -1325,3 +1325,119 @@ def dsir_logratio(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — mergeable frequency
+# estimation, the sketch companion to the exact top_tokens shuffle
+
+
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def count_min_sketch(
+    docs: "ray.data.Dataset", text_col: str = "text", depth: int = 4, width: int = 4096
+) -> tuple[np.ndarray, int]:
+    """Corpus-wide token-frequency Count-Min sketch: per batch each of
+    ``depth`` hash rows scatters token counts into ``width`` counters;
+    one (depth*width)-int64 row per batch reaches the driver and merges
+    by plain addition (the sketch is fully associative — on a real
+    cluster the same partials would fold through a tree reduce). The
+    point estimate min_d(row_d[h_d(x)]) never under-counts and
+    over-counts by at most e/width * N with prob 1 - e^-depth.
+
+    Returns (sketch[depth, width], N total token occurrences)."""
+    if depth > len(_CMS_SEEDS):
+        raise ValueError(f"depth <= {len(_CMS_SEEDS)} supported")
+    from record_matching_ray.functions.hashing import hash_strings, mix64
+
+    seeds = _CMS_SEEDS[:depth]
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t.column(text_col).to_pylist():
+            s = (s or "").strip().lower()
+            if s:
+                toks.extend(_WS_SPLIT.split(s))
+        sk = np.zeros((depth, width), dtype=np.int64)
+        n = len(toks)
+        if toks:
+            # count each distinct token once, scatter with multiplicity
+            import pandas as pd
+
+            codes, uniq = pd.factorize(np.asarray(toks, dtype=object), sort=False)
+            cnts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+            h = mix64(hash_strings(list(uniq)))
+            for d in range(depth):
+                idx = (mix64(h ^ seeds[d]) % np.uint64(width)).astype(np.int64)
+                np.add.at(sk[d], idx, cnts)
+        return pa.table(
+            {
+                "sk": pa.array([sk.reshape(-1).tolist()], pa.list_(pa.int64())),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    sk = np.zeros((depth, width), dtype=np.int64)
+    total = 0
+    for row in (
+        docs.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    ):
+        sk += np.asarray(row["sk"], dtype=np.int64).reshape(depth, width)
+        total += int(row["n"])
+    return sk, total
+
+
+def count_min_estimate(
+    sketch: np.ndarray, tokens: list[str], depth: int = 4, width: int = 4096
+) -> np.ndarray:
+    """Point estimates min over rows for each token."""
+    from record_matching_ray.functions.hashing import hash_strings, mix64
+
+    h = mix64(hash_strings(tokens))
+    est = np.full(len(tokens), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = (mix64(h ^ _CMS_SEEDS[d]) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, sketch[d, idx])
+    return est
+
+
+def count_min_topk_check(
+    docs: "ray.data.Dataset",
+    k: int = 20,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 4096,
+) -> "ray.data.Dataset":
+    """Invariant wrapper (same pattern as approx_quantiles_invariant):
+    for the exact top-k tokens, the CMS estimate must satisfy the sketch
+    guarantee est in [exact, exact + ceil(e/width * N)]. Emits the same
+    (token, cnt, rank, ok=true) relation the SQL oracle recomputes
+    exactly — a sketch failure flips ok and fails the value hash."""
+    import ray.data as rd
+
+    exact = top_tokens(docs, k=k, text_col=text_col).take_all()
+    sk, total = count_min_sketch(docs, text_col=text_col, depth=depth, width=width)
+    toks = [r["token"] for r in exact]
+    est = count_min_estimate(sk, toks, depth=depth, width=width)
+    bound = int(np.ceil(np.e / width * total))
+    out = pa.table(
+        {
+            "token": pa.array(toks, pa.string()),
+            "cnt": pa.array([r["cnt"] for r in exact], pa.int64()),
+            "rank": pa.array([r["rank"] for r in exact], pa.int64()),
+            "ok": pa.array(
+                [
+                    bool(e >= c and e - c <= bound)
+                    for e, c in zip(est.tolist(), (r["cnt"] for r in exact))
+                ],
+                pa.bool_(),
+            ),
+        }
+    )
+    return rd.from_arrow(out)
