@@ -2665,6 +2665,79 @@ def _count_min_topk(sf_dir: str):
     return count_min_topk_check(_docs(sf_dir, columns=("doc_id", "text")), k=20)
 
 
+def _bcubed_er_docs(sf_dir: str):
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998;
+    stages/evaluate.bcubed_metrics) of the near-dup ER clustering against
+    exact-duplicate truth families (min doc_id per identical text): how
+    much beyond exact duplication the near-dup merge reaches. The oracle
+    recomputes the clusters (component CTE), the truth families and the
+    closed-form sums P = (1/N) sum n_ct^2/n_c, R = (1/N) sum n_ct^2/n_t."""
+    import pyarrow as pa
+
+    from record_matching_ray.stages.evaluate import bcubed_metrics
+
+    clusters = _er_clusters_documents(sf_dir)  # (doc_id, cluster_id)
+
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def fam(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id")
+        tid = pa.compute.min(ids).as_py()
+        return pa.table(
+            {
+                "doc_id": ids,
+                "truth_id": pa.array([tid] * g.num_rows, pa.int64()),
+            }
+        )
+
+    truth = docs.groupby("text").map_groups(fam, batch_format="pyarrow")
+    return bcubed_metrics(clusters, truth)
+
+
+def _part_monge_elkan(sf_dir: str):
+    """Monge-Elkan hybrid comparator under SNM candidates
+    (stages/tfidf.monge_elkan_pairs): mean best-Jaro-Winkler per distinct
+    source token, canonical min-id direction. The oracle recomputes the
+    window, the token sets, every JW argmax and the mean."""
+    from record_matching_ray.stages.tfidf import monge_elkan_pairs
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    return monge_elkan_pairs(parts, "p_partkey", "p_name", window=6, threshold=0.5)
+
+
+def _customer_mutual_best(sf_dir: str):
+    """Reciprocal-best-hit 1:1 linking (stages/editjoin.mutual_best_pairs):
+    from SNM Jaro-Winkler candidates, keep a pair iff each side is the
+    other's highest-scoring counterpart (ties to the smaller id). The
+    oracle recomputes the window, DuckDB's own jaro_winkler, both
+    per-node argmaxes and the mutuality count."""
+    from record_matching_ray.stages.editjoin import jw_window_join, mutual_best_pairs
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    cand = jw_window_join(cust, "c_custkey", "c_name", window=6, threshold=0.9)
+    return mutual_best_pairs(cand, score_col="jw")
+
+
+_BLOCKLIST_PHRASES = ["slow join", "the customer", "vector"]
+
+
+def _blocklist_docs(sf_dir: str):
+    """C4-style blocklist / gazetteer phrase filtering
+    (stages/scrub.phrase_blocklist): token-aligned occurrence counts of a
+    fixed multi-length phrase set (word-boundary Aho-Corasick semantics
+    via per-length gram-hash membership), kept = zero hits. The oracle
+    rebuilds 1- and 2-gram windows and counts the same literal phrases."""
+    from record_matching_ray.stages.scrub import phrase_blocklist
+
+    return phrase_blocklist(
+        _docs(sf_dir, columns=("doc_id", "text")), _BLOCKLIST_PHRASES
+    )
+
+
 def _part_tf_weights(sf_dir: str):
     """Term-frequency-adjusted Fellegi-Sunter weights (Winkler 1989 /
     splink tf_adjustments; stages/fellegi.tf_adjusted_weights): SNM
@@ -2824,6 +2897,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_activity_full": _daily_activity_full,
         "count_min_topk": _count_min_topk,
         "part_tf_weights": _part_tf_weights,
+        "bcubed_er_docs": _bcubed_er_docs,
+        "blocklist_docs": _blocklist_docs,
+        "customer_mutual_best": _customer_mutual_best,
+        "part_monge_elkan": _part_monge_elkan,
     }
 
 
@@ -3819,6 +3896,141 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, cnt, rank FROM ranked",
             "SELECT token, cnt, rank, TRUE AS ok FROM ranked",
         ),
+        "bcubed_er_docs": (
+            "WITH RECURSIVE "
+            + _SHINGLE_CTE
+            + """,
+            und AS (
+              SELECT l AS a, r AS b FROM jac WHERE jaccard >= 0.5
+              UNION ALL
+              SELECT r AS a, l AS b FROM jac WHERE jaccard >= 0.5
+            ),
+            reach(n, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT und.a, reach.lbl FROM und JOIN reach ON reach.n = und.b
+            ),
+            clus AS (SELECT n AS doc_id, MIN(lbl) AS cid FROM reach GROUP BY n),
+            truth AS (
+              SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS tid
+              FROM documents
+            ),
+            j AS (
+              SELECT c.cid, t.tid, CAST(COUNT(*) AS BIGINT) AS n_ct
+              FROM clus c JOIN truth t USING (doc_id) GROUP BY 1, 2
+            ),
+            cs AS (SELECT cid, SUM(n_ct) AS n_c FROM j GROUP BY 1),
+            ts AS (SELECT tid, SUM(n_ct) AS n_t FROM j GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_ct) AS DOUBLE) AS n FROM j),
+            p AS (SELECT SUM(n_ct * n_ct * 1.0 / n_c) AS sp
+                  FROM j JOIN cs USING (cid)),
+            r AS (SELECT SUM(n_ct * n_ct * 1.0 / n_t) AS sr
+                  FROM j JOIN ts USING (tid))
+            SELECT CAST(tot.n AS BIGINT) AS n,
+                   ROUND(p.sp / tot.n, 6) AS bcubed_p,
+                   ROUND(r.sr / tot.n, 6) AS bcubed_r,
+                   ROUND(2 * (p.sp / tot.n) * (r.sr / tot.n)
+                         / ((p.sp / tot.n) + (r.sr / tot.n)), 6) AS bcubed_f1
+            FROM tot, p, r
+        """
+        ),
+        "part_monge_elkan": """
+            WITH ranked AS (
+              SELECT p_partkey AS id, p_name AS name,
+                     ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) - 1 AS rn
+              FROM part
+            ),
+            prs AS (
+              SELECT LEAST(a.id, b.id) AS lid, GREATEST(a.id, b.id) AS rid
+              FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 5
+            ),
+            toks AS (
+              SELECT DISTINCT id, tok FROM (
+                SELECT id, unnest(string_split(lower(name), ' ')) AS tok
+                FROM ranked
+              ) WHERE tok <> ''
+            ),
+            tokpairs AS (
+              SELECT p.lid, p.rid, tl.tok AS ltok,
+                     jaro_winkler_similarity(tl.tok, tr.tok) AS jw,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY p.lid, p.rid, tl.tok
+                       ORDER BY jaro_winkler_similarity(tl.tok, tr.tok) DESC,
+                                tr.tok ASC
+                     ) AS rk
+              FROM prs p
+              JOIN toks tl ON tl.id = p.lid
+              JOIN toks tr ON tr.id = p.rid
+            ),
+            sims AS (
+              SELECT lid AS "left", rid AS "right",
+                     ROUND(SUM(jw) / COUNT(*), 6) AS me
+              FROM tokpairs WHERE rk = 1
+              GROUP BY lid, rid
+            )
+            SELECT * FROM sims WHERE me >= 0.5
+        """,
+        "customer_mutual_best": """
+            WITH ranked AS (
+              SELECT c_custkey, c_name,
+                     ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) - 1 AS rn
+              FROM customer
+            ),
+            cand AS (
+              SELECT LEAST(a.c_custkey, b.c_custkey) AS l,
+                     GREATEST(a.c_custkey, b.c_custkey) AS r,
+                     jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+              FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 5
+              WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.9
+            ),
+            sym AS (
+              SELECT l AS node, r AS other, jw FROM cand
+              UNION ALL
+              SELECT r AS node, l AS other, jw FROM cand
+            ),
+            best AS (
+              SELECT node, other, jw,
+                     ROW_NUMBER() OVER (PARTITION BY node
+                                        ORDER BY jw DESC, other) AS k
+              FROM sym
+            )
+            SELECT LEAST(node, other) AS "left",
+                   GREATEST(node, other) AS "right",
+                   MAX(jw) AS jw
+            FROM best WHERE k = 1
+            GROUP BY 1, 2 HAVING COUNT(*) = 2
+        """,
+        "blocklist_docs": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+              FROM tok
+            ),
+            g2 AS (
+              SELECT doc_id,
+                     tok || ' ' || lead(tok, 1) OVER
+                       (PARTITION BY doc_id ORDER BY p) AS g
+              FROM pos
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS n FROM pos
+              WHERE tok IN ('vector') GROUP BY 1
+              UNION ALL
+              SELECT doc_id, count(*) FROM g2
+              WHERE g IN ('slow join', 'the customer') GROUP BY 1
+            ),
+            agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_hits
+                    FROM hits GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(a.n_hits, 0) AS n_hits,
+                   COALESCE(a.n_hits, 0) = 0 AS kept
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "part_tf_weights": """
             WITH ranked AS (
               SELECT p_partkey, p_name, p_brand,

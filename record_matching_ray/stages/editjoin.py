@@ -407,3 +407,105 @@ def set_jaccard_join(
             [("left", pa.int64()), ("right", pa.int64()), ("jaccard", pa.float64())]
         ),
     )
+
+
+def mutual_best_pairs(
+    pairs: ray.data.Dataset,
+    left_col: str = "left",
+    right_col: str = "right",
+    score_col: str = "jw",
+) -> ray.data.Dataset:
+    """One-to-one linking by symmetric best match: keep a candidate pair
+    iff each side is the other's HIGHEST-scoring counterpart (ties broken
+    by smaller counterpart id) — the standard reciprocal-best-hit rule
+    that turns a many-to-many candidate set into high-precision 1:1 links
+    without a global assignment solve.
+
+    Distributed layout: symmetrize (2 rows per pair), per-batch argmax
+    partials collapse each batch to one row per node before the ONE
+    groupby(node) that finishes the argmax; mutuality needs NO join —
+    each direction's winner re-emits its canonical (min, max) pair and a
+    groupby counts both directions (the mutual_knn_edges pattern).
+    Output: (left, right, score), left < right."""
+    from record_matching_ray.stages.util import conformed
+
+    def sym(t: pa.Table) -> pa.Table:
+        l = t.column(left_col).to_numpy(zero_copy_only=False)
+        r = t.column(right_col).to_numpy(zero_copy_only=False)
+        s = t.column(score_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([l, r]), pa.int64()),
+                "other": pa.array(np.concatenate([r, l]), pa.int64()),
+                "s": pa.array(np.concatenate([s, s]), pa.float64()),
+            }
+        )
+
+    def best_partial(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        other = t.column("other").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        # sort so each node's best row (s desc, other asc) comes first
+        order = np.lexsort((other, -s, node))
+        n_s, o_s, s_s = node[order], other[order], s[order]
+        first = np.concatenate(([True], n_s[1:] != n_s[:-1]))
+        return pa.table(
+            {
+                "node": pa.array(n_s[first], pa.int64()),
+                "other": pa.array(o_s[first], pa.int64()),
+                "s": pa.array(s_s[first], pa.float64()),
+            }
+        )
+
+    winners = (
+        pairs.map_batches(sym, batch_format="pyarrow")
+        .map_batches(best_partial, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(best_partial, batch_format="pyarrow")
+    )
+
+    # mutuality via packed-int64 pair key (ids < 2^31, same contract as
+    # fingerprint_containment's pair reduce) — composite-key native
+    # groupby is a known Ray slow path
+    _M = np.int64(1) << np.int64(32)
+
+    def canon(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy(zero_copy_only=False)
+        o = t.column("other").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pk": pa.array(np.minimum(n, o) * _M + np.maximum(n, o), pa.int64()),
+                "s_max": pa.array(s, pa.float64()),
+                "votes": pa.array(np.ones(len(n), np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        winners.map_batches(canon, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(
+            ray.data.aggregate.Sum("votes"),
+            ray.data.aggregate.Max("s_max"),
+        )
+    )
+
+    OUT = pa.schema(
+        [("left", pa.int64()), ("right", pa.int64()), (score_col, pa.float64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(votes)" not in t.column_names:
+            return OUT.empty_table()
+        keep = pa.compute.equal(t.column("sum(votes)"), 2)
+        t = t.filter(keep)
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "left": pa.array(pk // _M, pa.int64()),
+                "right": pa.array(pk % _M, pa.int64()),
+                score_col: t.column("max(s_max)"),
+            }
+        )
+
+    return conformed(agg.map_batches(finish, batch_format="pyarrow"), OUT)

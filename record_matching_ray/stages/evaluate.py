@@ -286,3 +286,123 @@ def blocking_metrics(
         n_true_pairs=n_true,
         n_covered=sum(r["cov"] for r in parts),
     )
+
+
+# ---------------------------------------------------------------------------
+# B-cubed clustering metrics (Bagga & Baldwin 1998) — the per-item
+# precision/recall companion to ARI, standard in ER evaluation (Amigó
+# et al. 2009 showed it's the only common metric satisfying all four
+# clustering-evaluation constraints).
+
+
+def bcubed_metrics(
+    assign: ray.data.Dataset,
+    truth: ray.data.Dataset,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    truth_col: str = "truth_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """One-row (n, bcubed_p, bcubed_r, bcubed_f1) from item-level
+    predicted and truth assignments, via the closed form
+
+        P = (1/N) sum_{c,t} n_ct^2 / n_c,  R = (1/N) sum_{c,t} n_ct^2 / n_t
+
+    Scale shape: one hash join on the item id, per-batch (c, t) partial
+    counts collapse each batch to its contingency vocabulary before ONE
+    groupby shuffle; each closed-form sum is a groupby over the (already
+    tiny) contingency relation whose groups emit one float each, reduced
+    through batch partials — the driver only ever sees per-block partial
+    scalars, never items. Rounded to 6 decimals for oracle parity."""
+    if num_partitions is None:
+        from record_matching_ray.stages.util import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
+
+    joined = assign.select_columns([id_col, cluster_col]).join(
+        truth.select_columns([id_col, truth_col]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(id_col,),
+    )
+
+    def ct_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        c = np.asarray([str(v) for v in t.column(cluster_col).to_pylist()], object)
+        g = np.asarray([str(v) for v in t.column(truth_col).to_pylist()], object)
+        keys = np.char.add(np.char.add(c.astype(str), "\x1f"), g.astype(str))
+        codes, uniq = pd.factorize(keys, sort=False)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"ct": pa.array(list(uniq), pa.string()), "n": pa.array(n, pa.int64())}
+        )
+
+    j = (
+        joined.map_batches(ct_partial, batch_format="pyarrow")
+        .groupby("ct")
+        .sum("n")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "cid": pa.array(
+                        [s.split("\x1f")[0] for s in t.column("ct").to_pylist()],
+                        pa.string(),
+                    ),
+                    "tid": pa.array(
+                        [s.split("\x1f")[1] for s in t.column("ct").to_pylist()],
+                        pa.string(),
+                    ),
+                    "n_ct": t.column("sum(n)"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    def _side_sum(key: str) -> tuple[float, int]:
+        def per_group(g: pa.Table) -> pa.Table:
+            n = g.column("n_ct").to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {
+                    "s": pa.array([float(np.sum(n * n) / np.sum(n))], pa.float64()),
+                    "cnt": pa.array([int(np.sum(n))], pa.int64()),
+                }
+            )
+
+        parts = (
+            j.groupby(key)
+            .map_groups(per_group, batch_format="pyarrow")
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "s": pa.array(
+                            [float(np.sum(t.column("s").to_numpy(zero_copy_only=False)))],
+                            pa.float64(),
+                        ),
+                        "cnt": pa.array(
+                            [int(np.sum(t.column("cnt").to_numpy(zero_copy_only=False)))],
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        return sum(r["s"] for r in parts), sum(r["cnt"] for r in parts)
+
+    sp, n_total = _side_sum("cid")
+    sr, _ = _side_sum("tid")
+    p = sp / n_total
+    r = sr / n_total
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    out = pa.table(
+        {
+            "n": pa.array([n_total], pa.int64()),
+            "bcubed_p": pa.array([round(p, 6)], pa.float64()),
+            "bcubed_r": pa.array([round(r, 6)], pa.float64()),
+            "bcubed_f1": pa.array([round(f1, 6)], pa.float64()),
+        }
+    )
+    return ray.data.from_arrow(out)

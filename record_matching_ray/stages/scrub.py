@@ -85,3 +85,81 @@ def redact_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def run_scrub(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(scrub_pii, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Blocklist / gazetteer phrase filtering (the C4 "bad words" pass and the
+# dictionary-matching half of entity gazetteers): count occurrences of a
+# fixed multi-word phrase set per document, drop documents with any hit.
+
+
+def phrase_blocklist(
+    docs: ray.data.Dataset,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """(id, n_hits, kept) per document, where n_hits counts token-aligned
+    occurrences of ANY blocklist phrase (token-sequence equality, like an
+    Aho-Corasick automaton restricted to word boundaries) and kept means
+    zero hits.
+
+    Scale shape: phrases are tiny by definition, so they compile once —
+    grouped by token length L, each phrase hashed with the same
+    polynomial window combine the corpus side uses — and broadcast via
+    ``ray.put``; the corpus pass is ONE stateless map_batches doing a
+    sorted-array membership count per present phrase length. No shuffle,
+    no join; nothing scales with corpus size but the stream.
+
+    Tokenization parity with the SQL oracle: lowercase, \\s+ split of
+    trimmed text, strict L-gram windows."""
+    import ray
+
+    from record_matching_ray.functions.hashing import _U64, combine_rows, hash_strings
+    from record_matching_ray.stages.decontaminate import _strict_ngram_hashes
+
+    by_len: dict[int, list[np.ndarray]] = {}
+    for p in phrases:
+        toks = p.strip().lower().split()
+        if not toks:
+            continue
+        h = hash_strings(toks).astype(_U64)
+        by_len.setdefault(len(toks), []).append(h)
+    tables = {
+        L: np.unique(combine_rows(np.stack(hs))) for L, hs in by_len.items()
+    }
+    ref = ray.put(tables)
+
+    OUT = pa.schema(
+        [(id_col, pa.int64()), ("n_hits", pa.int64()), ("kept", pa.bool_())]
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        tabs: dict[int, np.ndarray] = ray.get(ref)
+        texts = t.column(text_col).to_pylist()
+        hits = np.zeros(len(texts), dtype=np.int64)
+        for L, sorted_h in tabs.items():
+            flat, offsets = _strict_ngram_hashes(texts, L)
+            if len(flat):
+                pos = np.searchsorted(sorted_h, flat)
+                pos = np.clip(pos, 0, len(sorted_h) - 1)
+                is_hit = (sorted_h[pos] == flat).astype(np.int64)
+                hits += np.add.reduceat(
+                    np.concatenate([is_hit, [0]]), offsets[:-1]
+                ) * (np.diff(offsets) > 0)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_hits": pa.array(hits, pa.int64()),
+                "kept": pa.array(hits == 0, pa.bool_()),
+            }
+        )
+
+    from record_matching_ray.stages.util import conformed
+
+    return conformed(
+        docs.select_columns([id_col, text_col]).map_batches(
+            scan, batch_format="pyarrow"
+        ),
+        OUT,
+    )

@@ -386,3 +386,86 @@ def soft_tfidf_pairs(
         batch_format="pyarrow",
         concurrency=(1, cluster_parallelism()),
     )
+
+
+def monge_elkan_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    str_col: str,
+    window: int = 6,
+    threshold: float = 0.0,
+) -> ray.data.Dataset:
+    """Monge-Elkan hybrid comparator (Monge & Elkan 1996) under
+    sorted-neighborhood candidates: ME(S,T) = mean over S's DISTINCT
+    tokens of the best Jaro-Winkler match in T — Soft-TFIDF's ungated,
+    unweighted ancestor (set semantics for SQL parity). Direction is
+    canonical: S is the min-id record of each pair.
+
+    Scale shape: one SNM rank shuffle, then a stateless memoized scan —
+    all token-pair JW calls of a batch fuse into ONE vectorized kernel
+    call; repeated name pairs within a batch dedupe first. Output
+    (left, right, me) with round(me, 6) >= threshold, left < right."""
+    from record_matching_ray.functions.strsim import jaro_winkler_batch
+    from record_matching_ray.stages.fellegi import sorted_neighborhood_pairs
+    from record_matching_ray.stages.util import conformed
+
+    pairs = sorted_neighborhood_pairs(
+        ds.select_columns([id_col, str_col]),
+        sort_col=str_col,
+        tie_col=id_col,
+        payload_cols=[id_col],
+        window=window,
+    )
+    OUT = pa.schema(
+        [("left", pa.int64()), ("right", pa.int64()), ("me", pa.float64())]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        li = t.column(f"l_{id_col}").to_numpy(zero_copy_only=False)
+        ri = t.column(f"r_{id_col}").to_numpy(zero_copy_only=False)
+        nl = t.column(f"l_{str_col}").to_pylist()
+        nr = t.column(f"r_{str_col}").to_pylist()
+        lo = np.minimum(li, ri)
+        hi = np.maximum(li, ri)
+        # canonical direction: S = the min-id side's name
+        s_names = [a if x <= y else b for a, b, x, y in zip(nl, nr, li, ri)]
+        t_names = [b if x <= y else a for a, b, x, y in zip(nl, nr, li, ri)]
+        # dedupe identical (S, T) string pairs, fuse all JW calls
+        uniq: dict[tuple[str, str], int] = {}
+        cross_a: list[str] = []
+        cross_b: list[str] = []
+        bounds = [0]
+        a_sizes: list[int] = []
+        for sn, tn in zip(s_names, t_names):
+            k = (sn, tn)
+            if k in uniq:
+                continue
+            uniq[k] = len(bounds) - 1
+            at = sorted(set(sn.lower().split()))
+            bt = sorted(set(tn.lower().split()))
+            for x in at:
+                cross_a.extend([x] * len(bt))
+                cross_b.extend(bt)
+            bounds.append(len(cross_a))
+            a_sizes.append(len(at))
+        jw = jaro_winkler_batch(cross_a, cross_b) if cross_a else np.empty(0)
+        me_u = np.zeros(len(a_sizes), dtype=np.float64)
+        for u, (st, en) in enumerate(zip(bounds[:-1], bounds[1:])):
+            na = a_sizes[u]
+            if en > st and na:
+                m = jw[st:en].reshape(na, (en - st) // na)
+                me_u[u] = float(np.mean(np.max(m, axis=1)))
+        me = np.round(
+            np.array([me_u[uniq[(sn, tn)]] for sn, tn in zip(s_names, t_names)]),
+            6,
+        )
+        keep = me >= threshold
+        return pa.table(
+            {
+                "left": pa.array(lo[keep], pa.int64()),
+                "right": pa.array(hi[keep], pa.int64()),
+                "me": pa.array(me[keep], pa.float64()),
+            }
+        )
+
+    return conformed(pairs.map_batches(score, batch_format="pyarrow"), OUT)

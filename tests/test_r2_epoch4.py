@@ -226,3 +226,176 @@ def test_tf_adjusted_weights_vs_bruteforce():
     # rare-brand agreement outweighs common-brand agreement
     ws = {br: np.log2(m / (cnt[br] / n)) for br in cnt}
     assert ws[min(cnt, key=cnt.get)] > ws[max(cnt, key=cnt.get)]
+
+
+# ------------------------------------------------------------------ B-cubed
+
+
+def test_bcubed_metrics_known_values():
+    from record_matching_ray.stages.evaluate import bcubed_metrics
+
+    # pred: {0,1,2}{3,4}; truth: {0,1}{2,3}{4}
+    assign = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "cluster_id": pa.array([10, 10, 10, 20, 20], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    truth = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "truth_id": pa.array([100, 100, 200, 200, 300], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    row = bcubed_metrics(assign, truth).take_all()[0]
+    # closed form: P = (1/5)(4/3 + 1/3 + 1/2 + 1/2) = 8/15
+    # R = (1/5)(4/2 + 1/2 + 1/2 + 1/1) = 4/5
+    assert row["n"] == 5
+    assert abs(row["bcubed_p"] - 8 / 15) < 1e-6
+    assert abs(row["bcubed_r"] - 4 / 5) < 1e-6
+    p, r = 8 / 15, 4 / 5
+    assert abs(row["bcubed_f1"] - 2 * p * r / (p + r)) < 1e-6
+
+
+def test_bcubed_perfect_clustering_is_one():
+    from record_matching_ray.stages.evaluate import bcubed_metrics
+
+    assign = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(10), pa.int64()),
+                "cluster_id": pa.array([i % 3 for i in range(10)], pa.int64()),
+            }
+        )
+    )
+    truth = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(10), pa.int64()),
+                "truth_id": pa.array([(i % 3) + 50 for i in range(10)], pa.int64()),
+            }
+        )
+    )
+    row = bcubed_metrics(assign, truth).take_all()[0]
+    assert row["bcubed_p"] == 1.0 and row["bcubed_r"] == 1.0 and row["bcubed_f1"] == 1.0
+
+
+# ----------------------------------------------------------- phrase blocklist
+
+
+def test_phrase_blocklist_counts_and_kept():
+    from record_matching_ray.stages.scrub import phrase_blocklist
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the bad word here and bad word again",
+                        "all clean text",
+                        "bad word",
+                        "word bad",  # reversed: no phrase hit
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    ).repartition(2)
+    out = {
+        r["doc_id"]: r
+        for r in phrase_blocklist(docs, ["bad word", "forbidden"]).take_all()
+    }
+    assert out[0]["n_hits"] == 2 and not out[0]["kept"]
+    assert out[1]["n_hits"] == 0 and out[1]["kept"]
+    assert out[2]["n_hits"] == 1 and not out[2]["kept"]
+    assert out[3]["n_hits"] == 0 and out[3]["kept"]
+
+
+def test_phrase_blocklist_multi_length_and_case():
+    from record_matching_ray.stages.scrub import phrase_blocklist
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["Alpha BETA gamma delta beta"], pa.string()),
+            }
+        )
+    )
+    out = phrase_blocklist(docs, ["beta", "gamma delta"]).take_all()[0]
+    # 'beta' twice (case-folded) + 'gamma delta' once
+    assert out["n_hits"] == 3
+
+
+# --------------------------------------------------------- mutual best match
+
+
+def test_mutual_best_pairs_reciprocal_only():
+    from record_matching_ray.stages.editjoin import mutual_best_pairs
+
+    # 1's best is 2 (0.9) and 2's best is 1 -> kept.
+    # 3's best is 1 (0.8) but 1's best is 2 -> dropped.
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "left": pa.array([1, 1, 2], pa.int64()),
+                "right": pa.array([2, 3, 3], pa.int64()),
+                "jw": pa.array([0.9, 0.8, 0.5], pa.float64()),
+            }
+        )
+    ).repartition(2)
+    out = mutual_best_pairs(pairs).take_all()
+    assert [(r["left"], r["right"], r["jw"]) for r in out] == [(1, 2, 0.9)]
+
+
+def test_mutual_best_pairs_tie_breaks_to_smaller_id():
+    from record_matching_ray.stages.editjoin import mutual_best_pairs
+
+    # 5 ties between 6 and 7 at 0.9 -> picks 6; 6's best is 5 -> mutual.
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "left": pa.array([5, 5, 6], pa.int64()),
+                "right": pa.array([6, 7, 7], pa.int64()),
+                "jw": pa.array([0.9, 0.9, 0.1], pa.float64()),
+            }
+        )
+    )
+    out = mutual_best_pairs(pairs).take_all()
+    assert [(r["left"], r["right"]) for r in out] == [(5, 6)]
+
+
+# --------------------------------------------------------------- Monge-Elkan
+
+
+def test_monge_elkan_vs_bruteforce():
+    from record_matching_ray.functions.strsim import jaro_winkler
+    from record_matching_ray.stages.tfidf import monge_elkan_pairs
+
+    names = ["red apple", "red aple", "blue pear", "red apple pie", "green kiwi"]
+    t = pa.table(
+        {
+            "pk": pa.array(range(len(names)), pa.int64()),
+            "nm": pa.array(names, pa.string()),
+        }
+    )
+    got = {
+        (r["left"], r["right"]): r["me"]
+        for r in monge_elkan_pairs(
+            rd.from_arrow(t).repartition(2), "pk", "nm", window=6, threshold=0.0
+        ).take_all()
+    }
+    order = sorted(range(len(names)), key=lambda i: (names[i], i))
+    for a in range(len(names)):
+        for b in range(a + 1, min(a + 6, len(names))):
+            i, j = order[a], order[b]
+            lo, hi = min(i, j), max(i, j)
+            s_toks = sorted(set(names[lo].lower().split()))
+            t_toks = sorted(set(names[hi].lower().split()))
+            exp = np.mean([max(jaro_winkler(x, y) for y in t_toks) for x in s_toks])
+            assert abs(got[(lo, hi)] - round(float(exp), 6)) < 1e-9
