@@ -2694,6 +2694,47 @@ def _bcubed_er_docs(sf_dir: str):
     return bcubed_metrics(clusters, truth)
 
 
+def _quality_buckets_docs(sf_dir: str):
+    """CCNet-style perplexity banding (pipelines/curate.quality_buckets):
+    bigram-LM score -> exact NTILE(4) bands -> per-band profile. The
+    oracle retrains the bigram model, re-ranks with ntile and
+    re-aggregates."""
+    from record_matching_ray.pipelines.curate import quality_buckets
+
+    return quality_buckets(_docs(sf_dir, columns=("doc_id", "text")), n_tiles=4)
+
+
+def _corpus_snapshot_diff(sf_dir: str):
+    """CDC snapshot diff (stages/snapshot.snapshot_diff): added / removed
+    / changed / unchanged per id across two deterministic corpus versions
+    (old drops doc_id%10==9; new drops %10==0 and rewrites %7==3). ONE
+    groupby(id) over tagged (id, content-hash) rows — no join. The oracle
+    rebuilds both versions and compares text directly."""
+    import pyarrow as pa
+
+    from record_matching_ray.stages.snapshot import snapshot_diff
+
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def old_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 != 9))
+
+    def new_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 10 != 0))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out = [s + " v2" if i % 7 == 3 else s for i, s in zip(ids, texts)]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())}
+        )
+
+    old = docs.map_batches(old_rows, batch_format="pyarrow")
+    new = docs.map_batches(new_rows, batch_format="pyarrow")
+    return snapshot_diff(old, new, "doc_id", ["text"])
+
+
 def _part_monge_elkan(sf_dir: str):
     """Monge-Elkan hybrid comparator under SNM candidates
     (stages/tfidf.monge_elkan_pairs): mean best-Jaro-Winkler per distinct
@@ -2901,6 +2942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_docs": _blocklist_docs,
         "customer_mutual_best": _customer_mutual_best,
         "part_monge_elkan": _part_monge_elkan,
+        "quality_buckets_docs": _quality_buckets_docs,
+        "corpus_snapshot_diff": _corpus_snapshot_diff,
     }
 
 
@@ -3934,6 +3977,65 @@ def oracle_sql() -> dict[str, str]:
             FROM tot, p, r
         """
         ),
+        "quality_buckets_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     generate_subscripts(ts, 1) AS p
+              FROM toks
+            ),
+            big AS (
+              SELECT a.doc_id, a.tok AS x, b.tok AS y
+              FROM pos a JOIN pos b
+                ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            ),
+            bc AS (SELECT x, y, count(*) AS c FROM big GROUP BY 1, 2),
+            lc AS (SELECT x, count(*) AS cl FROM big GROUP BY 1),
+            sc AS (
+              SELECT big.doc_id,
+                     ln(CAST(bc.c AS DOUBLE)) - ln(CAST(lc.cl AS DOUBLE)) AS lp
+              FROM big JOIN bc ON big.x = bc.x AND big.y = bc.y
+                        JOIN lc ON big.x = lc.x
+            ),
+            agg AS (
+              SELECT doc_id, round(avg(lp), 6) AS avg_logprob
+              FROM sc GROUP BY 1
+            ),
+            scores AS (
+              SELECT d.doc_id, COALESCE(a.avg_logprob, 0.0) AS lp
+              FROM documents d LEFT JOIN agg a USING (doc_id)
+            ),
+            nt AS (
+              SELECT doc_id, lp,
+                     ntile(4) OVER (ORDER BY lp, doc_id) AS tile
+              FROM scores
+            )
+            SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(AVG(lp), 6) AS mean_lp
+            FROM nt GROUP BY 1
+        """,
+        "corpus_snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9
+            ),
+            nw AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 3 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 10 <> 0
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text = n.text THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+        """,
         "part_monge_elkan": """
             WITH ranked AS (
               SELECT p_partkey AS id, p_name AS name,

@@ -399,3 +399,91 @@ def test_monge_elkan_vs_bruteforce():
             t_toks = sorted(set(names[hi].lower().split()))
             exp = np.mean([max(jaro_winkler(x, y) for y in t_toks) for x in s_toks])
             assert abs(got[(lo, hi)] - round(float(exp), 6)) < 1e-9
+
+
+# ------------------------------------------------------------ quality buckets
+
+
+def test_quality_buckets_sizes_and_order(tmp_path):
+    from record_matching_ray.pipelines.curate import quality_buckets
+
+    rng = np.random.default_rng(4)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 15))) for _ in range(23)
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    rows = sorted(quality_buckets(docs, n_tiles=4).take_all(), key=lambda r: r["tile"])
+    assert [r["tile"] for r in rows] == [1, 2, 3, 4]
+    # SQL NTILE sizing: 23 = 6+6+6+5
+    assert [r["n_docs"] for r in rows] == [6, 6, 6, 5]
+    assert sum(r["n_docs"] for r in rows) == 23
+    # tiles are ordered by score: band means must be non-decreasing
+    means = [r["mean_lp"] for r in rows]
+    assert means == sorted(means)
+
+
+# -------------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_statuses():
+    from record_matching_ray.stages.snapshot import (
+        snapshot_diff,
+        snapshot_diff_counts,
+    )
+
+    old = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["a", "b", "c", "d"], pa.string()),
+            }
+        )
+    ).repartition(2)
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([2, 3, 4, 5], pa.int64()),
+                "text": pa.array(["b", "c2", "d", "e"], pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = {r["id"]: r["status"] for r in snapshot_diff(old, new, "id", ["text"]).take_all()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "unchanged", 5: "added"}
+    counts = {
+        r["status"]: r["n"]
+        for r in snapshot_diff_counts(old, new, "id", ["text"]).take_all()
+    }
+    assert counts == {"removed": 1, "unchanged": 2, "changed": 1, "added": 1}
+
+
+def test_snapshot_diff_multi_column_content():
+    from record_matching_ray.stages.snapshot import snapshot_diff
+
+    old = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "a": pa.array(["x", "y"], pa.string()),
+                "b": pa.array(["1", "2"], pa.string()),
+            }
+        )
+    )
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "a": pa.array(["x", "y"], pa.string()),
+                "b": pa.array(["1", "9"], pa.string()),
+            }
+        )
+    )
+    got = {r["id"]: r["status"] for r in snapshot_diff(old, new, "id", ["a", "b"]).take_all()}
+    assert got == {1: "unchanged", 2: "changed"}
