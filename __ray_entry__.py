@@ -228,9 +228,10 @@ def _knn_ivf(sf_dir: str):
     return knn_ivf(embs, Q, qids, k=10, n_centroids=24, n_probe=22)
 
 
-def _events_order_asof(sf_dir: str):
+def _events_order_asof(sf_dir: str, direction: str = "backward"):
     """Backward as-of join: each event -> the user's latest order at or
-    before the event time (custom temporal operator, stages/temporal.py)."""
+    before the event time (custom temporal operator, stages/temporal.py).
+    direction="forward" flips to the next order at or after the event."""
     import pyarrow as pa
 
 
@@ -291,7 +292,15 @@ def _events_order_asof(sf_dir: str):
         left_ts="ts",
         right_ts="o_orderdate",
         right_payload=["o_orderkey", "o_orderdate"],
+        direction=direction,
     )
+
+
+def _events_order_asof_fwd(sf_dir: str):
+    """Forward as-of join (stages/temporal.asof_join direction="forward"):
+    each event -> the user's EARLIEST order at or after the event time;
+    the oracle is DuckDB ASOF with the flipped inequality."""
+    return _events_order_asof(sf_dir, direction="forward")
 
 
 def _events_window_join(sf_dir: str):
@@ -2735,6 +2744,79 @@ def _corpus_snapshot_diff(sf_dir: str):
     return snapshot_diff(old, new, "doc_id", ["text"])
 
 
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _cluster_size_histogram(sf_dir: str):
+    """Cluster-size distribution of the near-dup ER clustering —
+    (size, n_clusters), the standard dedup diagnostic (how much mass
+    sits in big families). Two vocabulary-bounded shuffles over the
+    cluster relation; the oracle recomputes the components and both
+    aggregates."""
+    import pyarrow as pa
+
+    clusters = _er_clusters_documents(sf_dir)  # (doc_id, cluster_id)
+
+    def per_cluster_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["cluster_id"]), "cluster_id").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["cluster_id", "n"])
+
+    sizes = (
+        clusters.map_batches(per_cluster_partial, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .sum("n")
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["sum(n)"]).rename_columns(["size"]), "size"
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["size", "n_clusters"])
+
+    return (
+        sizes.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("size")
+        .sum("n_clusters")
+        .rename_columns({"sum(n_clusters)": "n_clusters"})
+    )
+
+
+def _pca_check_embeddings(sf_dir: str):
+    """PCA over the covariance sufficient statistics
+    (stages/vectorstats.pca_fit/pca_project/pca_check): top-8 components
+    fit from the d(d+1)/2-row moment shuffle, corpus projected
+    DISTRIBUTED, per-component invariants verified (eigenvalues
+    non-increasing, orthonormal, projected variance == eigenvalue,
+    eigenvalue mass <= trace). The oracle recomputes the trace from the
+    same explicit moments; any violation flips ok."""
+    from record_matching_ray.stages.vectorstats import pca_check
+
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_check(embs, k=8)
+
+
+def _orders_profile(sf_dir: str):
+    """Deequ-style column profiler (stages/validate.profile_table):
+    per-column rows / nulls / exact distinct — totals in one zero-shuffle
+    partial pass, one vocabulary-bounded distinct shuffle per column. The
+    oracle recomputes all three per column."""
+    from record_matching_ray.stages.validate import profile_table
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=_PROFILE_COLS)
+    return profile_table(orders, _PROFILE_COLS)
+
+
 def _part_monge_elkan(sf_dir: str):
     """Monge-Elkan hybrid comparator under SNM candidates
     (stages/tfidf.monge_elkan_pairs): mean best-Jaro-Winkler per distinct
@@ -2944,6 +3026,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_monge_elkan": _part_monge_elkan,
         "quality_buckets_docs": _quality_buckets_docs,
         "corpus_snapshot_diff": _corpus_snapshot_diff,
+        "events_order_asof_fwd": _events_order_asof_fwd,
+        "orders_profile": _orders_profile,
+        "pca_check_embeddings": _pca_check_embeddings,
+        "cluster_size_histogram": _cluster_size_histogram,
     }
 
 
@@ -3074,6 +3160,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_orderdate
             FROM events e ASOF LEFT JOIN r
               ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        "events_order_asof_fwd": """
+            WITH r AS (
+              SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_orderdate
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
         """,
         "events_window_join": """
             SELECT a.event_id, a.user_id, a.ts,
@@ -4035,6 +4130,60 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.text = n.text THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+        """,
+        "cluster_size_histogram": (
+            "WITH RECURSIVE "
+            + _SHINGLE_CTE
+            + """,
+            und AS (
+              SELECT l AS a, r AS b FROM jac WHERE jaccard >= 0.5
+              UNION ALL
+              SELECT r AS a, l AS b FROM jac WHERE jaccard >= 0.5
+            ),
+            reach(n, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT und.a, reach.lbl FROM und JOIN reach ON reach.n = und.b
+            ),
+            clus AS (SELECT n AS doc_id, MIN(lbl) AS cid FROM reach GROUP BY n),
+            sz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS size
+                   FROM clus GROUP BY 1)
+            SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM sz GROUP BY 1
+        """
+        ),
+        "pca_check_embeddings": """
+            WITH x AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings
+            ),
+            p AS (
+              SELECT i, count(*) AS n, SUM(v) AS si, SUM(v * v) AS sii
+              FROM x GROUP BY 1
+            ),
+            tv AS (
+              SELECT ROUND(SUM(round((sii - si * si / n) / (n - 1), 6)), 6)
+                       AS total_var
+              FROM p
+            )
+            SELECT CAST(t.r AS BIGINT) AS "rank", tv.total_var, TRUE AS ok
+            FROM range(1, 9) t(r), tv
+        """,
+        "orders_profile": """
+SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders\nUNION ALL\nSELECT 'o_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders\nUNION ALL\nSELECT 'o_orderstatus' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct FROM orders\nUNION ALL\nSELECT 'o_totalprice' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct FROM orders\nUNION ALL\nSELECT 'o_orderdate' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_distinct FROM orders\nUNION ALL\nSELECT 'o_orderpriority' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct FROM orders
         """,
         "part_monge_elkan": """
             WITH ranked AS (

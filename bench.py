@@ -208,6 +208,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "url_dedup_docs",
         "metablocking_docs",
         "orders_quality_checks",
+        "part_tf_weights",
+        "customer_mutual_best",
+        "bcubed_er_docs",
+        "quality_buckets_docs",
+        "corpus_snapshot_diff",
     ]
     times: dict[str, float] = {}
     for name in names:

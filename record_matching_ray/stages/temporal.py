@@ -39,16 +39,23 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     num_partitions: int | None = None,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
     """For every left row, attach the right row with the greatest
     ``right_ts`` <= ``left_ts`` for the same key (nulls when none) — the
     classic backward as-of join (DuckDB ``ASOF LEFT JOIN`` semantics).
+    ``direction="forward"`` flips the comparison: the SMALLEST
+    ``right_ts`` >= ``left_ts`` (next-following match), implemented by
+    negating the sort key — the sweep itself is direction-agnostic.
 
     The right side must be deterministic per (key, ts): pre-dedup it
     upstream if (key, ts) repeats. Implementation: both sides tagged and
     hash-partitioned by key (pk = mix64(key) mod P), one map_groups per
     partition runs a vectorized sort + per-key searchsorted merge.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    fwd = direction == "forward"
     if num_partitions is None:
         num_partitions = shuffle_partitions()
     P = num_partitions
@@ -108,9 +115,12 @@ def asof_join(
         keys = g.column("k").to_numpy(zero_copy_only=False)
         ts = g.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]")
         n = len(side)
-        # right (side=1) sorts BEFORE left at equal (key, ts): backward
-        # as-of matches ts_right <= ts_left inclusively
-        order = np.lexsort(((side == 0).astype(np.int8), ts, keys))
+        # right (side=1) sorts BEFORE left at equal (key, ts): the match
+        # is inclusive in both directions; forward negates the time axis
+        tsv = ts.astype(np.int64)
+        if fwd:
+            tsv = -tsv
+        order = np.lexsort(((side == 0).astype(np.int8), tsv, keys))
         o_keys = keys[order]
         is_r = side[order] == 1
         pos_r = np.where(is_r, np.arange(n, dtype=np.int64), -1)

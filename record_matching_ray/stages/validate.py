@@ -33,6 +33,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -119,3 +120,70 @@ def check_rules(ds: ray.data.Dataset, rules: list[Rule]) -> ray.data.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (the Deequ/Glue "profiler" sibling of check_rules):
+# per-column row/null/exact-distinct counts in two bounded shuffles.
+
+
+def profile_table(
+    ds: ray.data.Dataset, columns: list[str]
+) -> ray.data.Dataset:
+    """(column, n_rows, n_null, n_distinct) per profiled column.
+
+    Scale shape (the Deequ-profiler layout): row/null totals for ALL
+    columns ride one zero-shuffle batch-partial pass; each column adds
+    one exact count-distinct shuffle over its PER-BATCH-UNIQUED value
+    hashes (shuffle bounded by the column vocabulary — the same
+    one-shuffle-per-uniqueness-rule contract as check_rules). Nulls are
+    excluded from distinct (SQL COUNT(DISTINCT) semantics); values
+    stringify via repr-stable str() before hashing (equality modulo
+    64-bit collisions, the exact_dedup contract)."""
+    from record_matching_ray.functions.hashing import hash_strings
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        cols = {"__rows": pa.array([t.num_rows], pa.int64())}
+        for i, c in enumerate(columns):
+            cols[f"nn{i}"] = pa.array([t.column(c).null_count], pa.int64())
+        return pa.table(cols)
+
+    agg: dict[str, int] = {}
+    for row in (
+        ds.select_columns(columns)
+        .map_batches(totals_partial, batch_format="pyarrow")
+        .take_all()
+    ):
+        for k, v in row.items():
+            agg[k] = agg.get(k, 0) + int(v)
+    n_rows = agg.get("__rows", 0)
+
+    n_distinct: list[int] = []
+    for c in columns:
+
+        def to_keys(t: pa.Table, c=c) -> pa.Table:
+            vals = [str(v) for v in t.column(c).to_pylist() if v is not None]
+            if not vals:
+                return pa.table({"k": pa.array([], pa.int64())})
+            h = np.unique(hash_strings(vals)).view(np.int64)
+            return pa.table({"k": pa.array(h, pa.int64())})
+
+        n_distinct.append(
+            ds.select_columns([c])
+            .map_batches(to_keys, batch_format="pyarrow")
+            .groupby("k")
+            .count()
+            .count()
+        )
+
+    out = pa.table(
+        {
+            "column": pa.array(columns, pa.string()),
+            "n_rows": pa.array([n_rows] * len(columns), pa.int64()),
+            "n_null": pa.array(
+                [agg.get(f"nn{i}", 0) for i in range(len(columns))], pa.int64()
+            ),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)

@@ -194,3 +194,138 @@ def embedding_covariance(
         )
 
     return conformed(acc.map_batches(finish, batch_format="pyarrow"), COV_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PCA over the covariance sufficient statistics: the projection /
+# whitening step behind embedding compression and drift monitoring.
+
+
+def pca_fit(
+    embs: ray.data.Dataset, k: int, emb_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k principal components from ONE streaming covariance pass
+    (embedding_covariance — shuffle bounded by d(d+1)/2 moment rows,
+    never row count); the d x d eigendecomposition runs on the driver
+    (d is an embedding dimension, trivially driver-sized). Deterministic
+    sign convention: each component's largest-|entry| coordinate is
+    positive. Returns (components [k, d] row-major, eigvals [k] desc)."""
+    rows = embedding_covariance(embs, emb_col=emb_col).take_all()
+    d = max(int(r["j"]) for r in rows)
+    C = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        i, j = int(r["i"]) - 1, int(r["j"]) - 1
+        C[i, j] = C[j, i] = float(r["cov"])
+    w, v = np.linalg.eigh(C)  # ascending
+    idx = np.argsort(-w, kind="stable")[:k]
+    comps = v[:, idx].T.copy()
+    vals = w[idx].copy()
+    for r in range(comps.shape[0]):
+        m = np.argmax(np.abs(comps[r]))
+        if comps[r, m] < 0:
+            comps[r] = -comps[r]
+    return comps, vals
+
+
+def pca_project(
+    embs: ray.data.Dataset,
+    components: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "proj",
+) -> ray.data.Dataset:
+    """Distributed projection onto fitted components: components
+    broadcast once via ray.put, one stateless matmul per batch."""
+    import ray as _ray
+
+    ref = _ray.put(np.ascontiguousarray(components))
+
+    def proj(t: pa.Table) -> pa.Table:
+        comps = _ray.get(ref)
+        mat = _emb_matrix(t.column(emb_col))
+        p = mat @ comps.T
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                out_col: pa.array(p.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    return embs.select_columns([id_col, emb_col]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+
+def pca_check(
+    embs: ray.data.Dataset, k: int, emb_col: str = "embedding", id_col: str = "vec_id"
+) -> ray.data.Dataset:
+    """Invariant wrapper (the lang_distinct_estimate pattern): fit top-k
+    PCA, project the corpus DISTRIBUTED, and verify per component that
+    (1) eigenvalues are non-increasing, (2) components are orthonormal,
+    (3) the projected dimension's sample variance (computed by a second
+    streaming moments pass over the projection — this is what actually
+    tests pca_project) equals its eigenvalue, (4) top-k eigenvalue mass
+    does not exceed total variance. Emits (rank, total_var, ok) where
+    total_var is the SQL-recomputable trace (sum of rounded per-dim
+    variances); any violation flips ok and fails the value hash."""
+    comps, vals = pca_fit(embs, k, emb_col=emb_col)
+    diag = embedding_covariance(embs, emb_col=emb_col).take_all()
+    total_var = round(
+        float(sum(r["cov"] for r in diag if r["i"] == r["j"])), 6
+    )
+
+    proj = pca_project(embs, comps, emb_col=emb_col, id_col=id_col)
+
+    def moments(t: pa.Table) -> pa.Table:
+        mat = _emb_matrix(t.column("proj"))
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "r": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "s2": pa.array([], pa.float64()),
+                }
+            )
+        n, kk = mat.shape
+        return pa.table(
+            {
+                "r": pa.array(np.arange(1, kk + 1), pa.int64()),
+                "n": pa.array(np.full(kk, n, np.int64), pa.int64()),
+                "s": pa.array(mat.sum(axis=0), pa.float64()),
+                "s2": pa.array((mat * mat).sum(axis=0), pa.float64()),
+            }
+        )
+
+    parts = (
+        proj.map_batches(moments, batch_format="pyarrow")
+        .groupby("r")
+        .aggregate(
+            ray.data.aggregate.Sum("n"),
+            ray.data.aggregate.Sum("s"),
+            ray.data.aggregate.Sum("s2"),
+        )
+        .take_all()
+    )
+    var_by_rank = {}
+    for r in parts:
+        n, s, s2 = int(r["sum(n)"]), float(r["sum(s)"]), float(r["sum(s2)"])
+        var_by_rank[int(r["r"])] = (s2 - s * s / n) / (n - 1)
+
+    tol = max(1e-3 * max(total_var, 1e-9), 1e-6)
+    gram = comps @ comps.T
+    orthonormal = bool(np.max(np.abs(gram - np.eye(len(vals)))) < 1e-8)
+    desc = bool(np.all(np.diff(vals) <= 1e-9))
+    mass_ok = bool(np.sum(vals) <= total_var + tol)
+    oks = []
+    for r in range(1, k + 1):
+        var_ok = abs(var_by_rank.get(r, np.nan) - vals[r - 1]) <= tol
+        oks.append(bool(orthonormal and desc and mass_ok and var_ok))
+    out = pa.table(
+        {
+            "rank": pa.array(np.arange(1, k + 1), pa.int64()),
+            "total_var": pa.array([total_var] * k, pa.float64()),
+            "ok": pa.array(oks, pa.bool_()),
+        }
+    )
+    return ray.data.from_arrow(out)

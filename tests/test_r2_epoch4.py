@@ -487,3 +487,138 @@ def test_snapshot_diff_multi_column_content():
     )
     got = {r["id"]: r["status"] for r in snapshot_diff(old, new, "id", ["a", "b"]).take_all()}
     assert got == {1: "unchanged", 2: "changed"}
+
+
+# ------------------------------------------------------------ forward as-of
+
+
+def test_asof_join_forward_vs_pandas():
+    from record_matching_ray.stages.temporal import asof_join
+
+    rng = np.random.default_rng(8)
+    lt = _events(n=120, keys=5, seed=8)
+    rt = pa.table(
+        {
+            "o_custkey": pa.array(rng.integers(0, 5, 40), pa.int64()),
+            "o_orderdate": pa.array(
+                np.datetime64("2024-01-01", "us")
+                + rng.integers(0, 10**9, 40) * np.timedelta64(1, "us"),
+                pa.timestamp("us"),
+            ),
+            "o_orderkey": pa.array(np.arange(40), pa.int64()),
+        }
+    )
+    # dedup (key, ts) on the right as the operator contract requires
+    rdf = rt.to_pandas().groupby(["o_custkey", "o_orderdate"], as_index=False).max()
+    rt = pa.Table.from_pandas(rdf, preserve_index=False).cast(
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderkey", pa.int64()),
+            ]
+        )
+    )
+    got = asof_join(
+        rd.from_arrow(lt).repartition(4),
+        rd.from_arrow(rt).repartition(3),
+        on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey", "o_orderdate"],
+        direction="forward",
+    ).to_pandas()
+    got = got.sort_values("event_id", ignore_index=True)
+    ldf = lt.to_pandas()
+    exp_keys = []
+    for _, row in ldf.iterrows():
+        cand = rdf[
+            (rdf["o_custkey"] == row["user_id"])
+            & (rdf["o_orderdate"] >= row["ts"])
+        ]
+        exp_keys.append(
+            int(cand.sort_values("o_orderdate").iloc[0]["o_orderkey"])
+            if len(cand)
+            else None
+        )
+    exp = pd.Series(exp_keys, dtype="Int64")
+    assert got.sort_values("event_id", ignore_index=True)["o_orderkey"].astype(
+        "Int64"
+    ).equals(exp.loc[ldf.sort_values("event_id").index].reset_index(drop=True))
+
+
+# --------------------------------------------------------------------- PCA
+
+
+def test_pca_fit_project_matches_numpy():
+    from record_matching_ray.stages.vectorstats import pca_fit, pca_project
+
+    rng = np.random.default_rng(10)
+    # anisotropic data: a few dominant directions
+    base = rng.normal(size=(200, 6)) @ np.diag([5.0, 3.0, 1.0, 0.5, 0.1, 0.05])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200), pa.int64()),
+            "embedding": pa.array(
+                base.astype(np.float32).tolist(), pa.list_(pa.float32())
+            ),
+        }
+    )
+    embs = rd.from_arrow(t).repartition(4)
+    comps, vals = pca_fit(embs, k=3)
+    # reference: eigh of numpy covariance of the same (float32-cast) data
+    x = base.astype(np.float32).astype(np.float64)
+    c_ref = np.cov(x, rowvar=False)
+    w_ref = np.sort(np.linalg.eigvalsh(c_ref))[::-1][:3]
+    assert np.allclose(vals, w_ref, atol=1e-3)
+    # orthonormal, deterministic sign
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-8)
+    for r in range(3):
+        assert comps[r, np.argmax(np.abs(comps[r]))] > 0
+    proj = pca_project(embs, comps).take_all()
+    got = {r["vec_id"]: np.asarray(r["proj"]) for r in proj}
+    assert np.allclose(
+        np.stack([got[i] for i in range(200)]), x @ comps.T, atol=1e-6
+    )
+
+
+def test_pca_check_all_ok():
+    from record_matching_ray.stages.vectorstats import pca_check
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(150, 5)) @ np.diag([4.0, 2.0, 1.0, 0.3, 0.1])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(150), pa.int64()),
+            "embedding": pa.array(
+                base.astype(np.float32).tolist(), pa.list_(pa.float32())
+            ),
+        }
+    )
+    rows = pca_check(rd.from_arrow(t).repartition(3), k=4).take_all()
+    assert len(rows) == 4
+    assert all(r["ok"] for r in rows)
+    assert len({r["total_var"] for r in rows}) == 1
+
+
+# ----------------------------------------------------------- table profiler
+
+
+def test_profile_table_counts():
+    from record_matching_ray.stages.validate import profile_table
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 2, None, 3], pa.int64()),
+            "b": pa.array(["x", "x", None, None, "y"], pa.string()),
+            "c": pa.array([1.5, 1.5, 1.5, 1.5, 1.5], pa.float64()),
+        }
+    )
+    rows = {
+        r["column"]: r
+        for r in profile_table(rd.from_arrow(t).repartition(3), ["a", "b", "c"]).take_all()
+    }
+    assert rows["a"]["n_rows"] == 5 and rows["a"]["n_null"] == 1 and rows["a"]["n_distinct"] == 3
+    assert rows["b"]["n_null"] == 2 and rows["b"]["n_distinct"] == 2
+    assert rows["c"]["n_null"] == 0 and rows["c"]["n_distinct"] == 1
