@@ -1915,7 +1915,7 @@ def daily_activity_full_outer(sf_dir: str) -> ray.data.Dataset:
     (SQL's unmatched-side NULL). No join operator, no empty-partition
     hazard, one hash shuffle over <= |days| x batches rows.
 
-    Output: (day date32, n_orders nullable, n_events nullable)."""
+    Output: (day timestamp[us], n_orders nullable, n_events nullable)."""
     ACC = pa.schema(
         [
             ("day", pa.date32()),
@@ -1986,9 +1986,13 @@ def daily_activity_full_outer(sf_dir: str) -> ray.data.Dataset:
         )
     )
 
+    # day goes out as timestamp[us] (midnight), the repo's window-column
+    # convention (stages/temporal.py) — date32 reaches pandas as python
+    # `datetime.date` objects while the DuckDB oracle's DATE arrives as
+    # datetime64[us], and the value-hash compares them as unequal strings.
     OUT = pa.schema(
         [
-            ("day", pa.date32()),
+            ("day", pa.timestamp("us")),
             ("n_orders", pa.int64()),
             ("n_events", pa.int64()),
         ]
@@ -2003,7 +2007,7 @@ def daily_activity_full_outer(sf_dir: str) -> ray.data.Dataset:
         miss_e = t.column("sum(is_e)").to_numpy(zero_copy_only=False) == 0
         return pa.table(
             {
-                "day": t.column("day"),
+                "day": pc.cast(t.column("day"), pa.timestamp("us")),
                 "n_orders": pa.array(no, pa.int64(), mask=miss_o),
                 "n_events": pa.array(ne, pa.int64(), mask=miss_e),
             }
@@ -2013,7 +2017,7 @@ def daily_activity_full_outer(sf_dir: str) -> ray.data.Dataset:
 
 
 DAILY_ACTIVITY_FULL_OUTER_SQL = """
-SELECT COALESCE(o.day, e.day) AS day,
+SELECT CAST(COALESCE(o.day, e.day) AS TIMESTAMP) AS day,
        o.n_orders, e.n_events
 FROM (SELECT CAST(o_orderdate AS DATE) AS day,
              CAST(COUNT(*) AS BIGINT) AS n_orders
