@@ -140,6 +140,50 @@ def _er_clusters_documents(sf_dir: str):
     )
 
 
+def _er_incremental_docs(sf_dir: str):
+    """Incremental-fold ER (pipelines/incremental.run_er_incremental):
+    docs with doc_id % 3 == 0 arrive as a later batch folded into the
+    batch run's checkpoint — only new-touching pairs are scored, old
+    edges are reused from the checkpoint. Min-label components are
+    order-independent, so the fold must reproduce the FULL-corpus
+    clustering exactly; the oracle is the same recursive-CTE component
+    query as er_clusters_documents."""
+    import numpy as np
+    import pyarrow as pa
+
+    from record_matching_ray.pipelines.docs_er import cluster_documents_incremental
+    from record_matching_ray.stages.util import conformed, shuffle_partitions
+
+    clusters = cluster_documents_incremental(sf_dir)
+
+    def parse(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        ids = np.array([int(u[-10:]) for u in urls], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cid": t.column("cluster_id"),
+            }
+        )
+
+    parsed = conformed(
+        clusters.map_batches(parse, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("cid", pa.string())]),
+    )
+    canon = parsed.groupby("cid").min("doc_id").rename_columns(
+        {"min(doc_id)": "cluster_id"}
+    )
+    out = parsed.join(
+        canon,
+        join_type="inner",
+        num_partitions=shuffle_partitions(),
+        on=("cid",),
+    ).select_columns(["doc_id", "cluster_id"])
+    return conformed(
+        out, pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+    )
+
+
 def _canonical_documents(sf_dir: str):
     """Canonical entity forms per near-dup cluster, fully oracle-checked:
     cluster ids relabeled to min member doc_id (er_clusters_documents'
@@ -2958,6 +3002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch recall is total at this scale; approximation behavior at
         # scale configs is pytest-covered)
         "er_clusters_documents": _er_clusters_documents,
+        "er_incremental_docs": _er_incremental_docs,
         "minhash_neardup_docs": _minhash_neardup,
         "ngram_jaccard_docs": _ngram_jaccard,
         "embedding_neardup": _embedding_neardup,
@@ -3702,6 +3747,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_docs": _NGRAM_JACCARD_SQL,
         "minhash_neardup_docs": _MINHASH_NEARDUP_SQL,
         "er_clusters_documents": _ER_CLUSTERS_SQL,
+        "er_incremental_docs": _ER_CLUSTERS_SQL,
         "canonical_documents": _CANONICAL_DOCS_SQL,
         "simhash_neardup_docs": _SIMHASH_SQL,
         "doc_fingerprints": _WINNOW_SQL,

@@ -61,6 +61,52 @@ def cluster_documents(
     return res["clusters"]
 
 
+def cluster_documents_incremental(
+    sf_dir: str,
+    cfg: PipelineConfig | None = None,
+    out_root: str = "/tmp/rmray_inc_ck",
+    new_mod: int = 3,
+) -> ray.data.Dataset:
+    """Incremental-fold variant of cluster_documents: docs with
+    doc_id % new_mod == 0 arrive as a LATER batch folded into the batch
+    run's checkpoint (pipelines/incremental.run_er_incremental). The
+    result must equal the full-batch clustering exactly (min-label
+    components are order-independent), which is what the driver's
+    component oracle checks. The batch checkpoint lands under a
+    deterministic /tmp dir keyed on sf_dir; manifests fingerprint cfg +
+    input_key, so stale checkpoints self-invalidate."""
+    import hashlib
+    import os
+
+    from record_matching_ray.pipelines.incremental import run_er_incremental
+
+    cfg = cfg or DOCS_CFG
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    pages = docs_to_pages(docs)
+
+    def keep(new_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = np.array(
+                [int(u[-10:]) for u in t.column("url").to_pylist()], dtype=np.int64
+            )
+            m = ids % new_mod == 0
+            return t.filter(pa.array(m if new_side else ~m))
+
+        return fn
+
+    old_pages = pages.map_batches(keep(False), batch_format="pyarrow")
+    new_pages = pages.map_batches(keep(True), batch_format="pyarrow")
+    key = hashlib.md5(f"{sf_dir}:{new_mod}".encode()).hexdigest()[:12]
+    out_dir = os.path.join(out_root, key)
+    run_er(old_pages, cfg, out_dir=out_dir, input_key=f"{sf_dir}:old{new_mod}")
+    res = run_er_incremental(new_pages, cfg, out_dir, f"{sf_dir}:old{new_mod}")
+    return res["clusters"]
+
+
 def canonical_documents(sf_dir: str, cfg: PipelineConfig | None = None) -> ray.data.Dataset:
     """One canonical row per near-dup document cluster."""
     docs = ray.data.read_parquet(

@@ -205,6 +205,124 @@ def _emit_pairs_segments(
     )
 
 
+def _emit_new_touching_segments(
+    ids: np.ndarray, keys: np.ndarray, is_new: np.ndarray, max_pairs: int
+) -> pa.Table:
+    """Pairs for many blocks at once, restricted to pairs that TOUCH a
+    new member (incremental ER): new x new plus new x old. Blocks with no
+    new member emit nothing — their pairs were already scored by the
+    batch run whose edges the incremental fold unions back in. Same
+    canonical (min,max) convention and observable `overflow` counter as
+    `_emit_pairs_segments`; cross-pair caps truncate the (sorted) old
+    side deterministically, never the new members."""
+    order = np.lexsort((ids, keys))
+    ids, keys, is_new = ids[order], keys[order], is_new[order]
+    bounds = np.nonzero(np.concatenate(([True], keys[1:] != keys[:-1], [True])))[0]
+    lefts: list[np.ndarray] = []
+    rights: list[np.ndarray] = []
+    overflows: list[np.ndarray] = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        blk, inv = np.unique(ids[s:e], return_inverse=True)
+        flag = np.zeros(len(blk), dtype=bool)
+        np.logical_or.at(flag, inv, is_new[s:e])
+        k = int(flag.sum())
+        if k == 0 or len(blk) < 2:
+            continue
+        new, old = blk[flag], blk[~flag]
+        total = k * (k - 1) // 2 + k * len(old)
+        if k * (k - 1) // 2 <= max_pairs:
+            ii, jj = np.triu_indices(k, k=1)
+            l_parts = [new[ii]]
+            r_parts = [new[jj]]
+            n_nn = len(ii)
+        else:
+            # oversized all-new block: same core+spokes bound as the
+            # batch emitter (every member keeps a path into the component)
+            nn = _emit_pairs_segments(new, np.zeros(k, dtype=_U64), max_pairs)
+            l_parts = [nn.column("left").to_numpy(zero_copy_only=False)]
+            r_parts = [nn.column("right").to_numpy(zero_copy_only=False)]
+            n_nn = nn.num_rows
+        cross_cap = max(0, max_pairs - n_nn)
+        n_old = min(len(old), max(1, cross_cap // k)) if k else 0
+        if len(old) and n_old:
+            co = old[:n_old]  # old side arrives sorted from np.unique
+            l2 = np.repeat(new, n_old)
+            r2 = np.tile(co, k)
+            l_parts.append(np.minimum(l2, r2))
+            r_parts.append(np.maximum(l2, r2))
+        l = np.concatenate(l_parts)
+        r = np.concatenate(r_parts)
+        overflows.append(np.full(len(l), total - len(l), dtype=np.int64))
+        lefts.append(l)
+        rights.append(r)
+    if not lefts:
+        return pa.table(
+            {
+                "left": pa.array([], pa.int64()),
+                "right": pa.array([], pa.int64()),
+                "overflow": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "left": pa.array(np.concatenate(lefts), pa.int64()),
+            "right": pa.array(np.concatenate(rights), pa.int64()),
+            "overflow": pa.array(np.concatenate(overflows), pa.int64()),
+        }
+    )
+
+
+def generate_incremental_pairs(
+    old_features: ray.data.Dataset,
+    new_features: ray.data.Dataset,
+    cfg: PipelineConfig,
+    hot_hosts: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Candidate pairs for an incremental fold: block keys over old AND
+    new features (stateless map over each side; old feature extraction is
+    NOT redone — callers pass the features checkpoint), one coarse-key
+    shuffle, pair emission restricted to new-touching pairs. Old-only
+    blocks emit nothing, so scoring work is O(new x touched-blocks), not
+    O(corpus^2)."""
+    from record_matching_ray.stages.util import coarse_groupby_partitions
+
+    def keyed(feats: ray.data.Dataset, flag: int) -> ray.data.Dataset:
+        def emit(t: pa.Table) -> pa.Table:
+            keys = emit_block_keys(t, cfg, set(hot_hosts or []))
+            return keys.append_column(
+                "is_new",
+                pa.array(np.full(keys.num_rows, flag, dtype=np.int8), pa.int8()),
+            )
+
+        return feats.map_batches(
+            emit, batch_format="pyarrow", batch_size=cfg.extract_batch_size
+        )
+
+    blocks = keyed(old_features, 0).union(keyed(new_features, 1))
+    n_parts = coarse_groupby_partitions()
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        bk = t.column("block_key").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pk", pa.array((bk % _U64(n_parts)).astype(np.int64), pa.int64())
+        )
+
+    def pairs_for_partition(g: pa.Table) -> pa.Table:
+        uids = g.column("uid").to_numpy(zero_copy_only=False)
+        keys = g.column("block_key").to_numpy(zero_copy_only=False)
+        flags = g.column("is_new").to_numpy(zero_copy_only=False).astype(bool)
+        return _emit_new_touching_segments(
+            uids, keys, flags, cfg.max_pairs_per_block
+        )
+
+    pairs = (
+        blocks.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(pairs_for_partition, batch_format="pyarrow")
+    )
+    return dedup_pairs(pairs, n_parts)
+
+
 def generate_candidate_pairs(
     features: ray.data.Dataset, cfg: PipelineConfig, hot_hosts: list[str] | None = None
 ) -> ray.data.Dataset:

@@ -1,81 +1,113 @@
-"""Incremental ER: assigning a held-out page batch to base clusters must
-reproduce the full-run partition (ARI 1.0 on the synthetic corpus), on
-both the broadcast and the tagged-union (100TB) contract plans."""
+"""Incremental ER fold (pipelines/incremental.py): folding a batch of
+new pages into a run_er checkpoint must reproduce the full-batch result
+exactly — min-label components are order-independent, so incremental
+vs batch is a strict equality check, not a similarity score."""
 
 import numpy as np
 import pyarrow as pa
-import pytest
-import ray.data as rd
+
+import ray.data
 
 from record_matching_ray.config import PipelineConfig
-from record_matching_ray.pipelines.er import run_er
-from record_matching_ray.pipelines.incremental import incremental_assign
-from record_matching_ray.stages.evaluate import adjusted_rand_vs_truth
-from record_matching_ray.testgen import make_pages
+from record_matching_ray.pipelines.er import (
+    build_features,
+    run_er,
+    train_weights_from_labeled,
+)
+from record_matching_ray.pipelines.incremental import run_er_incremental
+from record_matching_ray.stages.blocking import _emit_new_touching_segments
+from record_matching_ray.testgen import write_pages_dir
 
 
-def _partition(rows):
-    """Canonical partition: set of frozensets of urls per cluster."""
-    by = {}
-    for r in rows:
-        by.setdefault(r["cluster_id"], set()).add(r["url"])
-    return {frozenset(v) for v in by.values()}
+def test_emit_new_touching_segments_pairs():
+    # one block: olds {1,2}, news {3,4}; old-only block {10,11}
+    ids = np.array([1, 2, 3, 4, 10, 11], dtype=np.int64)
+    keys = np.array([5, 5, 5, 5, 9, 9], dtype=np.uint64)
+    is_new = np.array([False, False, True, True, False, False])
+    t = _emit_new_touching_segments(ids, keys, is_new, max_pairs=1000)
+    got = set(zip(t.column("left").to_pylist(), t.column("right").to_pylist()))
+    # new-new (3,4) + cross (1,3),(2,3),(1,4),(2,4); nothing from block 9
+    assert got == {(3, 4), (1, 3), (2, 3), (1, 4), (2, 4)}
+    assert t.column("overflow").to_pylist() == [0] * 5
 
 
-@pytest.fixture(scope="module")
-def split_corpus():
-    pages, labeled, truth = make_pages(700, 120, 11)
-    # stable 80/20 split by row position (deterministic, entity-agnostic:
-    # most entities end up with pages on both sides)
-    n = pages.num_rows
-    new_mask = np.arange(n) % 5 == 0
-    base = pages.filter(pa.array(~new_mask))
-    new = pages.filter(pa.array(new_mask))
+def test_emit_new_touching_segments_old_only_block_silent():
+    ids = np.arange(50, dtype=np.int64)
+    keys = np.zeros(50, dtype=np.uint64)
+    is_new = np.zeros(50, dtype=bool)
+    t = _emit_new_touching_segments(ids, keys, is_new, max_pairs=1000)
+    assert t.num_rows == 0
+
+
+def _partition(clusters_ds) -> set[frozenset]:
+    df = clusters_ds.to_pandas()
+    return set(frozenset(g) for _, g in df.groupby("cluster_id")["url"])
+
+
+def _split_is_new(urls: list[str]) -> np.ndarray:
+    # deterministic ~1/3 split independent of row order
+    from record_matching_ray.functions.hashing import hash_strings
+
+    return hash_strings(urls) % np.uint64(3) == 0
+
+
+def test_incremental_fold_equals_batch(tmp_path):
+    d = str(tmp_path / "corpus")
+    write_pages_dir(d, n_pages=900, n_entities=140, seed=11)
+    pages = ray.data.read_parquet(f"{d}/pages")
+    labeled = ray.data.read_parquet(f"{d}/labeled_pairs.parquet")
     cfg = PipelineConfig()
-    full = run_er(
-        rd.from_arrow(pages).materialize(), cfg,
-        num_partitions=4, feature_concurrency=2,
-    )
-    full_partition = _partition(full["clusters"].take_all())
-    return (
-        rd.from_arrow(base).materialize(),
-        rd.from_arrow(new).materialize(),
-        rd.from_arrow(truth).materialize(),
-        full_partition,
-    )
+    b0, w, _ = train_weights_from_labeled(build_features(pages, cfg), labeled, cfg)
+    weights = (b0, w)
+
+    full = run_er(pages, cfg, weights=weights)["clusters"]
+
+    def keep(flag: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            # self-contained: workers cannot import the test module
+            import numpy as _np
+
+            from record_matching_ray.functions.hashing import hash_strings
+
+            m = hash_strings(t.column("url").to_pylist()) % _np.uint64(3) == 0
+            return t.filter(pa.array(m if flag else ~m))
+
+        return fn
+
+    old_pages = pages.map_batches(keep(False), batch_format="pyarrow")
+    new_pages = pages.map_batches(keep(True), batch_format="pyarrow")
+    n_old, n_new = old_pages.count(), new_pages.count()
+    assert n_new > 100 and n_old + n_new == 900
+
+    ck = str(tmp_path / "ck")
+    run_er(old_pages, cfg, out_dir=ck, input_key="old", weights=weights)
+    inc = run_er_incremental(new_pages, cfg, ck, "old", weights=weights)
+
+    part_full = _partition(full)
+    part_inc = _partition(inc["clusters"])
+    assert part_inc == part_full
+
+    # the fold genuinely crossed the split: at least one multi-member
+    # cluster mixes old and new urls (so cross-pair scoring really ran)
+    mixed = 0
+    for cl in part_inc:
+        if len(cl) < 2:
+            continue
+        flags = _split_is_new(sorted(cl))
+        if flags.any() and not flags.all():
+            mixed += 1
+    assert mixed > 0
 
 
-@pytest.mark.parametrize("plan", ["broadcast", "shuffle"])
-def test_incremental_matches_full_run(split_corpus, plan):
-    base_pages, new_pages, truth_ds, full_partition = split_corpus
+def test_incremental_requires_complete_checkpoint(tmp_path):
+    d = str(tmp_path / "corpus")
+    write_pages_dir(d, n_pages=120, n_entities=30, seed=5)
+    pages = ray.data.read_parquet(f"{d}/pages")
     cfg = PipelineConfig()
-    res = run_er(base_pages, cfg, num_partitions=4, feature_concurrency=2)
-    base_clusters = res["clusters"].materialize()
-    base_feats = res["features"].materialize()
-
-    kw = {} if plan == "broadcast" else {"broadcast_max_rows": 0}
-    inc = incremental_assign(
-        new_pages, base_feats, base_clusters, cfg, **kw
-    )
-    assign = inc["assignments"].materialize()
-
-    # every new page assigned exactly once
-    new_urls = [r["url"] for r in new_pages.select_columns(["url"]).take_all()]
-    got_urls = [r["url"] for r in assign.select_columns(["url"]).take_all()]
-    assert sorted(got_urls) == sorted(new_urls)
-
-    # merged clustering reproduces the FULL batch run's partition exactly
-    # (cluster ids may differ — min-url over different member sets — so
-    # compare partitions, not labels), and scores >= 0.999 ARI vs truth
-    # (the full run itself splits one 2-page entity on this corpus).
-    merged = base_clusters.union(
-        assign.select_columns(["url", "cluster_id"])
-    ).materialize()
-    assert _partition(merged.take_all()) == full_partition, plan
-    ari = adjusted_rand_vs_truth(merged, truth_ds, num_partitions=4)
-    assert ari > 0.999, f"ARI={ari} ({plan})"
-
-    # pages of entities that have base-side members join base clusters
-    rows = assign.take_all()
-    n_base = sum(1 for r in rows if r["from_base"])
-    assert n_base > 0.5 * len(rows), (n_base, len(rows))
+    try:
+        run_er_incremental(pages, cfg, str(tmp_path / "nope"), "old")
+        raised = False
+    except ValueError as e:
+        raised = True
+        assert "checkpoint" in str(e)
+    assert raised
