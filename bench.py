@@ -139,6 +139,68 @@ def run_flagship_nockpt(num_cpus: int, scorer: str = "fused") -> dict:
     }
 
 
+def run_flagship_incremental(num_cpus: int) -> dict:
+    """Incremental-fold leg: batch-ER 7/8 of the corpus into a checkpoint
+    (untimed prep), then TIME folding the remaining 1/8 in via
+    run_er_incremental — the nightly-crawl-increment shape. Reported
+    next to the full-batch number so the fold's cost advantage (score
+    only new-touching pairs, reuse old edges) has wall-clock evidence."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    corpus = _ensure_corpus()
+    _init_ray(num_cpus)
+    import pyarrow as pa
+    import ray.data
+    from record_matching_ray.config import PipelineConfig
+    from record_matching_ray.pipelines.er import run_er
+    from record_matching_ray.pipelines.incremental import run_er_incremental
+
+    cfg = PipelineConfig()
+    pages = ray.data.read_parquet(os.path.join(corpus, "pages"))
+
+    def keep(new_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            from record_matching_ray.functions.hashing import hash_strings
+
+            m = hash_strings(t.column("url").to_pylist()) % np.uint64(8) == 0
+            return t.filter(pa.array(m if new_side else ~m))
+
+        return fn
+
+    old_pages = pages.map_batches(keep(False), batch_format="pyarrow")
+    new_pages = pages.map_batches(keep(True), batch_format="pyarrow")
+    n_new = new_pages.count()
+    ckpt = os.path.join(BENCH_TMP, f"ckpt_inc_{num_cpus}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    run_er(old_pages, cfg, out_dir=ckpt, input_key=f"bench:inc{PAGES_N}")
+    t0 = time.time()
+    res = run_er_incremental(new_pages, cfg, ckpt, f"bench:inc{PAGES_N}")
+    clusters = res["clusters"].materialize()
+    n_rows = clusters.count()
+    elapsed = time.time() - t0
+    # distinct clusters (should equal the full-batch count — the fold is
+    # exact); untimed driver nunique over the bounded cluster table
+    n_clusters = clusters.select_columns(["cluster_id"]).to_pandas()[
+        "cluster_id"
+    ].nunique()
+    pairs_new = res["pairs"].count()  # untimed recount (lazy dataset)
+    from record_matching_ray.state import manifest as _mf
+
+    pairs_batch = _mf.read_manifest(os.path.join(ckpt, "pairs"))["rows"]
+    return {
+        "elapsed_s": round(elapsed, 3),
+        "pages_new": n_new,
+        "pages_total": PAGES_N,
+        "rows_out": n_rows,
+        "pairs_scored_new": pairs_new,
+        "pairs_scored_batch_old": pairs_batch,
+        "clusters": int(n_clusters),
+        "new_pages_per_sec": round(n_new / elapsed, 1),
+        "num_cpus": num_cpus,
+    }
+
+
 def run_flagship(num_cpus: int) -> dict:
     """End-to-end ER over the synthetic pages corpus with per-stage
     checkpoints; returns elapsed seconds + pairs-scored counters."""
@@ -238,6 +300,8 @@ def main_bench() -> None:
     # at-scale plan has pairs/s evidence next to the fused-broadcast number
     joinplan = run_flagship_nockpt(NUM_CPUS, scorer="join")
     qtimes["er_pages_joinplan"] = joinplan["elapsed_s"]
+    incremental = run_flagship_incremental(NUM_CPUS)
+    qtimes["er_pages_incremental"] = incremental["elapsed_s"]
     total = round(time.time() - t_start, 3)
     out = {
         "metric": "end-to-end seconds (headline queries + flagship pages-ER)",
@@ -248,6 +312,7 @@ def main_bench() -> None:
         "num_cpus": NUM_CPUS,
         "flagship": flagship,
         "flagship_joinplan": joinplan,
+        "flagship_incremental": incremental,
     }
     print(json.dumps(out))
     import ray

@@ -15,6 +15,7 @@ resumes from the last complete stage.
     python -m record_matching_ray cluster   --out /tmp/run
     python -m record_matching_ray canonicalize --out /tmp/run
     python -m record_matching_ray refine    --out /tmp/run
+    python -m record_matching_ray fold      --out /tmp/run --pages /tmp/new_batch/pages
     python -m record_matching_ray evaluate  --out /tmp/run --labeled .../labeled_pairs.parquet
     python -m record_matching_ray search    --docs .../documents.parquet --query "..." -k 10
     python -m record_matching_ray export-graphml --out /tmp/run --path graph.graphml
@@ -300,6 +301,28 @@ def cmd_run_all(args) -> None:
     print(json.dumps({"clusters_rows": n, "out": args.out}))
 
 
+def cmd_fold(args) -> None:
+    """Incremental fold: cluster NEW pages into an existing run-all
+    checkpoint (pipelines/incremental.py) — only new-touching pairs are
+    scored, old edges come from the checkpoint. Writes the merged
+    (url, cluster_id) table to --fold-out as partitioned parquet."""
+    _ray_up()
+    from record_matching_ray.pipelines.incremental import run_er_incremental
+    from record_matching_ray.sources import read_pages
+    from record_matching_ray.state import manifest as mf
+
+    res = run_er_incremental(
+        read_pages(args.pages),
+        _cfg(args),
+        args.out,
+        args.input_key or "",
+    )
+    fold_out = args.fold_out or os.path.join(args.out, "fold_clusters")
+    mf.write_stage(res["clusters"], fold_out, _fp(args) + ":fold")
+    n = mf.read_manifest(fold_out)["rows"]
+    print(json.dumps({"clusters_rows": n, "out": fold_out}))
+
+
 def cmd_evaluate(args) -> None:
     _ray_up()
     from record_matching_ray.sources import read_labeled_pairs
@@ -434,6 +457,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pages", required=True)
     common(sp)
     sp.set_defaults(fn=cmd_run_all)
+
+    sp = sub.add_parser("fold")
+    sp.add_argument("--pages", required=True, help="NEW pages to fold in")
+    sp.add_argument("--fold-out", dest="fold_out")
+    common(sp)
+    sp.set_defaults(fn=cmd_fold)
 
     sp = sub.add_parser("evaluate")
     common(sp)

@@ -1,49 +1,383 @@
-"""Incremental entity resolution: fold a batch of NEW pages into an
-existing `run_er` checkpoint without rescoring the old corpus.
+"""Incremental entity resolution: assign a NEW batch of pages to an
+existing clustering without re-running ER over the whole corpus.
 
-The reference pipeline (record_matching/main.py:858-871) is batch-only —
-every nightly crawl increment reruns template -> vectorize -> ANN ->
-classify over the whole corpus. Here the expensive work is proportional
-to the increment:
+The reference pipeline is batch-only (run everything, rebuild all
+clusters — main.py's single pass); at web scale the corpus is ~static
+and new crawl arrives daily, so assignment must cost O(new batch), not
+O(corpus). Semantics here (assign-only, the standard incremental-ER
+contract):
 
-  S1'  features(new)                    actor-pool map over NEW pages only
-  S2'  block keys over old∪new          stateless map; pair emission
-       restricted to pairs TOUCHING a new page (old-only blocks emit
-       nothing — their pairs were scored by the batch run)
-  S3'  score only new-touching pairs    same fused/join scorer plans
-  S4'  components over old-edges ∪ new-edges (edge lists, not pair
-       tables — |edges| << |pairs|), then url restore
+- existing clusters are IMMUTABLE — new evidence never merges or splits
+  base clusters (that is a periodic full re-run's job);
+- a new page joins the base cluster it matches (score >= tau through the
+  same blocking + fused scorer as run_er);
+- new pages matching each other (and no base page) form new clusters,
+  labeled min-url exactly like the batch pipeline;
+- a new page matching TWO base clusters bridges them: it gets one
+  deterministic pick (the component's min contracted label) and the
+  ambiguity stays observable in the returned edge set.
 
-Exactness: min-label connected components is order-independent, so
-clusters(old ∪ new) computed incrementally equal the full-batch result
-whenever the incremental edge set ∪ old edges covers the same component
-structure — which it does by construction: within-old edges come from
-the batch checkpoint verbatim, and every block of the union key table
-containing a new member emits all its new-touching pairs (tested:
-incremental == batch, tests/test_incremental.py). Incremental runs can
-therefore MERGE previously separate clusters when a new page bridges
-them, which naive assign-to-nearest-cluster schemes cannot.
+Dataflow (everything bounded by the new batch except one optional
+shuffle over the base cluster table):
 
-Scale: the one O(corpus) term is the stateless block-key map over the
-old features checkpoint (a pruned 3-column parquet read). At 100 TB,
-persist the key table once (it is `pairs`' first map) and this too
-becomes O(new + touched blocks); the code reads the feature checkpoint
-because the key table is cheap to rebuild at bench scale.
+1. features(new)  — same ExtractFeatures actor pool as run_er.
+2. blocking over base ∪ new features (block keys must see both sides),
+   then pairs filtered to those touching a new uid — the new-uid set is
+   a broadcast (the new batch is bounded by design: it's an increment).
+   Base-base pairs are dropped BEFORE scoring, so scoring is O(new).
+3. fused scoring -> edges, exactly run_er's scorer.
+4. contract base endpoints to their cluster: pseudo-uid = NEGATIVE
+   stable hash of the base cluster_id (page uids are non-negative by
+   construction, so the spaces cannot collide). Base cluster lookup is
+   count-gated: broadcast dict when the cluster table is small, else a
+   tagged-union shuffle on uid (never an Acero join — edge sets can be
+   empty, see stages/util.py on empty-block join poisoning).
+5. connected_components over the contracted edges + all new uids as
+   nodes (isolated new pages become singletons). A component whose label
+   is negative contains a base cluster -> adopt that cluster_id; a
+   non-negative label is the min new uid -> cluster_id = its url.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
+import ray
 import ray.data
 
 from record_matching_ray.config import PipelineConfig
-from record_matching_ray.pipelines.er import (
-    _restore_cluster_urls,
-    build_features,
-)
+from record_matching_ray.functions.hashing import blake8, mix64, _U64
+from record_matching_ray.pipelines.er import build_features
 from record_matching_ray.stages import blocking, scoring
 from record_matching_ray.stages.clustering import connected_components
+from record_matching_ray.stages.util import conformed, shuffle_partitions
+
+
+def _pseudo_uid(cluster_ids: list[str]) -> np.ndarray:
+    """Negative stable uid per base cluster_id — disjoint from page_uids
+    (which clear the top bit, i.e. are non-negative)."""
+    h = np.fromiter(
+        (blake8(c) for c in cluster_ids), dtype=np.uint64, count=len(cluster_ids)
+    )
+    return (-((mix64(h) >> _U64(1)).astype(np.int64)) - 1).astype(np.int64)
+
+
+def _attach_base_clusters(
+    edges: ray.data.Dataset,
+    base_clusters: ray.data.Dataset,
+    broadcast_max_rows: int = 2_000_000,
+) -> ray.data.Dataset:
+    """edges (left, right) in uid space -> contracted edges where any
+    BASE endpoint is replaced by its cluster's negative pseudo-uid.
+
+    Broadcast plan under the counted gate; tagged-union shuffle plan
+    (one groupby on uid, no join) beyond it."""
+    n_base = base_clusters.count()
+    if n_base <= broadcast_max_rows:
+        mapping: dict[int, int] = {}
+        for t in base_clusters.iter_batches(batch_format="pyarrow", batch_size=None):
+            urls = t.column("url").to_pylist()
+            cids = t.column("cluster_id").to_pylist()
+            uids = blocking.page_uids(urls)
+            ps = _pseudo_uid(cids)
+            for u, p in zip(uids, ps):
+                mapping[int(u)] = int(p)
+        map_ref = ray.put(mapping)
+
+        def contract(t: pa.Table) -> pa.Table:
+            m = ray.get(map_ref) if isinstance(map_ref, ray.ObjectRef) else map_ref
+            out = {}
+            for c in ("left", "right"):
+                u = t.column(c).to_numpy(zero_copy_only=False)
+                out[c] = pa.array(
+                    [m.get(int(x), int(x)) for x in u], pa.int64()
+                )
+            return pa.table(out)
+
+        return edges.select_columns(["left", "right"]).map_batches(
+            contract, batch_format="pyarrow"
+        )
+
+    # 100TB plan: tagged union keyed by uid, swept per COARSE pk partition
+    # (one vectorized pass per partition, never a group per uid). Rows:
+    # (uid, pseudo, -1, -1) from the base cluster table; (uid, 0, edge_id,
+    # side) from both edge endpoints. edge_id is a content hash of the
+    # pair (deterministic across runs; collisions ~|edges|^2/2^63).
+    P = shuffle_partitions()
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        uids = blocking.page_uids(urls)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(uids.astype(_U64)) % _U64(P)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "uid": pa.array(uids, pa.int64()),
+                "pseudo": pa.array(
+                    _pseudo_uid(t.column("cluster_id").to_pylist()), pa.int64()
+                ),
+                "edge_id": pa.array(np.full(len(urls), -1), pa.int64()),
+                "side": pa.array(np.full(len(urls), -1, np.int8), pa.int8()),
+            }
+        )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        l = t.column("left").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t.column("right").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = (
+            mix64(l.astype(_U64) * _U64(0x9E3779B97F4A7C15) ^ r.astype(_U64))
+            >> _U64(1)
+        ).astype(np.int64)
+        uid = np.concatenate([l, r])
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(uid.astype(_U64)) % _U64(P)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "uid": pa.array(uid, pa.int64()),
+                "pseudo": pa.array(np.zeros(2 * n, np.int64), pa.int64()),
+                "edge_id": pa.array(np.concatenate([eid, eid]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("pk", pa.int64()),
+            ("uid", pa.int64()),
+            ("pseudo", pa.int64()),
+            ("edge_id", pa.int64()),
+            ("side", pa.int8()),
+        ]
+    )
+    tagged = conformed(
+        base_clusters.map_batches(base_rows, batch_format="pyarrow"), schema
+    ).union(
+        conformed(
+            edges.select_columns(["left", "right"]).map_batches(
+                edge_rows, batch_format="pyarrow"
+            ),
+            schema,
+        )
+    )
+
+    def rewrite(g: pa.Table) -> pa.Table:
+        uid = g.column("uid").to_numpy(zero_copy_only=False)
+        pseudo = g.column("pseudo").to_numpy(zero_copy_only=False)
+        eid = g.column("edge_id").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, uid))  # base rows (eid=-1) first per uid
+        uid_s, ps_s, eid_s, side_s = (
+            uid[order], pseudo[order], eid[order], side[order]
+        )
+        new_seg = np.concatenate(([True], uid_s[1:] != uid_s[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        starts = np.nonzero(new_seg)[0]
+        # base row, if present, sorts first in its uid segment (eid=-1)
+        seg_pseudo = np.where(
+            eid_s[starts] < 0, ps_s[starts], uid_s[starts]
+        )
+        euid = seg_pseudo[seg_id]
+        is_edge = eid_s >= 0
+        return pa.table(
+            {
+                "pk2": pa.array(
+                    (mix64(eid_s[is_edge].astype(_U64)) % _U64(P)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "edge_id": pa.array(eid_s[is_edge], pa.int64()),
+                "side": pa.array(side_s[is_edge], pa.int8()),
+                "euid": pa.array(euid[is_edge], pa.int64()),
+            }
+        )
+
+    rewritten = tagged.groupby("pk").map_groups(
+        lambda g: rewrite(g.drop_columns(["pk"])), batch_format="pyarrow"
+    )
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        eid = g.column("edge_id").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        euid = g.column("euid").to_numpy(zero_copy_only=False)
+        le = np.lexsort((eid[side == 0],))
+        re = np.lexsort((eid[side == 1],))
+        lefts, l_eid = euid[side == 0][le], eid[side == 0][le]
+        rights, r_eid = euid[side == 1][re], eid[side == 1][re]
+        # eids match 1:1 by construction; guard anyway
+        n = min(len(lefts), len(rights))
+        ok = l_eid[:n] == r_eid[:n]
+        return pa.table(
+            {
+                "left": pa.array(lefts[:n][ok], pa.int64()),
+                "right": pa.array(rights[:n][ok], pa.int64()),
+            }
+        )
+
+    return rewritten.groupby("pk2").map_groups(
+        lambda g: reassemble(g.drop_columns(["pk2"])), batch_format="pyarrow"
+    )
+
+
+def incremental_assign(
+    new_pages: ray.data.Dataset,
+    base_features: ray.data.Dataset,
+    base_clusters: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+    weights: tuple[float, np.ndarray] | None = None,
+    broadcast_max_rows: int = 2_000_000,
+    fused_max_rows: int = 1_000_000,
+) -> dict:
+    """Assign new pages to existing clusters (see module docstring).
+
+    Returns {"assignments": Dataset(url, cluster_id, from_base),
+    "features": the new batch's feature table, "edges": the scored edge
+    set (uid space, new-touching only)}. ``base_features`` must carry the
+    same feature schema run_er's build_features emits; pass the
+    checkpointed features stage of the base run."""
+    cfg = cfg or PipelineConfig()
+
+    feats_new = build_features(new_pages, cfg).materialize()
+
+    # new-uid broadcast set (the increment is bounded by design)
+    new_urls: list[str] = []
+    for t in feats_new.select_columns(["url"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        new_urls.extend(t.column("url").to_pylist())
+    new_uid_ref = ray.put(np.sort(blocking.page_uids(new_urls).astype(np.int64)))
+    uid_to_url_ref = ray.put(
+        {int(u): s for u, s in zip(blocking.page_uids(new_urls), new_urls)}
+    )
+
+    all_feats = base_features.union(feats_new).materialize()
+    hot = blocking.compute_hot_hosts(all_feats, cfg)
+    pairs = blocking.generate_candidate_pairs(all_feats, cfg, hot)
+
+    def touching_new(t: pa.Table) -> pa.Table:
+        s = ray.get(new_uid_ref) if isinstance(new_uid_ref, ray.ObjectRef) else new_uid_ref
+        l = t.column("left").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t.column("right").to_numpy(zero_copy_only=False).astype(np.int64)
+        # sorted-array membership: vectorized searchsorted, no Python loop
+        li = np.searchsorted(s, l)
+        ri = np.searchsorted(s, r)
+        in_l = (li < len(s)) & (s[np.minimum(li, len(s) - 1)] == l)
+        in_r = (ri < len(s)) & (s[np.minimum(ri, len(s) - 1)] == r)
+        return t.filter(pa.array(in_l | in_r))
+
+    pairs_new = pairs.map_batches(touching_new, batch_format="pyarrow")
+    # same scoring-plan gate as run_er: fused broadcast scorer while the
+    # payload is counted-small, double-hash-join plan beyond
+    if all_feats.count() <= fused_max_rows:
+        edges_ds = scoring.score_pairs_fused(pairs_new, all_feats, cfg, weights)
+    else:
+        wide = blocking.attach_pair_payload(
+            pairs_new, all_feats, cfg, shuffle_partitions(),
+            broadcast_max_rows=0, restore_urls=False,
+        )
+        edges_ds = scoring.edges_from_scores(
+            scoring.score_pairs(wide, cfg, weights), cfg
+        )
+    edges = conformed(
+        edges_ds, pa.schema([("left", pa.int64()), ("right", pa.int64())])
+    ).materialize()
+
+    contracted = _attach_base_clusters(edges, base_clusters, broadcast_max_rows)
+
+    def new_nodes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pa.array(
+                    blocking.page_uids(t.column("url").to_pylist()), pa.int64()
+                )
+            }
+        )
+
+    comps = connected_components(
+        contracted,
+        nodes=feats_new.select_columns(["url"]).map_batches(
+            new_nodes, batch_format="pyarrow"
+        ),
+        max_iters=cfg.max_cc_iters,
+    )
+
+    # pseudo-uid -> base cluster_id (relation bounded by #base clusters
+    # under the same broadcast gate; beyond it this dict is still only the
+    # DISTINCT cluster ids, ~n_base/avg_cluster_size)
+    pseudo_map: dict[int, str] = {}
+    for t in base_clusters.select_columns(["cluster_id"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        cids = t.column("cluster_id").to_pylist()
+        for p, c in zip(_pseudo_uid(cids), cids):
+            pseudo_map[int(p)] = c
+    pseudo_ref = ray.put(pseudo_map)
+
+    def label(t: pa.Table) -> pa.Table:
+        pm = ray.get(pseudo_ref) if isinstance(pseudo_ref, ray.ObjectRef) else pseudo_ref
+        um = (
+            ray.get(uid_to_url_ref)
+            if isinstance(uid_to_url_ref, ray.ObjectRef)
+            else uid_to_url_ref
+        )
+        uids = t.column("url").to_numpy(zero_copy_only=False)
+        labels = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        keep = [int(u) in um for u in uids]  # only new pages get rows
+        urls, cids, from_base = [], [], []
+        for u, lab, k in zip(uids, labels, keep):
+            if not k:
+                continue
+            urls.append(um[int(u)])
+            if int(lab) < 0:
+                cids.append(pm[int(lab)])
+                from_base.append(True)
+            else:
+                cids.append(um[int(lab)])
+                from_base.append(False)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "cluster_id": pa.array(cids, pa.string()),
+                "from_base": pa.array(from_base, pa.bool_()),
+            }
+        )
+
+    assignments = conformed(
+        comps.map_batches(label, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("url", pa.string()),
+                ("cluster_id", pa.string()),
+                ("from_base", pa.bool_()),
+            ]
+        ),
+    )
+    return {"assignments": assignments, "features": feats_new, "edges": edges}
+
+# ---------------------------------------------------------------------------
+# EXACT fold mode (vs the assign-only contract above): fold the new batch
+# into a run_er checkpoint reproducing the FULL-batch clustering exactly.
+# Unlike incremental_assign, the fold MAY merge previously separate base
+# clusters when a new page bridges them (min-label components are
+# order-independent, so incremental == batch — tests/test_incremental.py).
+# Expensive work is proportional to the increment: block keys over old
+# come from the 3-column features checkpoint (stateless map), pair
+# emission is restricted to new-touching pairs, and within-old edges are
+# reused verbatim from the checkpoint.
+
+
+from record_matching_ray.pipelines.er import _restore_cluster_urls
 from record_matching_ray.state import manifest as mf
 
 

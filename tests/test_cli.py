@@ -145,3 +145,31 @@ def test_cli_assign_incremental(tmp_path, capsys):
           "--input-key", "batch2"])
     assert "complete" in capsys.readouterr().out
     assert os.path.getmtime(f"{out_dir}/_MANIFEST.json") == mtime
+
+
+def test_cli_fold_exact(tmp_path, capsys):
+    """fold: run-all on a base corpus, then exact-fold a new batch —
+    output covers the FULL corpus (old + new) as one cluster table."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    corpus = str(tmp_path / "corpus")
+    run = str(tmp_path / "run")
+    main(["gen-corpus", "--out", corpus, "--pages", "240", "--entities", "48",
+          "--seed", "9"])
+    shards = sorted(glob.glob(f"{corpus}/pages/*.parquet"))
+    base_dir, new_dir = str(tmp_path / "base"), str(tmp_path / "new")
+    os.makedirs(base_dir), os.makedirs(new_dir)
+    for s in shards[:-1]:
+        shutil.copy(s, base_dir)
+    shutil.copy(shards[-1], new_dir)
+
+    main(["run-all", "--pages", base_dir, "--out", run])
+    main(["fold", "--out", run, "--pages", new_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t = pq.read_table(out["out"])
+    n_total = sum(pq.read_table(s).num_rows for s in shards)
+    assert t.num_rows == n_total
+    assert set(t.column_names) == {"url", "cluster_id"}
