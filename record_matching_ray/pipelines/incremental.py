@@ -1,11 +1,15 @@
-"""Incremental entity resolution: assign a NEW batch of pages to an
-existing clustering without re-running ER over the whole corpus.
+"""Incremental entity resolution — two contracts over a completed run:
+
+- ``incremental_assign``: assign a NEW batch to IMMUTABLE base clusters
+  (this module's top half; the standard nightly-increment contract);
+- ``run_er_incremental``: EXACT fold — recompute the full clustering
+  with only new-touching pairs scored; may merge base clusters when a
+  new page bridges them (bottom of this module).
 
 The reference pipeline is batch-only (run everything, rebuild all
 clusters — main.py's single pass); at web scale the corpus is ~static
-and new crawl arrives daily, so assignment must cost O(new batch), not
-O(corpus). Semantics here (assign-only, the standard incremental-ER
-contract):
+and new crawl arrives daily, so incremental work must cost O(new batch),
+not O(corpus). Assign-only semantics:
 
 - existing clusters are IMMUTABLE — new evidence never merges or splits
   base clusters (that is a periodic full re-run's job);
