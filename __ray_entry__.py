@@ -3023,6 +3023,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_small_only": an.parts_small_only,
         "source_mixture_weights": an.source_mixture_weights,
         "event_value_median": an.event_value_median,
+        "event_value_mad": an.event_value_mad,
+        "orders_price_moments": an.orders_price_moments,
         "user_sessions": _user_sessions,
         "events_hopping": _events_hopping,
         "order_price_quantiles": _order_price_quantiles,
@@ -4039,6 +4041,8 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM events GROUP BY event_type
         """,
+        "event_value_mad": an.EVENT_VALUE_MAD_SQL,
+        "orders_price_moments": an.ORDERS_PRICE_MOMENTS_SQL,
         "doc_weighted_sample": """
             WITH keyed AS (
               SELECT doc_id, n_chars,

@@ -1844,6 +1844,182 @@ def event_value_median(sf_dir: str) -> ray.data.Dataset:
     return events.groupby("event_type").map_groups(median, batch_format="pyarrow")
 
 
+def event_value_mad(sf_dir: str, z: float = 3.0) -> ray.data.Dataset:
+    """Robust per-group dispersion: exact median, MAD (median absolute
+    deviation) and robust-z outlier count (|v - med| > z * 1.4826 * MAD
+    — the MAD-to-sigma consistency constant for normal data). Same
+    one-group-per-key sort pattern as event_value_median; the z-score
+    variant lives in event_value_outliers (mean/std is outlier-skewed,
+    MAD is not — the standard robust alternative).
+
+    Output: (event_type, median_value, mad, n_outliers, n); floats
+    rounded to 6 (repo convention), the outlier comparison runs on
+    UNROUNDED values and is bit-identical to DuckDB's interpolated
+    median (verified: same (a+b)/2 arithmetic)."""
+    events = _read(sf_dir, "events", ["event_type", "value"])
+
+    def mad_group(g: pa.Table) -> pa.Table:
+        v = np.sort(g.column("value").to_numpy(zero_copy_only=False))
+        n = len(v)
+
+        def med_of(a: np.ndarray) -> float:
+            m = len(a)
+            return float(a[m // 2]) if m % 2 else float(
+                (a[m // 2 - 1] + a[m // 2]) / 2.0
+            )
+
+        med = med_of(v)
+        dev = np.abs(v - med)
+        madv = med_of(np.sort(dev))
+        n_out = int((dev > z * 1.4826 * madv).sum())
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [g.column("event_type")[0].as_py()], pa.string()
+                ),
+                "median_value": pa.array([round(med, 6)], pa.float64()),
+                "mad": pa.array([round(madv, 6)], pa.float64()),
+                "n_outliers": pa.array([n_out], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    return events.groupby("event_type").map_groups(mad_group, batch_format="pyarrow")
+
+
+EVENT_VALUE_MAD_SQL = """
+WITH m AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+), d AS (
+  SELECT e.event_type, m.med, ABS(e.value - m.med) AS ad
+  FROM events e JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, median(ad) AS mad FROM d GROUP BY 1
+)
+SELECT d.event_type,
+       ROUND(ANY_VALUE(d.med), 6) AS median_value,
+       ROUND(ANY_VALUE(md.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.ad > 3.0 * 1.4826 * md.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n
+FROM d JOIN md USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+def orders_price_moments(sf_dir: str) -> ray.data.Dataset:
+    """Per-priority sample skewness + excess kurtosis of o_totalprice —
+    the order-3/4 members of the moment-sketch family next to
+    lineitem_price_qty_corr (order 2). Two passes for numerical safety:
+    raw power sums of ~1e5-magnitude prices cancel catastrophically at
+    order 4, so pass 1 computes exact per-group means (a tiny count/sum
+    aggregate, driver-bounded by |priorities|), pass 2 sums CENTERED
+    powers per (group, batch) against the broadcast means — associative,
+    stable, one small shuffle. Bias-corrected formulas (DuckDB/Excel G1,
+    G2); outputs rounded to 6."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def count_sum(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "p": t.column("o_orderpriority"),
+                    "v": pc.cast(t.column("o_totalprice"), pa.float64()),
+                }
+            ),
+            "p",
+        ).aggregate([("v", "count"), ("v", "sum")])
+        return g.rename_columns(["p", "cnt", "s"])
+
+    from ray.data.aggregate import Sum
+
+    base = (
+        orders.map_batches(count_sum, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum(on="cnt", alias_name="cnt"), Sum(on="s", alias_name="s"))
+        .to_pandas()  # driver-bounded: one row per priority
+    )
+    means = {r["p"]: r["s"] / r["cnt"] for _, r in base.iterrows()}
+    counts = {r["p"]: int(r["cnt"]) for _, r in base.iterrows()}
+    import ray as _ray
+
+    means_ref = _ray.put(means)
+
+    def centered(t: pa.Table) -> pa.Table:
+        m = _ray.get(means_ref) if isinstance(means_ref, _ray.ObjectRef) else means_ref
+        ps = t.column("o_orderpriority").to_pylist()
+        v = pc.cast(t.column("o_totalprice"), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        mu = np.array([m[p] for p in ps])
+        d = v - mu
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "p": pa.array(ps, pa.string()),
+                    "d2": pa.array(d * d, pa.float64()),
+                    "d3": pa.array(d**3, pa.float64()),
+                    "d4": pa.array(d**4, pa.float64()),
+                }
+            ),
+            "p",
+        ).aggregate([("d2", "sum"), ("d3", "sum"), ("d4", "sum")])
+        return g.rename_columns(["p", "d2", "d3", "d4"])
+
+    sums = (
+        orders.map_batches(centered, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(
+            Sum(on="d2", alias_name="d2"),
+            Sum(on="d3", alias_name="d3"),
+            Sum(on="d4", alias_name="d4"),
+        )
+    )
+
+    OUT = pa.schema(
+        [
+            ("o_orderpriority", pa.string()),
+            ("skew", pa.float64()),
+            ("kurt", pa.float64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "d2" not in t.column_names:
+            return OUT.empty_table()
+        ps = t.column("p").to_pylist()
+        n = np.array([counts[p] for p in ps], dtype=np.float64)
+        d2 = t.column("d2").to_numpy(zero_copy_only=False)
+        d3 = t.column("d3").to_numpy(zero_copy_only=False)
+        d4 = t.column("d4").to_numpy(zero_copy_only=False)
+        m2, m3, m4 = d2 / n, d3 / n, d4 / n
+        g1 = m3 / m2**1.5
+        G1 = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+        g2 = m4 / m2**2 - 3.0
+        G2 = ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(ps, pa.string()),
+                "skew": pa.array(np.round(G1, 6), pa.float64()),
+                "kurt": pa.array(np.round(G2, 6), pa.float64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+ORDERS_PRICE_MOMENTS_SQL = """
+SELECT o_orderpriority,
+       ROUND(skewness(o_totalprice), 6) AS skew,
+       ROUND(kurtosis(o_totalprice), 6) AS kurt,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def source_mixture_weights(sf_dir: str, alpha: float = 0.7) -> ray.data.Dataset:
     """Training-mixture weights per (lang, source): temperature-scaled
     sampling shares w_g = n_g^alpha / sum(n^alpha) (the multilingual

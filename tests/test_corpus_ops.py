@@ -620,3 +620,66 @@ def test_bigram_logprob_vs_bruteforce():
             for i in range(nb)
         )
         assert abs(got[d][1] - round(lp / nb, 6)) < 1e-9
+
+
+def test_event_value_mad_vs_numpy(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(4)
+    types = np.array(["a", "b"])[rng.integers(0, 2, 400)]
+    vals = rng.normal(50, 5, 400)
+    vals[::41] += 100  # inject outliers
+    pq.write_table(
+        pa.table({"event_type": pa.array(types), "value": pa.array(vals)}),
+        str(tmp_path / "events.parquet"),
+    )
+    from record_matching_ray.pipelines.analytics import event_value_mad
+
+    got = event_value_mad(str(tmp_path)).to_pandas().set_index("event_type")
+    for ty in ("a", "b"):
+        v = np.sort(vals[types == ty])
+        n = len(v)
+        med = v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2
+        d = np.sort(np.abs(v - med))
+        mad = d[n // 2] if n % 2 else (d[n // 2 - 1] + d[n // 2]) / 2
+        row = got.loc[ty]
+        assert row["median_value"] == round(float(med), 6)
+        assert row["mad"] == round(float(mad), 6)
+        assert row["n"] == n
+        assert row["n_outliers"] == int((np.abs(v - med) > 3 * 1.4826 * mad).sum())
+        assert row["n_outliers"] > 0
+
+
+def test_orders_price_moments_vs_numpy(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(9)
+    pr = np.array(["1-URGENT", "2-HIGH"])[rng.integers(0, 2, 600)]
+    price = rng.lognormal(10, 0.5, 600)  # skewed, ~e4-magnitude
+    pq.write_table(
+        pa.table(
+            {"o_orderpriority": pa.array(pr), "o_totalprice": pa.array(price)}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    from record_matching_ray.pipelines.analytics import orders_price_moments
+
+    got = orders_price_moments(str(tmp_path)).to_pandas().set_index("o_orderpriority")
+    for p in ("1-URGENT", "2-HIGH"):
+        x = price[pr == p]
+        n = len(x)
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).sum() / n
+        m3 = ((x - mu) ** 3).sum() / n
+        m4 = ((x - mu) ** 4).sum() / n
+        G1 = (m3 / m2**1.5) * np.sqrt(n * (n - 1)) / (n - 2)
+        G2 = ((n + 1) * (m4 / m2**2 - 3) + 6) * (n - 1) / ((n - 2) * (n - 3))
+        row = got.loc[p]
+        assert abs(row["skew"] - round(float(G1), 6)) <= 1e-6
+        assert abs(row["kurt"] - round(float(G2), 6)) <= 1e-6
+        assert row["n"] == n
+    assert (got["skew"] > 0.5).all()  # lognormal is right-skewed
