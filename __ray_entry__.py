@@ -272,6 +272,19 @@ def _knn_ivf(sf_dir: str):
     return knn_ivf(embs, Q, qids, k=10, n_centroids=24, n_probe=22)
 
 
+def _knn_pq(sf_dir: str):
+    """Product-quantization ANN (ADC scan + exact re-rank,
+    stages/knn.py:knn_pq). 16 subspaces x 64 codes with rerank=8: the
+    re-ranked top-10 equals exact brute force at sf0.001 and sf0.01
+    (checked by the same exact-kNN SQL); lossy-config recall behavior is
+    pytest-covered (test_knn_pq_recall)."""
+    from record_matching_ray.stages.knn import knn_pq, load_query_matrix
+
+    embs = _embs(sf_dir)
+    Q, qids = load_query_matrix(embs, n_queries=5)
+    return knn_pq(embs, Q, qids, k=10, m_sub=16, n_codes=64, rerank=8)
+
+
 def _events_order_asof(sf_dir: str, direction: str = "backward"):
     """Backward as-of join: each event -> the user's latest order at or
     before the event time (custom temporal operator, stages/temporal.py).
@@ -3008,6 +3021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _embedding_neardup,
         "knn_lsh": _knn_lsh,
         "knn_ivf": _knn_ivf,
+        "knn_pq": _knn_pq,
         "langid_docs": _langid_docs,
         "doc_distinct_estimate": _doc_distinct_estimate,
         "filtered_vector_search": _filtered_vector_search,
@@ -3746,6 +3760,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": _KNN_SQL,
         "knn_lsh": _KNN_SQL,
         "knn_ivf": _KNN_SQL,
+        "knn_pq": _KNN_SQL,
         "ngram_jaccard_docs": _NGRAM_JACCARD_SQL,
         "minhash_neardup_docs": _MINHASH_NEARDUP_SQL,
         "er_clusters_documents": _ER_CLUSTERS_SQL,

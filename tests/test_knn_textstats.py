@@ -404,3 +404,39 @@ def test_dsir_logratio_vs_bruteforce():
         )
         assert got[d][0] == len(toks)
         assert abs(got[d][1] - round(lp, 6)) < 1e-9, d
+
+
+def test_knn_pq_recall_and_exact_rerank():
+    import numpy as np
+    import ray.data as rd
+    from record_matching_ray.stages.knn import (
+        knn_bruteforce, knn_pq, load_query_matrix, train_pq_codebooks,
+    )
+
+    embs = rd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    ).materialize()
+    Q, qids = load_query_matrix(embs, n_queries=5)
+    exact = knn_bruteforce(embs, Q, qids, k=10)
+
+    # generous config (16 subspaces x 64 codes, rerank 8): re-ranked
+    # output must EQUAL brute force — same ids, same exact cosines
+    B = train_pq_codebooks(embs, m_sub=16, n_codes=64, sample_n=512)
+    assert B.shape == (16, 64, 4)
+    full = knn_pq(embs, Q, qids, k=10, codebooks=B, rerank=8)
+    assert full.equals(exact), "total-recall PQ config must match brute force"
+
+    # lossy config (4 subspaces x 8 codes): recall degrades but stays
+    # useful; scores are still EXACT cosines (re-rank contract)
+    B2 = train_pq_codebooks(embs, m_sub=4, n_codes=8, sample_n=512)
+    lossy = knn_pq(embs, Q, qids, k=10, codebooks=B2, rerank=4)
+    ex = {(r["qid"], r["nid"]): r["cos_sim"] for r in exact.to_pylist()}
+    ap = {(r["qid"], r["nid"]): r["cos_sim"] for r in lossy.to_pylist()}
+    recall = len(set(ex) & set(ap)) / len(ex)
+    assert recall >= 0.5, f"PQ recall@10 = {recall}"
+    for key in set(ex) & set(ap):
+        assert ex[key] == ap[key]  # exact re-ranked cosine, not ADC estimate
+    # deterministic
+    again = knn_pq(embs, Q, qids, k=10, codebooks=B2, rerank=4)
+    assert lossy.equals(again)
