@@ -3039,6 +3039,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_median": an.event_value_median,
         "event_value_mad": an.event_value_mad,
         "orders_price_moments": an.orders_price_moments,
+        "events_decayed_counts": an.events_decayed_counts,
+        "orders_checksum": an.orders_checksum,
         "user_sessions": _user_sessions,
         "events_hopping": _events_hopping,
         "order_price_quantiles": _order_price_quantiles,
@@ -4058,6 +4060,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_value_mad": an.EVENT_VALUE_MAD_SQL,
         "orders_price_moments": an.ORDERS_PRICE_MOMENTS_SQL,
+        "events_decayed_counts": an.EVENTS_DECAYED_SQL,
+        "orders_checksum": an.ORDERS_CHECKSUM_SQL,
         "doc_weighted_sample": """
             WITH keyed AS (
               SELECT doc_id, n_chars,

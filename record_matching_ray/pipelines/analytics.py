@@ -2020,6 +2020,134 @@ GROUP BY o_orderpriority
 """
 
 
+def events_decayed_counts(sf_dir: str, tau_hours: float = 72.0) -> ray.data.Dataset:
+    """Exponentially time-decayed event counts per type: each event
+    contributes exp(-(t_max - ts) / tau) — the standard recency-weighted
+    activity score (a half-life of tau*ln2). Two passes: a tiny global
+    max(ts) aggregate, then stateless per-batch partial sums (decayed
+    weight is a pure function of ts once t_max is known) and one
+    |types|-row shuffle. Round-6 output (sum reduction order)."""
+    events = _read(sf_dir, "events", ["event_type", "ts"])
+    t_max = events.max("ts")  # driver scalar (datetime)
+    t_max_us = np.datetime64(t_max, "us").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").astype(np.int64)
+        age_h = (t_max_us - ts) / 3.6e9
+        w = np.exp(-age_h / tau_hours)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "w": pa.array(w, pa.float64()),
+                    "one": pa.array(np.ones(len(w), np.int64), pa.int64()),
+                }
+            ),
+            "event_type",
+        ).aggregate([("w", "sum"), ("one", "sum")])
+        return g.rename_columns(["event_type", "w", "n"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum(on="w", alias_name="w"), Sum(on="n", alias_name="n"))
+    )
+
+    OUT = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("decayed_count", pa.float64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "w" not in t.column_names:
+            return OUT.empty_table()
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "decayed_count": pa.array(
+                    np.round(t.column("w").to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_DECAYED_SQL = """
+SELECT event_type,
+       ROUND(SUM(EXP(-(EXTRACT(EPOCH FROM (SELECT MAX(ts) FROM events) - ts))
+                     / 3600.0 / 72.0)), 6) AS decayed_count,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+def orders_checksum(sf_dir: str) -> ray.data.Dataset:
+    """Order-independent table checksum: wrap-around uint64 sum of
+    md5-lower64 over a canonical per-row string — the anti-entropy
+    primitive for comparing two 100 TB replicas/snapshots WITHOUT moving
+    rows (equal checksum + equal count => equal content, modulo md5
+    collisions). Associative and commutative, so per-batch partials sum
+    in any order; the uint64 sum is carried as split hi/lo 32-bit int64
+    sums (Ray's Sum would overflow int64 on raw uint64 values) and
+    recombined mod 2^64 on the driver-bounded 1-row aggregate.
+
+    Output: one row (n_rows, checksum VARCHAR-decimal) — matches DuckDB's
+    HUGEINT SUM of md5_number_lower mod 2^64."""
+    from record_matching_ray.functions.hashing import hash_strings, md5_lower64
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_pylist()
+        sts = t.column("o_orderstatus").to_pylist()
+        h = hash_strings(
+            [f"{k}|{s}" for k, s in zip(keys, sts)], hash_fn=md5_lower64
+        )
+        return pa.table(
+            {
+                "hi": pa.array([int((h >> np.uint64(32)).sum(dtype=np.uint64))],
+                               pa.int64()),
+                "lo": pa.array(
+                    [int((h & np.uint64(0xFFFFFFFF)).sum(dtype=np.uint64))],
+                    pa.int64(),
+                ),
+                "n": pa.array([len(h)], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = orders.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum(on="hi", alias_name="hi"),
+        Sum(on="lo", alias_name="lo"),
+        Sum(on="n", alias_name="n"),
+    )
+    total = (int(agg["hi"]) * (1 << 32) + int(agg["lo"])) % (1 << 64)
+    import pandas as pd
+
+    return pd.DataFrame({"n_rows": [int(agg["n"])], "checksum": [str(total)]})
+
+
+ORDERS_CHECKSUM_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(md5_number_lower(
+                CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus)
+            AS HUGEINT)) % 18446744073709551616 AS VARCHAR) AS checksum
+FROM orders
+"""
+
+
 def source_mixture_weights(sf_dir: str, alpha: float = 0.7) -> ray.data.Dataset:
     """Training-mixture weights per (lang, source): temperature-scaled
     sampling shares w_g = n_g^alpha / sum(n^alpha) (the multilingual

@@ -683,3 +683,74 @@ def test_orders_price_moments_vs_numpy(tmp_path):
         assert abs(row["kurt"] - round(float(G2), 6)) <= 1e-6
         assert row["n"] == n
     assert (got["skew"] > 0.5).all()  # lognormal is right-skewed
+
+
+def test_orders_checksum_order_independent(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(i, "OF"[i % 2]) for i in range(300)]
+    t1 = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[1] for r in rows]),
+        }
+    )
+    rev = rows[::-1]
+    t2 = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rev], pa.int64()),
+            "o_orderstatus": pa.array([r[1] for r in rev]),
+        }
+    )
+    from record_matching_ray.pipelines.analytics import orders_checksum
+
+    import os
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(d1), os.makedirs(d2)
+    pq.write_table(t1, f"{d1}/orders.parquet")
+    pq.write_table(t2, f"{d2}/orders.parquet")
+    c1 = orders_checksum(d1)
+    c2 = orders_checksum(d2)
+    assert c1["checksum"][0] == c2["checksum"][0]
+    assert c1["n_rows"][0] == 300
+    # a single-row mutation changes the checksum
+    t3 = t1.set_column(1, "o_orderstatus", pa.array(
+        ["X" if i == 7 else r[1] for i, r in enumerate(rows)]))
+    d3 = str(tmp_path / "c")
+    os.makedirs(d3)
+    pq.write_table(t3, f"{d3}/orders.parquet")
+    assert orders_checksum(d3)["checksum"][0] != c1["checksum"][0]
+
+
+def test_events_decayed_counts_vs_numpy(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(2)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = base + (rng.integers(0, 1000, 500) * 3_600_000_000).astype(
+        "timedelta64[us]"
+    )
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, 500)]
+    pq.write_table(
+        pa.table({"event_type": pa.array(types), "ts": pa.array(ts)}),
+        str(tmp_path / "events.parquet"),
+    )
+    from record_matching_ray.pipelines.analytics import events_decayed_counts
+
+    got = (
+        events_decayed_counts(str(tmp_path), tau_hours=72.0)
+        .to_pandas()
+        .set_index("event_type")
+    )
+    t_max = ts.max()
+    for ty in "abc":
+        age_h = (t_max - ts[types == ty]).astype("timedelta64[us]").astype(
+            np.int64
+        ) / 3.6e9
+        exp = np.exp(-age_h / 72.0).sum()
+        assert abs(got.loc[ty, "decayed_count"] - round(float(exp), 6)) <= 2e-6
+        assert got.loc[ty, "n"] == (types == ty).sum()
