@@ -801,6 +801,19 @@ def _kmeans_embeddings(sf_dir: str):
     return out
 
 
+def _kmeans_silhouette(sf_dir: str):
+    """Per-cluster simplified silhouette over the k-means partition
+    (stages/kmeans.kmeans_silhouette) — the O(n*k) quality score; the
+    oracle re-runs the full Lloyd unroll and the same (dist, cluster)
+    tie-ordered own/next-centroid distances."""
+    from record_matching_ray.stages.kmeans import kmeans_silhouette
+
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_silhouette(embs, _KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM)
+
+
 def _semdedup_embeddings(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means partition + exact cosine
     components within each cluster; keep_id = min id per
@@ -822,6 +835,7 @@ def _kmeans_sql(
     dim: int = _KMEANS_DIM,
     semdedup: bool = False,
     threshold: float = 0.4,
+    silhouette: bool = False,
 ) -> str:
     """Unrolled Lloyd iterations in SQL (the pagerank-oracle pattern,
     exact here: integer-scaled sums + shared left-associative distance
@@ -875,6 +889,30 @@ def _kmeans_sql(
         f" ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY {d_expr} ASC,"
         f" c.cluster ASC) AS rk FROM pts p CROSS JOIN c{iters} c)"
     )
+    if silhouette:
+        # simplified silhouette: raw (unrounded) distances to the own and
+        # nearest-other centroid, same d_expr and (dist, cluster) tie order
+        parts[-1] += ","
+        parts.append(
+            f"fr AS MATERIALIZED (SELECT p.vec_id, c.cluster, {d_expr} AS rawd,"
+            f" ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY {d_expr} ASC,"
+            f" c.cluster ASC) AS rk FROM pts p CROSS JOIN c{iters} c),"
+        )
+        parts.append(
+            """
+        own AS (SELECT vec_id, cluster, rawd FROM fr WHERE rk = 1),
+        nxt AS (SELECT vec_id, rawd AS rawd2 FROM fr WHERE rk = 2)
+        SELECT own.cluster AS cluster, COUNT(*) AS n,
+               ROUND(AVG(CASE
+                   WHEN GREATEST(SQRT(own.rawd), SQRT(nxt.rawd2)) > 0
+                   THEN (SQRT(nxt.rawd2) - SQRT(own.rawd))
+                        / GREATEST(SQRT(own.rawd), SQRT(nxt.rawd2))
+                   ELSE 0 END), 6) AS mean_silhouette
+        FROM own JOIN nxt USING (vec_id)
+        GROUP BY own.cluster
+        """
+        )
+        return "\n".join(parts)
     if not semdedup:
         parts.append("SELECT vec_id, cluster, dist FROM fin WHERE rk = 1")
         return "\n".join(parts)
@@ -2989,6 +3027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_jw_pairs": _customer_jw_pairs,
         "part_soft_tfidf": _part_soft_tfidf,
         "kmeans_embeddings": _kmeans_embeddings,
+        "kmeans_silhouette": _kmeans_silhouette,
         "semdedup_embeddings": _semdedup_embeddings,
         "doc_chunks": _doc_chunks,
         "doc_bigram_logprob": _doc_bigram_logprob,
@@ -3335,6 +3374,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97
         """,
         "kmeans_embeddings": _kmeans_sql(),
+        "kmeans_silhouette": _kmeans_sql(silhouette=True),
         "semdedup_embeddings": _kmeans_sql(semdedup=True),
         "hybrid_search_docs": r"""
             WITH dt AS (

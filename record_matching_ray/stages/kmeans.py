@@ -180,6 +180,90 @@ def kmeans_fit_predict(
     return out, cents
 
 
+def kmeans_silhouette(
+    embs: ray.data.Dataset,
+    k: int,
+    iters: int,
+    dim: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Simplified silhouette per cluster (centroid-based: a = euclidean
+    distance to own centroid, b = to the nearest OTHER centroid,
+    s = (b - a) / max(a, b)) — the O(n*k) clustering-quality score that
+    replaces exact silhouette's O(n^2) all-pairs at scale. One stateless
+    pass after kmeans_fit; per-cluster (sum, n) partials shuffle |k| rows.
+    Distances share `_seq_dists`' sequential accumulation with the SQL
+    oracle, so mean silhouette matches DuckDB to round-6.
+
+    Output: (cluster, n, mean_silhouette)."""
+    cents = kmeans_fit(embs, k, iters, dim, id_col, emb_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _emb_f64(t.column(emb_col), dim)
+        if len(x) == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "s_sum": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        d = _seq_dists(x, cents)
+        own = np.argmin(d, axis=1)  # ties -> lowest cluster, == oracle rk=1
+        rows = np.arange(len(x))
+        a = d[rows, own]
+        d2 = d.copy()
+        d2[rows, own] = np.inf
+        second = np.argmin(d2, axis=1)  # oracle rk=2 (same tie order)
+        b = d[rows, second]
+        sa, sb = np.sqrt(a), np.sqrt(b)
+        mx = np.maximum(sa, sb)
+        s = np.where(mx > 0, (sb - sa) / np.where(mx > 0, mx, 1.0), 0.0)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "cluster": pa.array(own.astype(np.int64), pa.int64()),
+                    "s": pa.array(s, pa.float64()),
+                    "one": pa.array(np.ones(len(s), np.int64), pa.int64()),
+                }
+            ),
+            "cluster",
+        ).aggregate([("s", "sum"), ("one", "sum")])
+        return g.rename_columns(["cluster", "s_sum", "n"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        embs.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum(on="s_sum", alias_name="s_sum"), Sum(on="n", alias_name="n"))
+    )
+
+    OUT = pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("n", pa.int64()),
+            ("mean_silhouette", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "s_sum" not in t.column_names:
+            return OUT.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        ss = t.column("s_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cluster": pa.compute.cast(t.column("cluster"), pa.int64()),
+                "n": pa.compute.cast(t.column("n"), pa.int64()),
+                "mean_silhouette": pa.array(np.round(ss / n, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup (Abbas et al. 2023): k-means partition, then exact cosine
 # near-dup components WITHIN each cluster; keep the min-id member.

@@ -88,3 +88,50 @@ def test_semdedup_finds_planted_duplicates():
     cl = dict(zip(res["vec_id"], res["cluster"]))
     for v, kk in keep.items():
         assert cl[v] == cl[kk]
+
+
+def test_kmeans_silhouette_vs_numpy(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    rng = np.random.default_rng(6)
+    # three well-separated blobs -> high silhouette
+    centers = np.array([[5.0, 0, 0, 0], [0, 5.0, 0, 0], [0, 0, 5.0, 0]])
+    X = np.vstack([c + rng.normal(0, 0.3, (40, 4)) for c in centers])
+    ids = np.arange(len(X))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(X.astype(np.float32).ravel(), pa.float32()), 4
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    from record_matching_ray.stages.kmeans import (
+        kmeans_fit,
+        kmeans_silhouette,
+        _seq_dists,
+    )
+
+    embs = rd.read_parquet(str(tmp_path / "embeddings.parquet"))
+    got = kmeans_silhouette(embs, k=3, iters=6, dim=4).to_pandas()
+    # numpy reference with the same centroids
+    cents = kmeans_fit(embs, 3, 6, 4)
+    d = _seq_dists(X.astype(np.float32).astype(np.float64), cents)
+    own = np.argmin(d, axis=1)
+    a = np.sqrt(d[np.arange(len(X)), own])
+    d2 = d.copy()
+    d2[np.arange(len(X)), own] = np.inf
+    b = np.sqrt(d2.min(axis=1))
+    s = (b - a) / np.maximum(a, b)
+    for _, row in got.iterrows():
+        mask = own == row["cluster"]
+        assert row["n"] == mask.sum()
+        assert abs(row["mean_silhouette"] - round(float(s[mask].mean()), 6)) <= 2e-6
+    # separated blobs should score high
+    assert (got["mean_silhouette"] > 0.7).all()
