@@ -316,6 +316,8 @@ def cmd_fold(args) -> None:
         _cfg(args),
         args.out,
         args.input_key or "",
+        append_checkpoint=bool(args.append),
+        fold_key=args.fold_key or "",
     )
     fold_out = args.fold_out or os.path.join(args.out, "fold_clusters")
     mf.write_stage(res["clusters"], fold_out, _fp(args) + ":fold")
@@ -461,6 +463,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("fold")
     sp.add_argument("--pages", required=True, help="NEW pages to fold in")
     sp.add_argument("--fold-out", dest="fold_out")
+    sp.add_argument("--append", action="store_true",
+                    help="persist this fold (features_fN/edges_fN + "
+                         "folds.json) so the next fold chains on it")
+    sp.add_argument("--fold-key", dest="fold_key", default="")
     common(sp)
     sp.set_defaults(fn=cmd_fold)
 

@@ -385,6 +385,34 @@ from record_matching_ray.pipelines.er import _restore_cluster_urls
 from record_matching_ray.state import manifest as mf
 
 
+def _fold_registry(out_dir: str) -> list[dict]:
+    """folds.json: the append-only log of fold checkpoints chained onto a
+    base run_er checkpoint. Each entry: {"n", "key", "features", "edges",
+    "fingerprint"} with stage dirs relative to out_dir."""
+    import json
+    import os
+
+    path = os.path.join(out_dir, "folds.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return json.load(f)
+
+
+def _append_fold_registry(out_dir: str, entry: dict) -> None:
+    import json
+    import os
+    import uuid
+
+    folds = _fold_registry(out_dir)
+    folds.append(entry)
+    path = os.path.join(out_dir, "folds.json")
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(folds, f, indent=1)
+    os.replace(tmp, path)
+
+
 def run_er_incremental(
     new_pages: ray.data.Dataset,
     cfg: PipelineConfig,
@@ -392,44 +420,68 @@ def run_er_incremental(
     old_input_key: str,
     weights: tuple[float, np.ndarray] | None = None,
     num_partitions: int | None = None,
+    append_checkpoint: bool = False,
+    fold_key: str = "",
 ) -> dict:
     """Fold `new_pages` into the completed `run_er(out_dir=old_out_dir,
-    input_key=old_input_key)` checkpoint. Requires the batch run's
-    `features` and `edges` stages to be complete for the same cfg
-    fingerprint (raises otherwise — an incremental fold over a stale or
+    input_key=old_input_key)` checkpoint — plus any folds already
+    APPENDED to it (folds.json). Requires the batch run's `features` and
+    `edges` stages (and every registered fold's) to be complete for the
+    same cfg fingerprint (raises otherwise — a fold over a stale or
     differently-configured checkpoint would silently mix semantics).
 
+    ``append_checkpoint=True`` persists THIS fold as a new partition
+    (features_f<N>/ + edges_f<N>/, registered in folds.json) so the next
+    increment chains on top — the append-only nightly-crawl shape: each
+    fold writes O(increment) bytes, never rewrites the corpus, and any
+    chain of folds reproduces the full-batch clustering exactly
+    (tests/test_incremental.py::test_chained_folds_equal_batch).
+
     Returns {"features_new", "pairs", "edges_new", "clusters"} where
-    clusters covers the FULL old ∪ new corpus."""
+    clusters covers the FULL corpus (base + all folds + new)."""
     import os
 
     fp = cfg.fingerprint() + ":" + old_input_key
     fdir = os.path.join(old_out_dir, "features")
     edir = os.path.join(old_out_dir, "edges")
-    for sdir, name in ((fdir, "features"), (edir, "edges")):
-        if not mf.is_complete(sdir, fp):
+    check = [(fdir, fp, "features"), (edir, fp, "edges")]
+    folds = _fold_registry(old_out_dir)
+    for fe in folds:
+        check.append((os.path.join(old_out_dir, fe["features"]),
+                      fe["fingerprint"], fe["features"]))
+        check.append((os.path.join(old_out_dir, fe["edges"]),
+                      fe["fingerprint"], fe["edges"]))
+    for sdir, want_fp, name in check:
+        if not mf.is_complete(sdir, want_fp):
             raise ValueError(
                 f"incremental fold needs a complete '{name}' checkpoint in "
-                f"{old_out_dir} for fingerprint {fp!r} — run run_er first"
+                f"{old_out_dir} for fingerprint {want_fp!r} — run run_er first"
             )
     if num_partitions is None:
         from record_matching_ray.stages.util import shuffle_partitions
 
         num_partitions = max(8, shuffle_partitions())
 
-    old_block_cols = mf.read_stage(
-        fdir, columns=["url", "host", "name", "minhash"]
-    )
-    old_edges = mf.read_stage(edir)
+    feat_dirs = [fdir] + [os.path.join(old_out_dir, fe["features"]) for fe in folds]
+    edge_dirs = [edir] + [os.path.join(old_out_dir, fe["edges"]) for fe in folds]
+
+    def read_feats(columns: list[str]) -> ray.data.Dataset:
+        ds = mf.read_stage(feat_dirs[0], columns=columns)
+        for d in feat_dirs[1:]:
+            ds = ds.union(mf.read_stage(d, columns=columns))
+        return ds
+
+    old_block_cols = read_feats(["url", "host", "name", "minhash"])
+    old_edges = mf.read_stage(edge_dirs[0])
+    for d in edge_dirs[1:]:
+        old_edges = old_edges.union(mf.read_stage(d))
 
     # S1' — features for the increment only
     new_features = build_features(new_pages, cfg).materialize()
 
     # hot hosts over the union (head domains shift as the crawl grows)
     hot = blocking.compute_hot_hosts(
-        mf.read_stage(fdir, columns=["host"]).union(
-            new_features.select_columns(["host"])
-        ),
+        read_feats(["host"]).union(new_features.select_columns(["host"])),
         cfg,
     )
 
@@ -440,9 +492,9 @@ def run_er_incremental(
 
     # S3' — score them. Payload side must cover old AND new pages (a
     # cross pair needs both sides); same counted broadcast gate as run_er.
-    payload_union = mf.read_stage(
-        fdir, columns=["url"] + blocking.PAIR_PAYLOAD
-    ).union(new_features.select_columns(["url"] + blocking.PAIR_PAYLOAD))
+    payload_union = read_feats(["url"] + blocking.PAIR_PAYLOAD).union(
+        new_features.select_columns(["url"] + blocking.PAIR_PAYLOAD)
+    )
     n_union = payload_union.count()
     if n_union <= 1_000_000 and not cfg.keep_scored and not cfg.emit_features:
         edges_new = scoring.score_pairs_fused(pairs, payload_union, cfg, weights)
@@ -467,9 +519,27 @@ def run_er_incremental(
             }
         )
 
-    url_union = mf.read_stage(fdir, columns=["url"]).union(
-        new_features.select_columns(["url"])
-    )
+    url_union = read_feats(["url"]).union(new_features.select_columns(["url"]))
+    if append_checkpoint:
+        # persist THIS fold as an appended partition BEFORE clustering so
+        # edges_new executes once (the components pass reads it back)
+        n = len(folds) + 1
+        ffold = f"features_f{n}"
+        efold = f"edges_f{n}"
+        fold_fp = fp + f":fold{n}:{fold_key}"
+        mf.write_stage(new_features, os.path.join(old_out_dir, ffold), fold_fp)
+        mf.write_stage(edges_new, os.path.join(old_out_dir, efold), fold_fp)
+        edges_new = mf.read_stage(os.path.join(old_out_dir, efold))
+        _append_fold_registry(
+            old_out_dir,
+            {
+                "n": n,
+                "key": fold_key,
+                "features": ffold,
+                "edges": efold,
+                "fingerprint": fold_fp,
+            },
+        )
     uclusters = connected_components(
         old_edges.select_columns(["left", "right"]).union(
             edges_new.select_columns(["left", "right"])

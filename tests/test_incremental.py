@@ -185,3 +185,51 @@ def test_incremental_requires_complete_checkpoint(tmp_path):
         raised = True
         assert "checkpoint" in str(e)
     assert raised
+
+
+def test_chained_folds_equal_batch(tmp_path):
+    """Three successive appended folds (the nightly-crawl chain) must
+    reproduce the full-batch clustering exactly. Each fold writes only
+    its own features/edges partition (folds.json registry)."""
+    d = str(tmp_path / "corpus")
+    write_pages_dir(d, n_pages=600, n_entities=90, seed=13)
+    pages = rd.read_parquet(f"{d}/pages")
+    labeled = rd.read_parquet(f"{d}/labeled_pairs.parquet")
+    cfg = PipelineConfig()
+    b0, w, _ = train_weights_from_labeled(build_features(pages, cfg), labeled, cfg)
+    weights = (b0, w)
+
+    full = run_er(pages, cfg, weights=weights)["clusters"]
+
+    def part_of(mod: int):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as _np
+
+            from record_matching_ray.functions.hashing import hash_strings
+
+            m = hash_strings(t.column("url").to_pylist()) % _np.uint64(4) == mod
+            return t.filter(pa.array(m))
+
+        return fn
+
+    batches = [
+        pages.map_batches(part_of(m), batch_format="pyarrow") for m in range(4)
+    ]
+    base = batches[0].union(batches[1])  # ~half the corpus as the base run
+    ck = str(tmp_path / "ck")
+    run_er(base, cfg, out_dir=ck, input_key="base", weights=weights)
+
+    # fold batch 2, appending; then fold batch 3 on top of base+fold1
+    run_er_incremental(
+        batches[2], cfg, ck, "base", weights=weights,
+        append_checkpoint=True, fold_key="b2",
+    )
+    from record_matching_ray.pipelines.incremental import _fold_registry
+
+    assert len(_fold_registry(ck)) == 1
+    final = run_er_incremental(
+        batches[3], cfg, ck, "base", weights=weights,
+        append_checkpoint=True, fold_key="b3",
+    )
+    assert len(_fold_registry(ck)) == 2
+    assert _partition_ds(final["clusters"]) == _partition_ds(full)
