@@ -285,6 +285,21 @@ def _knn_pq(sf_dir: str):
     return knn_pq(embs, Q, qids, k=10, m_sub=16, n_codes=64, rerank=8)
 
 
+def _knn_ivf_pq(sf_dir: str):
+    """IVF-PQ composite (stages/knn.py:knn_ivf_pq): 24 centroids x 22
+    probes (knn_ivf's total-recall pruning) over 16x64 PQ codes with
+    rerank=8 (knn_pq's total-recall quantization) — the re-ranked top-10
+    equals exact brute force; lossy behavior pytest-covered."""
+    from record_matching_ray.stages.knn import knn_ivf_pq, load_query_matrix
+
+    embs = _embs(sf_dir)
+    Q, qids = load_query_matrix(embs, n_queries=5)
+    return knn_ivf_pq(
+        embs, Q, qids, k=10, n_centroids=24, n_probe=22,
+        m_sub=16, n_codes=64, rerank=8,
+    )
+
+
 def _events_order_asof(sf_dir: str, direction: str = "backward"):
     """Backward as-of join: each event -> the user's latest order at or
     before the event time (custom temporal operator, stages/temporal.py).
@@ -3061,6 +3076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _knn_lsh,
         "knn_ivf": _knn_ivf,
         "knn_pq": _knn_pq,
+        "knn_ivf_pq": _knn_ivf_pq,
         "langid_docs": _langid_docs,
         "doc_distinct_estimate": _doc_distinct_estimate,
         "filtered_vector_search": _filtered_vector_search,
@@ -3803,6 +3819,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _KNN_SQL,
         "knn_ivf": _KNN_SQL,
         "knn_pq": _KNN_SQL,
+        "knn_ivf_pq": _KNN_SQL,
         "ngram_jaccard_docs": _NGRAM_JACCARD_SQL,
         "minhash_neardup_docs": _MINHASH_NEARDUP_SQL,
         "er_clusters_documents": _ER_CLUSTERS_SQL,

@@ -440,3 +440,34 @@ def test_knn_pq_recall_and_exact_rerank():
     # deterministic
     again = knn_pq(embs, Q, qids, k=10, codebooks=B2, rerank=4)
     assert lossy.equals(again)
+
+
+def test_knn_ivf_pq_composite():
+    import ray.data as rd
+    from record_matching_ray.stages.knn import (
+        knn_bruteforce, knn_ivf_pq, load_query_matrix,
+    )
+
+    embs = rd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    ).materialize()
+    Q, qids = load_query_matrix(embs, n_queries=5)
+    exact = knn_bruteforce(embs, Q, qids, k=10)
+    # total-recall config: equal to brute force
+    full = knn_ivf_pq(
+        embs, Q, qids, k=10, n_centroids=16, n_probe=16,
+        m_sub=16, n_codes=64, rerank=8,
+    )
+    assert full.equals(exact)
+    # lossy pruning + lossy codes: useful recall, exact re-ranked scores
+    lossy = knn_ivf_pq(
+        embs, Q, qids, k=10, n_centroids=16, n_probe=8,
+        m_sub=8, n_codes=16, rerank=4,
+    )
+    ex = {(r["qid"], r["nid"]): r["cos_sim"] for r in exact.to_pylist()}
+    ap = {(r["qid"], r["nid"]): r["cos_sim"] for r in lossy.to_pylist()}
+    recall = len(set(ex) & set(ap)) / len(ex)
+    assert recall >= 0.4, f"IVF-PQ recall@10 = {recall}"
+    for key in set(ex) & set(ap):
+        assert ex[key] == ap[key]
