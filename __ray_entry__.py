@@ -816,6 +816,35 @@ def _kmeans_embeddings(sf_dir: str):
     return out
 
 
+def _doc_shard_assign(sf_dir: str):
+    """Rendezvous-hash consistent shard placement (stages/sharding.py):
+    shard = argmax over s of md5_lower64(f"{doc_id}:{s}") — resize
+    relocates only ~1/(S+1) of keys (pytest-covered); the oracle
+    recomputes the same argmax via generate_series + window rank."""
+    from record_matching_ray.stages.sharding import shard_assign
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return shard_assign(docs, "doc_id", n_shards=8)
+
+
+_DOC_SHARD_SQL = """
+WITH w AS (
+  SELECT d.doc_id, s.s AS shard,
+         md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':'
+                          || CAST(s.s AS VARCHAR)) AS wt
+  FROM documents d CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS s) s
+), r AS (
+  SELECT doc_id, shard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY wt DESC, shard ASC) AS rk
+  FROM w
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard FROM r WHERE rk = 1
+"""
+
+
 def _kmeans_silhouette(sf_dir: str):
     """Per-cluster simplified silhouette over the k-means partition
     (stages/kmeans.kmeans_silhouette) — the O(n*k) quality score; the
@@ -3043,6 +3072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_soft_tfidf": _part_soft_tfidf,
         "kmeans_embeddings": _kmeans_embeddings,
         "kmeans_silhouette": _kmeans_silhouette,
+        "doc_shard_assign": _doc_shard_assign,
         "semdedup_embeddings": _semdedup_embeddings,
         "doc_chunks": _doc_chunks,
         "doc_bigram_logprob": _doc_bigram_logprob,
@@ -3391,6 +3421,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_embeddings": _kmeans_sql(),
         "kmeans_silhouette": _kmeans_sql(silhouette=True),
+        "doc_shard_assign": _DOC_SHARD_SQL,
         "semdedup_embeddings": _kmeans_sql(semdedup=True),
         "hybrid_search_docs": r"""
             WITH dt AS (

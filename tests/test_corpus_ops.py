@@ -754,3 +754,27 @@ def test_events_decayed_counts_vs_numpy(tmp_path):
         exp = np.exp(-age_h / 72.0).sum()
         assert abs(got.loc[ty, "decayed_count"] - round(float(exp), 6)) <= 2e-6
         assert got.loc[ty, "n"] == (types == ty).sum()
+
+
+def test_rendezvous_shard_consistency():
+    """The consistent-hashing property: growing S -> S+1 relocates only
+    the keys won by the NEW shard (~1/(S+1)); every other key keeps its
+    shard. Balance stays near-uniform."""
+    import numpy as np
+
+    from record_matching_ray.stages.sharding import rendezvous_shard
+
+    keys = list(range(5000))
+    s8 = rendezvous_shard(keys, 8)
+    s9 = rendezvous_shard(keys, 9)
+    moved = s8 != s9
+    # every moved key moved TO the new shard (id 8), never between old ones
+    assert (s9[moved] == 8).all()
+    frac = moved.mean()
+    assert 0.06 <= frac <= 0.17, frac  # ~1/9 expected
+    # near-uniform balance at S=8
+    counts = np.bincount(s8, minlength=8)
+    assert counts.min() > 0.7 * len(keys) / 8
+    assert counts.max() < 1.3 * len(keys) / 8
+    # deterministic
+    assert (rendezvous_shard(keys, 8) == s8).all()
