@@ -816,6 +816,37 @@ def _kmeans_embeddings(sf_dir: str):
     return out
 
 
+def _lineitem_skyline(sf_dir: str):
+    """Pareto frontier of lineitems: minimize extended price, maximize
+    quantity (stages/skyline.py — batch-local frontiers + bounded driver
+    merge). Oracle: the same per-x group-min + exclusive prefix-min
+    window formulation of 2D dominance."""
+    from record_matching_ray.stages.skyline import skyline_2d
+
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice", "l_quantity"]
+    )
+    return skyline_2d(items, "l_extendedprice", "l_quantity", maximize_y=True)
+
+
+_LINEITEM_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+         -CAST(l_quantity AS DOUBLE) AS y
+  FROM lineitem
+), d AS (
+  SELECT x, MIN(y) AS gy FROM pts GROUP BY x
+), c AS (
+  SELECT x, gy, MIN(gy) OVER (ORDER BY x ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+  FROM d
+)
+SELECT p.x AS l_extendedprice, -p.y AS l_quantity
+FROM pts p JOIN c USING (x)
+WHERE p.y = c.gy AND (c.pmin IS NULL OR p.y < c.pmin)
+"""
+
+
 def _doc_shard_assign(sf_dir: str):
     """Rendezvous-hash consistent shard placement (stages/sharding.py):
     shard = argmax over s of md5_lower64(f"{doc_id}:{s}") — resize
@@ -3073,6 +3104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _kmeans_embeddings,
         "kmeans_silhouette": _kmeans_silhouette,
         "doc_shard_assign": _doc_shard_assign,
+        "lineitem_skyline": _lineitem_skyline,
         "semdedup_embeddings": _semdedup_embeddings,
         "doc_chunks": _doc_chunks,
         "doc_bigram_logprob": _doc_bigram_logprob,
@@ -3126,6 +3158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_moments": an.orders_price_moments,
         "events_decayed_counts": an.events_decayed_counts,
         "orders_checksum": an.orders_checksum,
+        "lineitem_price_regression": an.lineitem_price_regression,
         "user_sessions": _user_sessions,
         "events_hopping": _events_hopping,
         "order_price_quantiles": _order_price_quantiles,
@@ -3422,6 +3455,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _kmeans_sql(),
         "kmeans_silhouette": _kmeans_sql(silhouette=True),
         "doc_shard_assign": _DOC_SHARD_SQL,
+        "lineitem_skyline": _LINEITEM_SKYLINE_SQL,
         "semdedup_embeddings": _kmeans_sql(semdedup=True),
         "hybrid_search_docs": r"""
             WITH dt AS (
@@ -4150,6 +4184,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_moments": an.ORDERS_PRICE_MOMENTS_SQL,
         "events_decayed_counts": an.EVENTS_DECAYED_SQL,
         "orders_checksum": an.ORDERS_CHECKSUM_SQL,
+        "lineitem_price_regression": an.LINEITEM_REGRESSION_SQL,
         "doc_weighted_sample": """
             WITH keyed AS (
               SELECT doc_id, n_chars,

@@ -2020,6 +2020,133 @@ GROUP BY o_orderpriority
 """
 
 
+def lineitem_price_regression(sf_dir: str) -> ray.data.Dataset:
+    """Per-group ordinary least squares: slope/intercept/R² of extended
+    price regressed on quantity, per l_linestatus — the REGR_* aggregate
+    family next to lineitem_price_qty_corr's Pearson r. Same two-pass
+    centered-sums scheme as orders_price_moments (raw power sums of
+    1e5-magnitude prices lose ~all significant digits in the n*sxx -
+    sx^2 subtraction; centered sums against broadcast means are exact to
+    the last few ulps, matching DuckDB's streaming covariance to
+    round-6)."""
+    items = _read(sf_dir, "lineitem", ["l_linestatus", "l_quantity",
+                                       "l_extendedprice"])
+
+    def count_sum(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "g": t.column("l_linestatus"),
+                    "x": pc.cast(t.column("l_quantity"), pa.float64()),
+                    "y": pc.cast(t.column("l_extendedprice"), pa.float64()),
+                }
+            ),
+            "g",
+        ).aggregate([("x", "count"), ("x", "sum"), ("y", "sum")])
+        return g.rename_columns(["g", "cnt", "sx", "sy"])
+
+    from ray.data.aggregate import Sum
+
+    base = (
+        items.map_batches(count_sum, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum(on="cnt", alias_name="cnt"),
+            Sum(on="sx", alias_name="sx"),
+            Sum(on="sy", alias_name="sy"),
+        )
+        .to_pandas()  # driver-bounded: one row per status
+    )
+    stats = {
+        r["g"]: (int(r["cnt"]), r["sx"] / r["cnt"], r["sy"] / r["cnt"])
+        for _, r in base.iterrows()
+    }
+    import ray as _ray
+
+    ref = _ray.put(stats)
+
+    def centered(t: pa.Table) -> pa.Table:
+        m = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        gs = t.column("l_linestatus").to_pylist()
+        x = pc.cast(t.column("l_quantity"), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        y = pc.cast(t.column("l_extendedprice"), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        mx = np.array([m[g][1] for g in gs])
+        my = np.array([m[g][2] for g in gs])
+        dx, dy = x - mx, y - my
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "g": pa.array(gs, pa.string()),
+                    "sxx": pa.array(dx * dx, pa.float64()),
+                    "syy": pa.array(dy * dy, pa.float64()),
+                    "sxy": pa.array(dx * dy, pa.float64()),
+                }
+            ),
+            "g",
+        ).aggregate([("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        return g.rename_columns(["g", "sxx", "syy", "sxy"])
+
+    sums = (
+        items.map_batches(centered, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum(on="sxx", alias_name="sxx"),
+            Sum(on="syy", alias_name="syy"),
+            Sum(on="sxy", alias_name="sxy"),
+        )
+    )
+
+    OUT = pa.schema(
+        [
+            ("l_linestatus", pa.string()),
+            ("slope", pa.float64()),
+            ("intercept", pa.float64()),
+            ("r2", pa.float64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sxx" not in t.column_names:
+            return OUT.empty_table()
+        gs = t.column("g").to_pylist()
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        syy = t.column("syy").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        mx = np.array([stats[g][1] for g in gs])
+        my = np.array([stats[g][2] for g in gs])
+        n = np.array([stats[g][0] for g in gs], dtype=np.int64)
+        slope = sxy / sxx
+        intercept = my - slope * mx
+        r2 = (sxy * sxy) / (sxx * syy)
+        return pa.table(
+            {
+                "l_linestatus": pa.array(gs, pa.string()),
+                "slope": pa.array(np.round(slope, 6), pa.float64()),
+                "intercept": pa.array(np.round(intercept, 6), pa.float64()),
+                "r2": pa.array(np.round(r2, 6), pa.float64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+LINEITEM_REGRESSION_SQL = """
+SELECT l_linestatus,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
 def events_decayed_counts(sf_dir: str, tau_hours: float = 72.0) -> ray.data.Dataset:
     """Exponentially time-decayed event counts per type: each event
     contributes exp(-(t_max - ts) / tau) — the standard recency-weighted

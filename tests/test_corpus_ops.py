@@ -778,3 +778,76 @@ def test_rendezvous_shard_consistency():
     assert counts.max() < 1.3 * len(keys) / 8
     # deterministic
     assert (rendezvous_shard(keys, 8) == s8).all()
+
+
+def test_skyline_2d_vs_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.stages.skyline import skyline_2d
+
+    rng = np.random.default_rng(12)
+    x = rng.integers(0, 50, 400).astype(np.float64)
+    y = rng.integers(0, 50, 400).astype(np.float64)
+    # plant exact duplicates of a likely-frontier point
+    x[:3] = 0.0
+    y[:3] = 49.0  # maximize_y: (0, 49) should be on the frontier twice+
+    ds = rd.from_arrow(
+        pa.table({"a": pa.array(x), "b": pa.array(y)})
+    ).repartition(7)
+    got = skyline_2d(ds, "a", "b", maximize_y=True)
+    gx = got.column("a").to_numpy(zero_copy_only=False)
+    gy = got.column("b").to_numpy(zero_copy_only=False)
+
+    # brute-force dominance check: minimize a, maximize b
+    def dominated(i):
+        return (
+            (x <= x[i]) & (y >= y[i]) & ((x < x[i]) | (y > y[i]))
+        ).any()
+
+    expect = sorted(
+        (x[i], y[i]) for i in range(len(x)) if not dominated(i)
+    )
+    assert sorted(zip(gx, gy)) == expect
+    # all planted duplicates of the frontier point survive (dominance is
+    # strict-in-one: identical points never dominate each other)
+    assert sum(1 for p in zip(gx, gy) if p == (0.0, 49.0)) >= 3
+
+
+def test_lineitem_price_regression_vs_numpy(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(21)
+    st = np.array(["O", "F"])[rng.integers(0, 2, 500)]
+    q = rng.integers(1, 50, 500).astype(np.float64)
+    price = 900.0 * q + rng.normal(0, 500, 500)
+    pq.write_table(
+        pa.table(
+            {
+                "l_linestatus": pa.array(st),
+                "l_quantity": pa.array(q),
+                "l_extendedprice": pa.array(price),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    from record_matching_ray.pipelines.analytics import lineitem_price_regression
+
+    got = (
+        lineitem_price_regression(str(tmp_path))
+        .to_pandas()
+        .set_index("l_linestatus")
+    )
+    for s in ("O", "F"):
+        x, y = q[st == s], price[st == s]
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        row = got.loc[s]
+        assert abs(row["slope"] - slope) < 1e-4
+        assert abs(row["intercept"] - intercept) < 1e-2
+        assert abs(row["r2"] - r * r) < 1e-6
+        assert row["n"] == len(x)
+        assert 850 < row["slope"] < 950  # recovers the planted coefficient
