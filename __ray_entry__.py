@@ -3159,6 +3159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decayed_counts": an.events_decayed_counts,
         "orders_checksum": an.orders_checksum,
         "lineitem_price_regression": an.lineitem_price_regression,
+        "orders_kanonymity": an.orders_kanonymity,
         "user_sessions": _user_sessions,
         "events_hopping": _events_hopping,
         "order_price_quantiles": _order_price_quantiles,
@@ -4185,6 +4186,7 @@ def oracle_sql() -> dict[str, str]:
         "events_decayed_counts": an.EVENTS_DECAYED_SQL,
         "orders_checksum": an.ORDERS_CHECKSUM_SQL,
         "lineitem_price_regression": an.LINEITEM_REGRESSION_SQL,
+        "orders_kanonymity": an.ORDERS_KANON_SQL,
         "doc_weighted_sample": """
             WITH keyed AS (
               SELECT doc_id, n_chars,

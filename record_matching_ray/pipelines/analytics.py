@@ -2020,6 +2020,77 @@ GROUP BY o_orderpriority
 """
 
 
+def orders_kanonymity(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """k-anonymity audit over a quasi-identifier tuple (priority, order
+    month): how identifiable is a row from its quasi-identifiers alone?
+    Output: one summary row (n_groups, n_violating groups with < k
+    members, n_rows_at_risk, min_group_size) — the data-governance gate
+    a release pipeline runs before publishing. Partial per-batch counts,
+    one |groups|-row shuffle, driver-bounded summary."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        months = pc.strftime(
+            pc.cast(t.column("o_orderdate"), pa.timestamp("us")), format="%Y-%m"
+        )
+        g = pa.TableGroupBy(
+            pa.table({"qp": t.column("o_orderpriority"), "qm": months}),
+            ["qp", "qm"],
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["qp", "qm", "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    groups = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["qp", "qm"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+    )
+
+    OUT = pa.schema(
+        [
+            ("n_groups", pa.int64()),
+            ("n_violating", pa.int64()),
+            ("n_rows_at_risk", pa.int64()),
+            ("min_group_size", pa.int64()),
+        ]
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cnt" not in t.column_names:
+            return OUT.empty_table()
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        viol = c < k
+        return pa.table(
+            {
+                "n_groups": pa.array([len(c)], pa.int64()),
+                "n_violating": pa.array([int(viol.sum())], pa.int64()),
+                "n_rows_at_risk": pa.array([int(c[viol].sum())], pa.int64()),
+                "min_group_size": pa.array([int(c.min())], pa.int64()),
+            }
+        )
+
+    # group-bounded relation (|priorities| x |months|) — one block
+    return groups.repartition(1).map_batches(
+        summarize, batch_format="pyarrow", batch_size=None
+    )
+
+
+ORDERS_KANON_SQL = """
+WITH g AS (
+  SELECT o_orderpriority, strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS m,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(COALESCE(SUM(CASE WHEN cnt < 5 THEN cnt END), 0) AS BIGINT)
+         AS n_rows_at_risk,
+       MIN(cnt) AS min_group_size
+FROM g
+"""
+
+
 def lineitem_price_regression(sf_dir: str) -> ray.data.Dataset:
     """Per-group ordinary least squares: slope/intercept/R² of extended
     price regressed on quantity, per l_linestatus — the REGR_* aggregate

@@ -851,3 +851,31 @@ def test_lineitem_price_regression_vs_numpy(tmp_path):
         assert abs(row["r2"] - r * r) < 1e-6
         assert row["n"] == len(x)
         assert 850 < row["slope"] < 950  # recovers the planted coefficient
+
+
+def test_orders_kanonymity_counts(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # priorities x months: one group of 2 (violates k=5), one of 7
+    pr = ["A"] * 2 + ["B"] * 7
+    dates = np.array(
+        ["2024-01-15"] * 2 + ["2024-02-10"] * 7, dtype="datetime64[us]"
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderpriority": pa.array(pr),
+                "o_orderdate": pa.array(dates, pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    from record_matching_ray.pipelines.analytics import orders_kanonymity
+
+    row = orders_kanonymity(str(tmp_path), k=5).to_pandas().iloc[0]
+    assert row["n_groups"] == 2
+    assert row["n_violating"] == 1
+    assert row["n_rows_at_risk"] == 2
+    assert row["min_group_size"] == 2
