@@ -3015,6 +3015,34 @@ def _customer_mutual_best(sf_dir: str):
     return mutual_best_pairs(cand, score_col="jw")
 
 
+def _customer_damerau(sf_dir: str):
+    """Full Damerau-Levenshtein SNM join (stages/editjoin.dl_window_join):
+    customer-name pairs within 6 sorted ranks at DL distance <= 4. The
+    oracle recomputes the window and DuckDB's own damerau_levenshtein
+    (unrestricted Lowrance-Wagner transpositions — the engine kernel is
+    property-tested bit-identical to it)."""
+    from record_matching_ray.stages.editjoin import dl_window_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return dl_window_join(cust, "c_custkey", "c_name", window=6, max_dist=4)
+
+
+_CUSTOMER_DAMERAU_SQL = """
+WITH ranked AS (
+  SELECT c_custkey, c_name,
+         ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) - 1 AS rn
+  FROM customer
+)
+SELECT LEAST(a.c_custkey, b.c_custkey) AS "left",
+       GREATEST(a.c_custkey, b.c_custkey) AS "right",
+       damerau_levenshtein(a.c_name, b.c_name) AS dl
+FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 5
+WHERE damerau_levenshtein(a.c_name, b.c_name) <= 4
+"""
+
+
 _BLOCKLIST_PHRASES = ["slow join", "the customer", "vector"]
 
 
@@ -3160,6 +3188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_checksum": an.orders_checksum,
         "lineitem_price_regression": an.lineitem_price_regression,
         "orders_kanonymity": an.orders_kanonymity,
+        "customer_damerau": _customer_damerau,
         "user_sessions": _user_sessions,
         "events_hopping": _events_hopping,
         "order_price_quantiles": _order_price_quantiles,
@@ -4187,6 +4216,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_checksum": an.ORDERS_CHECKSUM_SQL,
         "lineitem_price_regression": an.LINEITEM_REGRESSION_SQL,
         "orders_kanonymity": an.ORDERS_KANON_SQL,
+        "customer_damerau": _CUSTOMER_DAMERAU_SQL,
         "doc_weighted_sample": """
             WITH keyed AS (
               SELECT doc_id, n_chars,

@@ -77,6 +77,50 @@ def levenshtein(s1: str, s2: str) -> int:
     return prev[-1]
 
 
+def damerau_levenshtein(s1: str, s2: str) -> int:
+    """FULL Damerau-Levenshtein (Lowrance-Wagner 1975: unrestricted
+    transpositions via the per-character last-occurrence table) — NOT the
+    optimal-string-alignment restriction: dl("CA","ABC") == 2, where OSA
+    gives 3. Matches DuckDB's damerau_levenshtein(), so SNM joins built
+    on it are SQL-checkable."""
+    if s1 == s2:
+        return 0
+    la, lb = len(s1), len(s2)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    maxd = la + lb
+    da: dict[str, int] = {}
+    # (la+2) x (lb+2) DP with the -1/0 border rows of Lowrance-Wagner
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxd
+    for i in range(la + 1):
+        d[i + 1][0] = maxd
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxd
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(s2[j - 1], 0)
+            l = db
+            if s1[i - 1] == s2[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,               # substitution
+                d[i + 1][j] + 1,              # insertion
+                d[i][j + 1] + 1,              # deletion
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transposition
+            )
+        da[s1[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
 def levenshtein_ratio(s1: str, s2: str) -> float:
     """1 - d/maxlen, the reference's name similarity (poc1:588-603)."""
     if not s1 and not s2:
@@ -137,6 +181,12 @@ def jaro_winkler_batch(left, right) -> np.ndarray:
 
 def token_set_levenshtein_batch(left, right) -> np.ndarray:
     return _pairwise_batch(token_set_levenshtein, np.asarray(left, object), np.asarray(right, object))
+
+
+def damerau_levenshtein_batch(left, right) -> np.ndarray:
+    return _pairwise_batch(
+        damerau_levenshtein, np.asarray(left, object), np.asarray(right, object)
+    )
 
 
 def jaccard_tokens_batch(left, right) -> np.ndarray:

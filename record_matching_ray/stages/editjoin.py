@@ -263,6 +263,48 @@ def jw_window_join(
     return pairs.map_batches(verify, batch_format="pyarrow")
 
 
+def dl_window_join(
+    ds: ray.data.Dataset,
+    id_col: str,
+    str_col: str,
+    window: int = 6,
+    max_dist: int = 4,
+) -> ray.data.Dataset:
+    """Damerau-Levenshtein similarity join under sorted-neighborhood
+    candidates: pairs within `window` ranks (ORDER BY str, id) whose FULL
+    Damerau-Levenshtein distance (unrestricted transpositions,
+    functions/strsim.damerau_levenshtein — matches DuckDB's
+    damerau_levenshtein bit for bit, property-tested on 3000 random
+    pairs) is <= max_dist. Same SNM machinery and recall trade-off as
+    jw_window_join. Output: (left, right, dl)."""
+    from record_matching_ray.functions.strsim import damerau_levenshtein_batch
+    from record_matching_ray.stages.fellegi import sorted_neighborhood_pairs
+
+    pairs = sorted_neighborhood_pairs(
+        ds, sort_col=str_col, tie_col=id_col, payload_cols=[id_col],
+        window=window,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column(f"l_{str_col}").to_pylist()
+        b = t.column(f"r_{str_col}").to_pylist()
+        dl = damerau_levenshtein_batch(a, b).astype(np.int64)
+        keep = dl <= max_dist
+        li = t.column(f"l_{id_col}").to_numpy(zero_copy_only=False)
+        ri = t.column(f"r_{id_col}").to_numpy(zero_copy_only=False)
+        lo = np.minimum(li, ri)[keep]
+        hi = np.maximum(li, ri)[keep]
+        return pa.table(
+            {
+                "left": pa.array(lo, pa.int64()),
+                "right": pa.array(hi, pa.int64()),
+                "dl": pa.array(dl[keep], pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Exact set-similarity self-join: prefix filtering (AllPairs / PPJoin)
 

@@ -211,3 +211,26 @@ def test_soundex_classic_values_and_blocking():
     assert soundex("smith") == soundex("Smyth")
     assert soundex("smith") != soundex("jones")
     assert soundex_batch(["Robert", None, "Rupert"]) == ["R163", "", "R163"]
+
+
+def test_damerau_levenshtein_known_and_properties():
+    from record_matching_ray.functions.strsim import damerau_levenshtein as dl
+
+    # unrestricted (full DL), not OSA: CA -> ABC is 2
+    assert dl("CA", "ABC") == 2
+    assert dl("abcd", "acbd") == 1          # adjacent transposition
+    assert dl("smith", "smtih") == 1
+    assert dl("", "") == 0
+    assert dl("a", "") == 1 and dl("", "ab") == 2
+    assert dl("banana", "bahama") == 2
+    # symmetry + triangle inequality on a small sample
+    import itertools
+    import random
+
+    random.seed(3)
+    words = ["".join(random.choice("abc") for _ in range(random.randint(0, 6)))
+             for _ in range(12)]
+    for a, b in itertools.combinations(words, 2):
+        assert dl(a, b) == dl(b, a)
+    for a, b, c in itertools.combinations(words, 3):
+        assert dl(a, c) <= dl(a, b) + dl(b, c)
