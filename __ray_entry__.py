@@ -3015,6 +3015,51 @@ def _customer_mutual_best(sf_dir: str):
     return mutual_best_pairs(cand, score_col="jw")
 
 
+def _user_status_history(sf_dir: str):
+    """SCD2 dimension history (stages/temporal.scd2_intervals): per-user
+    event-type runs collapsed to validity intervals, valid_to NULL while
+    current. Oracle: the LAG run-start filter + LEAD next-start window
+    pair over the same (ts, event_id) tie order."""
+    from record_matching_ray.stages.temporal import scd2_intervals
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return scd2_intervals(events)
+
+
+_USER_STATUS_HISTORY_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_state
+  FROM events
+), st AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN prev_state IS NULL OR prev_state <> event_type
+              THEN 1 ELSE 0 END AS is_start
+  FROM s
+), runs AS (
+  SELECT user_id, event_type, ts,
+         SUM(is_start) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM st
+), agg AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+         ANY_VALUE(event_type) AS event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       n_events
+FROM agg
+"""
+
+
 def _customer_damerau(sf_dir: str):
     """Full Damerau-Levenshtein SNM join (stages/editjoin.dl_window_join):
     customer-name pairs within 6 sorted ranks at DL distance <= 4. The
@@ -3189,6 +3234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_regression": an.lineitem_price_regression,
         "orders_kanonymity": an.orders_kanonymity,
         "customer_damerau": _customer_damerau,
+        "user_status_history": _user_status_history,
         "user_sessions": _user_sessions,
         "events_hopping": _events_hopping,
         "order_price_quantiles": _order_price_quantiles,
@@ -4217,6 +4263,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_price_regression": an.LINEITEM_REGRESSION_SQL,
         "orders_kanonymity": an.ORDERS_KANON_SQL,
         "customer_damerau": _CUSTOMER_DAMERAU_SQL,
+        "user_status_history": _USER_STATUS_HISTORY_SQL,
         "doc_weighted_sample": """
             WITH keyed AS (
               SELECT doc_id, n_chars,

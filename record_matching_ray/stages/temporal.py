@@ -265,6 +265,78 @@ def sessionize(
     )
 
 
+def scd2_intervals(
+    events: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tie_col: str = "event_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Slowly-changing-dimension type-2 history: collapse each key's
+    event stream into state validity intervals — one row per run of the
+    same state, (key, state, valid_from = run's first ts, valid_to = next
+    run's first ts, NULL while current). The standard dimension-history
+    build a warehouse runs after CDC ingest.
+
+    Same hash-partition-by-key + lexsort sweep as sessionize; ties at
+    equal ts break by tie_col so the run structure is deterministic under
+    any input order (the SQL mirror orders by the same (ts, tie) pair)."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(keys.astype(_U64)) % _U64(P)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "k": pa.array(keys, pa.int64()),
+                "t": t.column(ts_col),
+                "tie": pc.cast(t.column(tie_col), pa.int64()),
+                "state": t.column(state_col),
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        keys = g.column("k").to_numpy(zero_copy_only=False)
+        ts = g.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        tie = g.column("tie").to_numpy(zero_copy_only=False)
+        states = np.asarray(g.column("state").to_pylist(), dtype=object)
+        order = np.lexsort((tie, ts, keys))
+        k_s, t_s, s_s = keys[order], ts[order], states[order]
+        n = len(order)
+        new_run = np.ones(n, dtype=bool)
+        if n > 1:
+            new_run[1:] = (k_s[1:] != k_s[:-1]) | (s_s[1:] != s_s[:-1])
+        starts = np.nonzero(new_run)[0]
+        ends = np.append(starts[1:], n)
+        # valid_to = next run's start ts within the same key, else NULL
+        vt = np.empty(len(starts), dtype="datetime64[us]")
+        same_key = np.zeros(len(starts), dtype=bool)
+        if len(starts) > 1:
+            same_key[:-1] = k_s[starts[1:]] == k_s[starts[:-1]]
+            vt[:-1] = t_s[starts[1:]]
+        return pa.table(
+            {
+                key_col: pa.array(k_s[starts], pa.int64()),
+                state_col: pa.array(list(s_s[starts]), pa.string()),
+                "valid_from": pa.array(t_s[starts], pa.timestamp("us")),
+                "valid_to": pa.array(vt, pa.timestamp("us"), mask=~same_key),
+                "n_events": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
 def hopping_window(
     events: ray.data.Dataset,
     ts_col: str = "ts",

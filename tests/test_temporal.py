@@ -446,3 +446,45 @@ def test_dist_rank_per_group_sql_semantics():
             peers_through = sum(1 for w, _ in members if w >= v)
             pr = 0.0 if n == 1 else (rank - 1) / (n - 1)
             assert got[i] == (pr, peers_through / n), (k, i)
+
+
+def test_scd2_intervals_runs_and_validity():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.stages.temporal import scd2_intervals
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3_600_000_000, "us")
+    rows = [
+        # user 1: A A B A  -> 3 runs
+        (1, 1, base + 0 * h, "A"),
+        (2, 1, base + 1 * h, "A"),
+        (3, 1, base + 2 * h, "B"),
+        (4, 1, base + 3 * h, "A"),
+        # user 2: single state, current forever
+        (5, 2, base + 0 * h, "C"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = sorted(
+        scd2_intervals(ds).take_all(),
+        key=lambda r: (r["user_id"], r["valid_from"]),
+    )
+    assert len(out) == 4
+    r1, r2, r3, r4 = out
+    assert (r1["event_type"], r1["n_events"]) == ("A", 2)
+    assert np.datetime64(r1["valid_to"], "us") == base + 2 * h
+    assert (r2["event_type"], r2["n_events"]) == ("B", 1)
+    assert np.datetime64(r2["valid_to"], "us") == base + 3 * h
+    assert (r3["event_type"], r3["valid_to"]) == ("A", None)  # current
+    assert (r4["user_id"], r4["valid_to"]) == (2, None)
