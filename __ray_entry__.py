@@ -3235,6 +3235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_kanonymity": an.orders_kanonymity,
         "customer_damerau": _customer_damerau,
         "user_status_history": _user_status_history,
+        "orders_fd_check": an.orders_fd_check,
+        "lineitem_fk_check": an.lineitem_fk_check,
         "user_sessions": _user_sessions,
         "events_hopping": _events_hopping,
         "order_price_quantiles": _order_price_quantiles,
@@ -4264,6 +4266,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_kanonymity": an.ORDERS_KANON_SQL,
         "customer_damerau": _CUSTOMER_DAMERAU_SQL,
         "user_status_history": _USER_STATUS_HISTORY_SQL,
+        "orders_fd_check": an.ORDERS_FD_SQL,
+        "lineitem_fk_check": an.LINEITEM_FK_SQL,
         "doc_weighted_sample": """
             WITH keyed AS (
               SELECT doc_id, n_chars,

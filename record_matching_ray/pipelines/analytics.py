@@ -2020,6 +2020,185 @@ GROUP BY o_orderpriority
 """
 
 
+def orders_fd_check(sf_dir: str) -> ray.data.Dataset:
+    """Functional-dependency profiling: does X determine Y? For each
+    candidate FD, count determinant groups with >1 distinct dependent
+    value (violations). Checked FDs over orders: o_custkey ->
+    o_orderpriority (expected to fail — customers change priority) and
+    o_orderkey -> o_orderstatus (expected to hold — key determines all).
+    Per-batch (X, Y) distinct partials, one group shuffle bounded by
+    |distinct (X, Y)|, driver-bounded per-FD summary."""
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority",
+                           "o_orderstatus"]
+    )
+    fds = [
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderkey", "o_orderstatus"),
+    ]
+
+    from ray.data.aggregate import Sum
+
+    rows = []
+    for det, dep in fds:
+        def partial(t: pa.Table, det=det, dep=dep) -> pa.Table:
+            g = pa.TableGroupBy(
+                pa.table(
+                    {
+                        "x": pc.cast(t.column(det), pa.string()),
+                        "y": pc.cast(t.column(dep), pa.string()),
+                    }
+                ),
+                ["x", "y"],
+            ).aggregate([([], "count_all")])
+            return g.rename_columns(["x", "y", "cnt"])
+
+        pairs = (
+            orders.map_batches(partial, batch_format="pyarrow")
+            .groupby(["x", "y"])
+            .aggregate(Sum(on="cnt", alias_name="cnt"))
+        )
+
+        def count_viol(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "x" not in t.column_names:
+                return pa.table(
+                    {
+                        "n_groups": pa.array([], pa.int64()),
+                        "n_violating": pa.array([], pa.int64()),
+                    }
+                )
+            xs = np.asarray(t.column("x").to_pylist(), dtype=object)
+            ux, counts = np.unique(xs, return_counts=True)
+            return pa.table(
+                {
+                    "n_groups": pa.array([len(ux)], pa.int64()),
+                    "n_violating": pa.array([int((counts > 1).sum())], pa.int64()),
+                }
+            )
+
+        # distinct (x, y) relation is group-bounded: one block, one pass
+        agg = (
+            pairs.repartition(1)
+            .map_batches(count_viol, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        rows.append(
+            {
+                "determinant": det,
+                "dependent": dep,
+                "n_groups": int(agg["n_groups"][0]),
+                "n_violating": int(agg["n_violating"][0]),
+                "holds": bool(agg["n_violating"][0] == 0),
+            }
+        )
+    import pandas as pd
+
+    return pd.DataFrame(rows)
+
+
+ORDERS_FD_SQL = """
+WITH fd1 AS (
+  SELECT COUNT(*) AS n_groups,
+         CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS d
+        FROM orders GROUP BY 1)
+), fd2 AS (
+  SELECT COUNT(*) AS n_groups,
+         CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+  FROM (SELECT o_orderkey, COUNT(DISTINCT o_orderstatus) AS d
+        FROM orders GROUP BY 1)
+)
+SELECT 'o_custkey' AS determinant, 'o_orderpriority' AS dependent,
+       n_groups, n_violating, n_violating = 0 AS holds FROM fd1
+UNION ALL
+SELECT 'o_orderkey', 'o_orderstatus', n_groups, n_violating,
+       n_violating = 0 FROM fd2
+"""
+
+
+def lineitem_fk_check(sf_dir: str) -> ray.data.Dataset:
+    """Inclusion-dependency (foreign-key) audit: every
+    lineitem.l_orderkey must exist in orders.o_orderkey. Fully
+    distributed — no driver key set: per-batch distinct (key, f, d)
+    tag partials from both sides, ONE hash shuffle on key, then a
+    3-counter reduction (a key is an orphan iff it has fact tags and no
+    dim tag). No join operator, no empty-partition hazard. Output: one
+    summary row (n_fact_keys, n_dim_keys, n_orphan_keys)."""
+    from ray.data.aggregate import Sum
+
+    def tag(col: str, f: int, d: int):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = np.unique(t.column(col).to_numpy(zero_copy_only=False))
+            n = len(keys)
+            return pa.table(
+                {
+                    "k": pa.array(keys, pa.int64()),
+                    "f": pa.array(np.full(n, f, np.int64), pa.int64()),
+                    "d": pa.array(np.full(n, d, np.int64), pa.int64()),
+                }
+            )
+
+        return fn
+
+    fact = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        tag("l_orderkey", 1, 0), batch_format="pyarrow"
+    )
+    dim = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        tag("o_orderkey", 0, 1), batch_format="pyarrow"
+    )
+    per_key = (
+        fact.union(dim)
+        .groupby("k")
+        .aggregate(Sum(on="f", alias_name="f"), Sum(on="d", alias_name="d"))
+    )
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "f" not in t.column_names:
+            return pa.table(
+                {
+                    "n_fact_keys": pa.array([0], pa.int64()),
+                    "n_dim_keys": pa.array([0], pa.int64()),
+                    "n_orphan_keys": pa.array([0], pa.int64()),
+                }
+            )
+        f = t.column("f").to_numpy(zero_copy_only=False) > 0
+        d = t.column("d").to_numpy(zero_copy_only=False) > 0
+        return pa.table(
+            {
+                "n_fact_keys": pa.array([int(f.sum())], pa.int64()),
+                "n_dim_keys": pa.array([int(d.sum())], pa.int64()),
+                "n_orphan_keys": pa.array([int((f & ~d).sum())], pa.int64()),
+            }
+        )
+
+    agg = per_key.map_batches(
+        partial_counts, batch_format="pyarrow"
+    ).aggregate(
+        Sum(on="n_fact_keys", alias_name="n_fact_keys"),
+        Sum(on="n_dim_keys", alias_name="n_dim_keys"),
+        Sum(on="n_orphan_keys", alias_name="n_orphan_keys"),
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "n_fact_keys": [int(agg["n_fact_keys"])],
+            "n_dim_keys": [int(agg["n_dim_keys"])],
+            "n_orphan_keys": [int(agg["n_orphan_keys"])],
+        }
+    )
+
+
+LINEITEM_FK_SQL = """
+SELECT (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_fact_keys,
+       (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_dim_keys,
+       (SELECT COUNT(*) FROM
+          (SELECT DISTINCT l_orderkey FROM lineitem) f
+          LEFT JOIN orders o ON f.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL) AS n_orphan_keys
+"""
+
+
 def orders_kanonymity(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     """k-anonymity audit over a quasi-identifier tuple (priority, order
     month): how identifiable is a row from its quasi-identifiers alone?

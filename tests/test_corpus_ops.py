@@ -879,3 +879,24 @@ def test_orders_kanonymity_counts(tmp_path):
     assert row["n_violating"] == 1
     assert row["n_rows_at_risk"] == 2
     assert row["min_group_size"] == 2
+
+
+def test_lineitem_fk_check_detects_orphans(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([1, 1, 2, 3, 99], pa.int64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        str(tmp_path / "orders.parquet"),
+    )
+    from record_matching_ray.pipelines.analytics import lineitem_fk_check
+
+    row = lineitem_fk_check(str(tmp_path)).iloc[0]
+    assert row["n_fact_keys"] == 4      # distinct: 1,2,3,99
+    assert row["n_dim_keys"] == 4
+    assert row["n_orphan_keys"] == 1    # 99
