@@ -175,12 +175,245 @@ def _pairwise_batch(fn, left: np.ndarray, right: np.ndarray) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Vectorized codepoint-matrix kernels (the editjoin.py pattern applied to
+# the scorer hot loop — VERDICT r2 item 1). Strings load once into an
+# (n, L) uint32 matrix via numpy's fixed-width unicode view; the Jaro
+# greedy matching and the Levenshtein DP then run as O(L^2) BATCH-WIDE
+# numpy passes, so per-pair cost has no Python in it. Every kernel is
+# bit-identical to its scalar reference above (same integer
+# matches/transpositions/distance, same float expression order) —
+# property-tested in tests/test_functions.py.
+
+
+def _codepoint_matrix(strings) -> tuple[np.ndarray, np.ndarray]:
+    """(n, L) uint32 codepoint matrix (0-padded) + per-row lengths.
+    None -> ''."""
+    arr = np.asarray(
+        ["" if s is None else s for s in strings], dtype=np.str_
+    )
+    n = len(arr)
+    L = arr.dtype.itemsize // 4
+    if n == 0 or L == 0:
+        return np.zeros((n, 0), np.uint32), np.zeros(n, np.int64)
+    m = arr.view(np.uint32).reshape(n, L)
+    lengths = (m != 0).sum(axis=1).astype(np.int64)
+    return m, lengths
+
+
+def _compact_rows(mat: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Left-pack the masked entries of each row (order preserved),
+    0-padding the tail — one scatter, no per-row Python."""
+    out = np.zeros_like(mat)
+    if mat.size == 0:
+        return out
+    rows, cols = np.nonzero(mask)
+    pos = mask.cumsum(axis=1)[rows, cols] - 1
+    out[rows, pos] = mat[rows, cols]
+    return out
+
+
+def _jaro_vec(
+    m1: np.ndarray, l1: np.ndarray, m2: np.ndarray, l2: np.ndarray
+) -> np.ndarray:
+    """Vectorized Jaro over codepoint matrices; bit-identical to jaro()."""
+    n = len(l1)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    L1, L2 = m1.shape[1], m2.shape[1]
+    k = min(L1, L2)
+    same = l1 == l2
+    idx = np.nonzero(same)[0]
+    if k and len(idx):
+        same[idx] &= (m1[idx][:, :k] == m2[idx][:, :k]).all(axis=1)
+    out[same] = 1.0
+    todo = ~same & (l1 > 0) & (l2 > 0)
+    if not todo.any():
+        return out
+    t_idx = np.nonzero(todo)[0]
+    a, la = m1[t_idx], l1[t_idx]
+    b, lb = m2[t_idx], l2[t_idx]
+    nt = len(t_idx)
+    md = np.maximum(la, lb) // 2 - 1  # can be -1 (scalar parity)
+    md_max = int(md.max())
+    f2 = np.zeros((nt, L2), dtype=bool)
+    f1 = np.zeros((nt, L1), dtype=bool)
+    rows_all = np.arange(nt)
+    for i in range(int(la.max())):
+        c = a[:, i]
+        act = i < la
+        if not act.any():
+            break
+        # greedy first-j match, whole window at once: within one i each
+        # row picks its FIRST in-window, unmatched, equal-codepoint j
+        # (argmax of the boolean window) — exactly the scalar greedy,
+        # since f2 carries the matched flags from previous i's.
+        j0 = max(0, i - md_max)
+        j1 = min(L2, i + md_max + 1)
+        if j1 <= j0:
+            continue
+        jcols = np.arange(j0, j1)
+        lo = i - md
+        hi = np.minimum(lb, i + md + 1)
+        cand = (
+            (b[:, j0:j1] == c[:, None])
+            & ~f2[:, j0:j1]
+            & (jcols >= lo[:, None])
+            & (jcols < hi[:, None])
+        )
+        first = cand.argmax(axis=1)
+        got = cand[rows_all, first] & act
+        rows = np.nonzero(got)[0]
+        if len(rows):
+            f2[rows, j0 + first[rows]] = True
+            f1[rows, i] = True
+    matches = f1.sum(axis=1)
+    c1 = _compact_rows(a, f1)
+    c2 = _compact_rows(b, f2)
+    w = min(L1, L2)  # matched prefixes fit both widths
+    t = (c1[:, :w] != c2[:, :w]).sum(axis=1) // 2
+    got = matches > 0
+    m_f = matches.astype(np.float64)
+    res = np.zeros(nt, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        res[got] = (
+            m_f[got] / la[got] + m_f[got] / lb[got] + (m_f[got] - t[got]) / m_f[got]
+        ) / 3.0
+    out[t_idx] = res
+    return out
+
+
+def _jw_vec(
+    m1: np.ndarray,
+    l1: np.ndarray,
+    m2: np.ndarray,
+    l2: np.ndarray,
+    p: float = 0.1,
+    max_prefix: int = 4,
+) -> np.ndarray:
+    """Vectorized Jaro-Winkler; bit-identical to jaro_winkler()."""
+    jw = _jaro_vec(m1, l1, m2, l2)
+    k = min(m1.shape[1], m2.shape[1], max_prefix)
+    if k:
+        pos = np.arange(k)
+        eq = (
+            (m1[:, :k] == m2[:, :k])
+            & (pos < l1[:, None])
+            & (pos < l2[:, None])
+        )
+        prefix = np.cumprod(eq, axis=1).sum(axis=1)
+    else:
+        prefix = np.zeros(len(l1), dtype=np.int64)
+    boost = jw > 0.7
+    return np.where(boost, jw + prefix * p * (1.0 - jw), jw)
+
+
+def _lev_vec(
+    m1: np.ndarray, l1: np.ndarray, m2: np.ndarray, l2: np.ndarray
+) -> np.ndarray:
+    """Vectorized Levenshtein distance (two-row DP, columns sequential,
+    pairs vectorized); bit-identical to levenshtein()."""
+    n = len(l1)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    L2 = int(l2.max()) if len(l2) else 0
+    prev = np.broadcast_to(np.arange(L2 + 1, dtype=np.int64), (n, L2 + 1)).copy()
+    cur = np.empty_like(prev)
+    for i in range(int(l1.max())):
+        act = i < l1
+        if not act.any():
+            break
+        c1 = m1[:, i]
+        cur[:, 0] = i + 1
+        for j in range(L2):
+            np.minimum(prev[:, j + 1] + 1, cur[:, j] + 1, out=cur[:, j + 1])
+            np.minimum(cur[:, j + 1], prev[:, j] + (c1 != m2[:, j]), out=cur[:, j + 1])
+        keep = np.nonzero(act)[0]
+        prev[keep] = cur[keep]
+    return prev[np.arange(n), np.minimum(l2, L2)]
+
+
+def jaro_winkler_vec(left, right) -> np.ndarray:
+    """Batch Jaro-Winkler, fully vectorized (no memo)."""
+    m1, l1 = _codepoint_matrix(left)
+    m2, l2 = _codepoint_matrix(right)
+    return _jw_vec(m1, l1, m2, l2)
+
+
+def levenshtein_ratio_vec(left, right) -> np.ndarray:
+    """Batch levenshtein_ratio, fully vectorized."""
+    m1, l1 = _codepoint_matrix(left)
+    m2, l2 = _codepoint_matrix(right)
+    d = _lev_vec(m1, l1, m2, l2)
+    mx = np.maximum(l1, l2)
+    both_empty = mx == 0
+    return np.where(
+        both_empty, 1.0, 1.0 - d / np.maximum(mx, 1)
+    )
+
+
+def _token_sort_cached(strs, memo: dict) -> list:
+    """Per-STRING (not per-pair) memo of the sorted-token normalization."""
+    out = []
+    for s in strs:
+        s = "" if s is None else s
+        v = memo.get(s)
+        if v is None:
+            v = memo[s] = " ".join(sorted(s.split()))
+        out.append(v)
+    return out
+
+
+def token_set_levenshtein_vec(left, right, token_memo: dict | None = None) -> np.ndarray:
+    """Batch token_set_levenshtein: per-string sorted-token memo, then the
+    vectorized Levenshtein-ratio kernel over the normalized pair."""
+    memo = token_memo if token_memo is not None else {}
+    return levenshtein_ratio_vec(
+        _token_sort_cached(left, memo), _token_sort_cached(right, memo)
+    )
+
+
+def cached_pairwise_vec(vec_fn, left, right, cache: dict) -> np.ndarray:
+    """Hybrid memo + vectorized kernel: cache hits resolve per-pair (name
+    variants repeat across thousands of same-block pairs — an entity with
+    k pages and v distinct names yields k(k-1)/2 pairs but ~v^2 distinct
+    keys); the batch's distinct MISSES are computed in ONE vectorized
+    kernel call, so even an adversarial all-unique-names corpus (memo
+    hit-rate -> 0) never drops to per-pair Python."""
+    n = len(left)
+    out = np.empty(n, dtype=np.float64)
+    miss_rows: list[int] = []
+    miss_pos: dict[tuple, int] = {}
+    miss_row_pos: list[int] = []
+    for i in range(n):
+        key = (left[i], right[i])
+        v = cache.get(key)
+        if v is None:
+            pos = miss_pos.get(key)
+            if pos is None:
+                pos = miss_pos[key] = len(miss_pos)
+            miss_rows.append(i)
+            miss_row_pos.append(pos)
+        else:
+            out[i] = v
+    if miss_pos:
+        keys = list(miss_pos.keys())
+        vals = vec_fn([k[0] for k in keys], [k[1] for k in keys])
+        for k, v in zip(keys, vals):
+            cache[k] = float(v)
+        out[np.asarray(miss_rows, dtype=np.int64)] = vals[
+            np.asarray(miss_row_pos, dtype=np.int64)
+        ]
+    return out
+
+
 def jaro_winkler_batch(left, right) -> np.ndarray:
-    return _pairwise_batch(jaro_winkler, np.asarray(left, object), np.asarray(right, object))
+    return jaro_winkler_vec(left, right)
 
 
 def token_set_levenshtein_batch(left, right) -> np.ndarray:
-    return _pairwise_batch(token_set_levenshtein, np.asarray(left, object), np.asarray(right, object))
+    return token_set_levenshtein_vec(left, right)
 
 
 def damerau_levenshtein_batch(left, right) -> np.ndarray:

@@ -2020,7 +2020,7 @@ GROUP BY o_orderpriority
 """
 
 
-def orders_fd_check(sf_dir: str) -> ray.data.Dataset:
+def orders_fd_check(sf_dir: str) -> "pd.DataFrame":
     """Functional-dependency profiling: does X determine Y? For each
     candidate FD, count determinant groups with >1 distinct dependent
     value (violations). Checked FDs over orders: o_custkey ->
@@ -2116,7 +2116,7 @@ SELECT 'o_orderkey', 'o_orderstatus', n_groups, n_violating,
 """
 
 
-def lineitem_fk_check(sf_dir: str) -> ray.data.Dataset:
+def lineitem_fk_check(sf_dir: str) -> "pd.DataFrame":
     """Inclusion-dependency (foreign-key) audit: every
     lineitem.l_orderkey must exist in orders.o_orderkey. Fully
     distributed — no driver key set: per-batch distinct (key, f, d)
@@ -2469,7 +2469,7 @@ GROUP BY event_type
 """
 
 
-def orders_checksum(sf_dir: str) -> ray.data.Dataset:
+def orders_checksum(sf_dir: str) -> "pd.DataFrame":
     """Order-independent table checksum: wrap-around uint64 sum of
     md5-lower64 over a canonical per-row string — the anti-entropy
     primitive for comparing two 100 TB replicas/snapshots WITHOUT moving

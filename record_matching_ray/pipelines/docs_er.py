@@ -70,9 +70,12 @@ def cluster_documents_incremental(
     """Incremental-fold variant of cluster_documents: docs with
     doc_id % new_mod == 0 arrive as a LATER batch folded into the batch
     run's checkpoint (pipelines/incremental.run_er_incremental). The
-    result must equal the full-batch clustering exactly (min-label
-    components are order-independent), which is what the driver's
-    component oracle checks. The batch checkpoint lands under a
+    result must equal the full-batch clustering exactly — which holds
+    here because blocking is STABLE for this corpus (run_er_incremental's
+    audited precondition: hot-host set unchanged, zero pair-cap
+    truncation; see its docstring) and min-label components are
+    order-independent. The driver's component oracle checks the
+    equality. The batch checkpoint lands under a
     deterministic /tmp dir keyed on sf_dir; manifests fingerprint cfg +
     input_key, so stale checkpoints self-invalidate."""
     import hashlib

@@ -34,6 +34,24 @@ from record_matching_ray.state import manifest as mf
 from record_matching_ray.stages.util import cluster_parallelism
 
 
+def weights_digest(weights: tuple[float, np.ndarray] | None) -> str:
+    """Stable digest of an explicit (intercept, weights) override, folded
+    into stage fingerprints so a checkpoint scored under one model is
+    never silently reused (or folded onto, pipelines/incremental.py) under
+    another. None -> '' (the cfg-default weights are already part of
+    cfg.fingerprint()), which keeps fingerprints for weight-less runs
+    byte-identical to prior releases."""
+    if weights is None:
+        return ""
+    import hashlib
+
+    intercept, w = weights
+    payload = np.concatenate(
+        [[np.float64(intercept)], np.asarray(w, dtype=np.float64)]
+    ).tobytes()
+    return ":w" + hashlib.sha256(payload).hexdigest()[:12]
+
+
 def _pool_max(cfg: PipelineConfig) -> int:
     """Actor-pool ceiling: at least the configured concurrency, scaled up
     to the session's CPU count so 32-CPU runs don't idle behind a
@@ -185,7 +203,7 @@ def run_er(
         # 11.5s, 32 partitions 52.6s, 64 partitions >390s. Keep exactly
         # shuffle_partitions() (CPUs/2), never a multiple of it.
         num_partitions = max(8, shuffle_partitions())
-    fp = cfg.fingerprint() + ":" + input_key
+    fp = cfg.fingerprint() + weights_digest(weights) + ":" + input_key
 
     def checkpoint(ds: ray.data.Dataset, stage: str) -> ray.data.Dataset:
         if out_dir is None:

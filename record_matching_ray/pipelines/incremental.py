@@ -422,26 +422,48 @@ def run_er_incremental(
     num_partitions: int | None = None,
     append_checkpoint: bool = False,
     fold_key: str = "",
+    verify_exact: bool = True,
 ) -> dict:
     """Fold `new_pages` into the completed `run_er(out_dir=old_out_dir,
     input_key=old_input_key)` checkpoint — plus any folds already
     APPENDED to it (folds.json). Requires the batch run's `features` and
     `edges` stages (and every registered fold's) to be complete for the
-    same cfg fingerprint (raises otherwise — a fold over a stale or
-    differently-configured checkpoint would silently mix semantics).
+    same cfg fingerprint AND the same weights digest (raises otherwise —
+    a fold over a stale, differently-configured, or differently-WEIGHTED
+    checkpoint would silently mix scoring semantics: within-old edges are
+    reused verbatim, so they must come from the same model that scores
+    the new-touching pairs).
 
     ``append_checkpoint=True`` persists THIS fold as a new partition
     (features_f<N>/ + edges_f<N>/, registered in folds.json) so the next
     increment chains on top — the append-only nightly-crawl shape: each
-    fold writes O(increment) bytes, never rewrites the corpus, and any
-    chain of folds reproduces the full-batch clustering exactly
-    (tests/test_incremental.py::test_chained_folds_equal_batch).
+    fold writes O(increment) bytes, never rewrites the corpus.
 
-    Returns {"features_new", "pairs", "edges_new", "clusters"} where
-    clusters covers the FULL corpus (base + all folds + new)."""
+    EXACTNESS CONTRACT — exact under STABLE BLOCKING only. The fold
+    reproduces the full-batch clustering bit-for-bit
+    (tests/test_incremental.py::test_chained_folds_equal_batch) iff the
+    blocking the base run used still agrees with what a batch run over
+    the union would use: (a) the hot-host set is unchanged, and (b) no
+    block of the union blocking exceeds the pair cap (m <= m_cap ==>
+    neither the base run nor the hypothetical union run truncated any
+    block, so old-old candidate sets are identical). A violated
+    precondition yields a valid APPROXIMATE fold — all new-touching pairs
+    under current blocking are scored, old edges are reused — but cluster
+    equality with a from-scratch batch run is no longer guaranteed.
+    ``verify_exact=True`` (default) checks both conditions (one counted
+    host pass + a distributed block-size count map — no per-block driver
+    rows) and reports them in the returned ``exact`` / ``exact_reasons``
+    keys, warning when the fold is approximate; ``verify_exact=False``
+    skips the audit and reports ``exact=None``.
+
+    Returns {"features_new", "pairs", "edges_new", "clusters", "exact",
+    "exact_reasons"} where clusters covers the FULL corpus (base + all
+    folds + new)."""
     import os
 
-    fp = cfg.fingerprint() + ":" + old_input_key
+    from record_matching_ray.pipelines.er import weights_digest
+
+    fp = cfg.fingerprint() + weights_digest(weights) + ":" + old_input_key
     fdir = os.path.join(old_out_dir, "features")
     edir = os.path.join(old_out_dir, "edges")
     check = [(fdir, fp, "features"), (edir, fp, "edges")]
@@ -484,6 +506,42 @@ def run_er_incremental(
         read_feats(["host"]).union(new_features.select_columns(["host"])),
         cfg,
     )
+
+    # exactness audit (see docstring): hot-set stability + zero pair-cap
+    # truncation anywhere in the union blocking. Both are count-bounded —
+    # the block-size check folds to a (size, n_blocks) map, never one
+    # driver row per block key.
+    exact: bool | None = None
+    exact_reasons: list[str] = []
+    if verify_exact:
+        hot_old = blocking.compute_hot_hosts(read_feats(["host"]), cfg)
+        if set(hot_old) != set(hot):
+            exact_reasons.append(
+                "hot-host set changed between base and union blocking "
+                f"(base {sorted(set(hot_old) - set(hot))!r} vs union "
+                f"{sorted(set(hot) - set(hot_old))!r} differ) — old-old "
+                "blocks would salt differently in a batch rerun"
+            )
+        union_feats = read_feats(
+            ["url", "host", "name", "minhash"]
+        ).union(new_features.select_columns(["url", "host", "name", "minhash"]))
+        stats = blocking.block_size_stats(union_feats, cfg, hot_hosts=set(hot))
+        n_over = stats.get("blocks_over_pair_cap", 0)
+        if n_over:
+            exact_reasons.append(
+                f"{n_over} union block(s) exceed the pair cap "
+                f"(<= {stats.get('capped_pairs_lost_upper_bound', 0)} pairs "
+                "truncated) — base/union core+spokes truncations can differ"
+            )
+        exact = not exact_reasons
+        if not exact:
+            import warnings
+
+            warnings.warn(
+                "incremental fold is APPROXIMATE (blocking not stable): "
+                + "; ".join(exact_reasons),
+                stacklevel=2,
+            )
 
     # S2' — new-touching candidate pairs
     pairs = blocking.generate_incremental_pairs(
@@ -553,4 +611,6 @@ def run_er_incremental(
         "pairs": pairs,
         "edges_new": edges_new,
         "clusters": clusters,
+        "exact": exact,
+        "exact_reasons": exact_reasons,
     }

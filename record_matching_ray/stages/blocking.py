@@ -703,22 +703,44 @@ def _attach_payload_join(
     return both.map_batches(finalize, batch_format="pyarrow")
 
 
+def _percentile_from_size_counts(
+    sizes: np.ndarray, n_blocks: np.ndarray, q: float
+) -> float:
+    """np.percentile(counts, q) (linear interpolation) computed from the
+    (size -> n_blocks) count map — bit-identical to expanding the map to
+    one entry per block, without ever holding O(blocks) values."""
+    n = int(n_blocks.sum())
+    if n == 0:
+        return float("nan")
+    pos = (n - 1) * (q / 100.0)
+    lo_i, hi_i = int(np.floor(pos)), int(np.ceil(pos))
+    cum = np.cumsum(n_blocks)  # cum[j] = # blocks with size <= sizes[j]
+    lo_v = float(sizes[np.searchsorted(cum, lo_i + 1)])
+    hi_v = float(sizes[np.searchsorted(cum, hi_i + 1)])
+    return lo_v + (pos - lo_i) * (hi_v - lo_v)
+
+
 def block_size_stats(
-    features: ray.data.Dataset, cfg: PipelineConfig, top_k: int = 20
+    features: ray.data.Dataset,
+    cfg: PipelineConfig,
+    top_k: int = 20,
+    hot_hosts: set[str] | None = None,
 ) -> dict:
     """Observable skew diagnostics (the reference silently caps neighbor
     lists and merely LOGS lost matches, poc1:1556-1559 — here the skew is
-    measured): block-size histogram over all emitted block keys, the
+    measured): block-size distribution over all emitted block keys, the
     top-k largest blocks, and how many blocks exceed the pair cap
     (i.e. would emit core+spokes with a nonzero overflow counter).
 
-    Distributed: per-batch partial (block_key, count) -> one int-keyed
-    groupby; only per-block counts reach the driver aggregation."""
-    import numpy as np
-
+    Fully distributed: per-batch partial (block_key, count) -> one
+    int-keyed groupby -> per-partition (size, n_blocks) COUNT-MAP
+    partials. The driver merges count maps — O(distinct sizes), never one
+    row per block key (at 10^12-page scale block keys are O(corpus); the
+    distinct-size domain stays tiny). Percentiles/top-k are computed from
+    the merged map, bit-identical to the per-block-row version."""
     blocks = features.map_batches(
         emit_block_keys,
-        fn_kwargs={"cfg": cfg, "hot_hosts": set()},
+        fn_kwargs={"cfg": cfg, "hot_hosts": hot_hosts or set()},
         batch_format="pyarrow",
     )
 
@@ -733,22 +755,54 @@ def block_size_stats(
         .groupby("block_key")
         .sum("cnt")
     )
-    counts = np.array(
-        [r["sum(cnt)"] for r in totals.take_all()], dtype=np.int64
-    )
-    if len(counts) == 0:
+
+    def size_count_map(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(cnt)" not in t.column_names:
+            return pa.table(
+                {"size": pa.array([], pa.int64()),
+                 "n_blocks": pa.array([], pa.int64())}
+            )
+        c = t.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        sizes, nb = np.unique(c, return_counts=True)
+        return pa.table(
+            {"size": pa.array(sizes.astype(np.int64), pa.int64()),
+             "n_blocks": pa.array(nb.astype(np.int64), pa.int64())}
+        )
+
+    parts = [
+        t
+        for t in totals.map_batches(
+            size_count_map, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not parts:
         return {"blocks": 0}
-    counts.sort()
+    merged = pa.concat_tables(parts)
+    all_sizes = merged.column("size").to_numpy(zero_copy_only=False)
+    all_nb = merged.column("n_blocks").to_numpy(zero_copy_only=False)
+    sizes, inv = np.unique(all_sizes, return_inverse=True)
+    n_blocks = np.zeros(len(sizes), dtype=np.int64)
+    np.add.at(n_blocks, inv, all_nb)
+
     m_cap = int((2 * cfg.max_pairs_per_block) ** 0.5) + 1
-    over = counts[counts > m_cap]
+    over = sizes > m_cap
+    top: list[int] = []
+    for s, k in zip(sizes[::-1], n_blocks[::-1]):
+        if len(top) >= top_k:
+            break
+        top.extend([int(s)] * min(int(k), top_k - len(top)))
     return {
-        "blocks": int(len(counts)),
-        "members_p50": int(np.percentile(counts, 50)),
-        "members_p99": int(np.percentile(counts, 99)),
-        "members_max": int(counts[-1]),
-        "top_blocks": [int(c) for c in counts[-top_k:][::-1]],
-        "blocks_over_pair_cap": int(len(over)),
+        "blocks": int(n_blocks.sum()),
+        "members_p50": int(_percentile_from_size_counts(sizes, n_blocks, 50)),
+        "members_p99": int(_percentile_from_size_counts(sizes, n_blocks, 99)),
+        "members_max": int(sizes[-1]),
+        "top_blocks": top,
+        "blocks_over_pair_cap": int(n_blocks[over].sum()),
         "capped_pairs_lost_upper_bound": int(
-            sum(c * (c - 1) // 2 - cfg.max_pairs_per_block for c in over)
+            (
+                n_blocks[over]
+                * (sizes[over] * (sizes[over] - 1) // 2 - cfg.max_pairs_per_block)
+            ).sum()
         ),
     }

@@ -23,7 +23,12 @@ import pyarrow as pa
 
 import ray.data
 
-from record_matching_ray.functions.hashing import _U64, hash_strings, shingle_hashes
+from record_matching_ray.functions.hashing import (
+    _U64,
+    hash_strings,
+    mix64,
+    shingle_hashes,
+)
 from record_matching_ray.functions.minhash import MinHasher
 from record_matching_ray.functions.simhash import (
     hamming64,

@@ -389,6 +389,14 @@ def knn_pq(
         unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         n = len(ids)
+        if n == 0:  # empty block: argpartition(kth=-1) would raise
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "nid": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
         # encode: (n, m_sub) uint8 codes, one argmin per subspace
         codes = np.empty((n, B.shape[0]), dtype=np.int64)
         sub = unit.reshape(n, B.shape[0], B.shape[2])

@@ -60,11 +60,9 @@ def _unpack_blobs(col, dtype) -> np.ndarray:
 def _memoized_pairwise(
     fn, left: list, right: list, cache: dict
 ) -> np.ndarray:
-    """Per-pair scalar fn with a PERSISTENT cache (actor state). Name
-    variants repeat across thousands of same-block pairs — an entity with
-    k pages and v distinct rendered names yields k(k-1)/2 pairs but only
-    ~v^2 distinct (l, r) keys, so the Python kernel runs ~v^2 times, not
-    k^2/2 (measured: the scorer stage is kernel-bound without this)."""
+    """LEGACY per-pair scalar fn with a persistent cache. The hot loop
+    now uses strsim.cached_pairwise_vec (same cache semantics, vectorized
+    misses); kept for custom scalar feature fns in the registry."""
     n = len(left)
     out = np.empty(n, dtype=np.float64)
     for i in range(n):
@@ -87,7 +85,8 @@ def compute_pair_features(
     `caches` (persistent across batches when called from the PairScorer
     actor)."""
     n = batch.num_rows
-    caches = caches if caches is not None else {"jw": {}, "lev": {}}
+    caches = caches if caches is not None else {"jw": {}, "lev": {}, "tok": {}}
+    caches.setdefault("tok", {})
     # embeddings travel SQ8-quantized (int8 unit-scaled, blocking.py pack);
     # cosine_rows re-normalizes, so the scale cancels
     emb_l = _unpack_blobs(batch.column("embedding_l"), np.int8).astype(np.float32)
@@ -102,11 +101,13 @@ def compute_pair_features(
     feats = np.empty((n, len(FEATURE_NAMES)), dtype=np.float64)
     feats[:, FEATURE_NAMES.index("f_cosine")] = cosine_rows(emb_l, emb_r)
     feats[:, FEATURE_NAMES.index("f_jaccard")] = (mh_l == mh_r).mean(axis=1)
-    feats[:, FEATURE_NAMES.index("f_jaro_winkler")] = _memoized_pairwise(
-        strsim.jaro_winkler, name_l, name_r, caches["jw"]
+    feats[:, FEATURE_NAMES.index("f_jaro_winkler")] = strsim.cached_pairwise_vec(
+        strsim.jaro_winkler_vec, name_l, name_r, caches["jw"]
     )
-    feats[:, FEATURE_NAMES.index("f_token_levenshtein")] = _memoized_pairwise(
-        strsim.token_set_levenshtein, name_l, name_r, caches["lev"]
+    tok = caches["tok"]
+    feats[:, FEATURE_NAMES.index("f_token_levenshtein")] = strsim.cached_pairwise_vec(
+        lambda l, r: strsim.token_set_levenshtein_vec(l, r, token_memo=tok),
+        name_l, name_r, caches["lev"],
     )
     feats[:, FEATURE_NAMES.index("f_temporal")] = strsim.year_compat_batch(
         year_l, year_r
@@ -140,8 +141,11 @@ class PairScorer:
                 obj[1], dtype=np.float64
             )
         assert len(self.weights) == len(FEATURE_NAMES)
-        # persistent name-kernel memoization (bounded: cleared past 1M keys)
-        self._caches: dict[str, dict] = {"jw": {}, "lev": {}}
+        # persistent name-kernel memoization (bounded: cleared past 1M
+        # keys); misses are computed by the VECTORIZED codepoint-matrix
+        # kernels (functions/strsim.py), so an all-unique-names corpus
+        # (hit-rate -> 0) stays numpy-bound, never per-pair Python
+        self._caches: dict[str, dict] = {"jw": {}, "lev": {}, "tok": {}}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         for c in self._caches.values():
@@ -252,7 +256,7 @@ class FusedPairScorer:
                 obj[1], dtype=np.float64
             )
         assert len(self.weights) == len(FEATURE_NAMES)
-        self._caches: dict[str, dict] = {"jw": {}, "lev": {}}
+        self._caches: dict[str, dict] = {"jw": {}, "lev": {}, "tok": {}}
 
     def _gather(self, uid_col) -> np.ndarray:
         u = uid_col.to_numpy(zero_copy_only=False)
@@ -283,11 +287,13 @@ class FusedPairScorer:
         ).mean(axis=1)
         name_l = self.names[li]
         name_r = self.names[ri]
-        feats[:, FEATURE_NAMES.index("f_jaro_winkler")] = _memoized_pairwise(
-            strsim.jaro_winkler, name_l, name_r, self._caches["jw"]
+        feats[:, FEATURE_NAMES.index("f_jaro_winkler")] = strsim.cached_pairwise_vec(
+            strsim.jaro_winkler_vec, name_l, name_r, self._caches["jw"]
         )
-        feats[:, FEATURE_NAMES.index("f_token_levenshtein")] = _memoized_pairwise(
-            strsim.token_set_levenshtein, name_l, name_r, self._caches["lev"]
+        tok = self._caches["tok"]
+        feats[:, FEATURE_NAMES.index("f_token_levenshtein")] = strsim.cached_pairwise_vec(
+            lambda l, r: strsim.token_set_levenshtein_vec(l, r, token_memo=tok),
+            name_l, name_r, self._caches["lev"],
         )
         feats[:, FEATURE_NAMES.index("f_temporal")] = strsim.year_compat_batch(
             self.years[li], self.years[ri]

@@ -311,7 +311,21 @@ def scd2_intervals(
         n = len(order)
         new_run = np.ones(n, dtype=bool)
         if n > 1:
-            new_run[1:] = (k_s[1:] != k_s[:-1]) | (s_s[1:] != s_s[:-1])
+            # NULL-state run boundaries mirror the SQL oracle's
+            # `prev_state IS NULL OR prev_state <> state` predicate under
+            # three-valued logic: a row FOLLOWING a NULL state always
+            # starts a new run (prev IS NULL), while a NULL row following
+            # a non-NULL one does NOT (x <> NULL is NULL, not TRUE) — it
+            # joins the previous run as a tail. numpy object identity
+            # (None == None) would get both cases wrong on nullable
+            # states; current TPC-H-style states are never null, so this
+            # is hash-neutral there.
+            is_null = np.fromiter(
+                (s is None for s in s_s), dtype=bool, count=n
+            )
+            prev_null, cur_null = is_null[:-1], is_null[1:]
+            differs = ~prev_null & ~cur_null & (s_s[1:] != s_s[:-1])
+            new_run[1:] = (k_s[1:] != k_s[:-1]) | prev_null | differs
         starts = np.nonzero(new_run)[0]
         ends = np.append(starts[1:], n)
         # valid_to = next run's start ts within the same key, else NULL
