@@ -75,6 +75,18 @@ class PipelineConfig:
                                   # threshold are rebuilt without incoherent
                                   # edges (poc2:1640-1853's 0.25 rule)
 
+    # --- page identity -----------------------------------------------------
+    uid_mode: str = "hash64"      # "hash64": mix64(blake8(url)) >> 1 — 63-bit
+                                  # ids, collision odds n^2/2^64 (negligible
+                                  # to ~10^9 pages). "checked64": same wire
+                                  # format (every shuffle stays 16B/pair),
+                                  # plus a distributed collision audit that
+                                  # deterministically remaps the O(n^2/2^64)
+                                  # colliding urls (~50 at 10^12 pages) via a
+                                  # broadcast dict — the 10^12-page path
+                                  # without paying 2x on every pair shuffle
+                                  # the way a two-column 128-bit uid would.
+
     # --- execution ---------------------------------------------------------
     keep_scored: bool = False     # checkpoint the full scored-pairs table
     emit_features: bool = False   # include per-pair f_* columns in scorer output

@@ -60,13 +60,22 @@ def _pool_max(cfg: PipelineConfig) -> int:
 
 
 def build_features(
-    pages: ray.data.Dataset, cfg: PipelineConfig, concurrency: int | None = None
+    pages: ray.data.Dataset,
+    cfg: PipelineConfig,
+    concurrency: int | None = None,
+    encoder=None,
 ) -> ray.data.Dataset:
     """S1. Actor pool so the per-worker state (permutation bank, compiled
-    regexes) is built once per actor, not per batch."""
+    regexes, embedding model) is built once per actor, not per batch.
+
+    ``encoder``: functions/encoder.py protocol instance or zero-arg
+    factory — swaps the deterministic hashing embedder for a real model
+    (local or RetryingRemoteEncoder-wrapped API client) without touching
+    the pipeline. Custom encoders change feature semantics: fold an
+    encoder tag into run_er's input_key so checkpoints fingerprint it."""
     return pages.map_batches(
         ExtractFeatures,
-        fn_constructor_args=(cfg,),
+        fn_constructor_args=(cfg, True, encoder),
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
         # autoscaling pool (min 1): a fixed-size pool would reserve CPUs
@@ -116,6 +125,7 @@ def _restore_cluster_urls(
     features: ray.data.Dataset,
     num_partitions: int,
     broadcast_max_rows: int = 2_000_000,
+    uid_remap: dict | None = None,
 ) -> ray.data.Dataset:
     """(uid, cluster_uid) -> (url, cluster_id) where cluster_id is the url
     of the component's min-uid member (deterministic). Broadcast map for
@@ -133,7 +143,7 @@ def _restore_cluster_urls(
             batch_format="pyarrow", batch_size=None
         ):
             urls = t.column("url").to_pylist()
-            for u, uid in zip(urls, _b.page_uids(urls)):
+            for u, uid in zip(urls, _b.page_uids(urls, uid_remap)):
                 mapping[int(uid)] = u
         ref = _ray.put(mapping)
 
@@ -154,7 +164,9 @@ def _restore_cluster_urls(
         urls = t.column("url")
         return pa.table(
             {
-                "muid": pa.array(_b.page_uids(urls.to_pylist()), pa.int64()),
+                "muid": pa.array(
+                    _b.page_uids(urls.to_pylist(), uid_remap), pa.int64()
+                ),
                 "murl": urls,
             }
         )
@@ -184,6 +196,7 @@ def run_er(
     weights: tuple[float, np.ndarray] | None = None,
     num_partitions: int | None = None,
     feature_concurrency: int | None = None,
+    encoder=None,
 ) -> dict:
     """Run S1..S5. If out_dir is set, every stage checkpoints to
     out_dir/<stage>/ with a manifest and a rerun skips complete stages
@@ -221,7 +234,9 @@ def run_er(
         mf.update_counters(sdir, {"wall_s": round(time.time() - t0, 3)})
         return mf.read_stage(sdir)
 
-    features = checkpoint(build_features(pages, cfg, feature_concurrency), "features")
+    features = checkpoint(
+        build_features(pages, cfg, feature_concurrency, encoder), "features"
+    )
     if out_dir is None:
         # features feed 4+ consumers (hot hosts, block keys, both payload
         # joins, cluster nodes, canonicalize); without a parquet checkpoint,
@@ -240,10 +255,35 @@ def run_er(
             return mf.read_stage(_os.path.join(out_dir, "features"), columns=cols)
         return features
 
+    uid_remap: dict | None = None
+    if cfg.uid_mode == "checked64":
+        # 10^12-page path: audit 63-bit uid collisions across the corpus
+        # and broadcast the tiny deterministic remap (blocking.page_uids
+        # docstring); persisted next to the checkpoints so incremental
+        # folds reuse the exact id assignment.
+        import pyarrow as _pa
+
+        def _flag(t):
+            return t.append_column(
+                "frozen",
+                _pa.array(np.zeros(t.num_rows, dtype=bool), _pa.bool_()),
+            )
+
+        uid_remap = blocking.build_uid_remap(
+            pruned(["url"]).map_batches(_flag, batch_format="pyarrow")
+        )
+        if out_dir is not None:
+            import json as _json
+            import os as _os
+
+            with open(_os.path.join(out_dir, "uid_remap.json"), "w") as f:
+                _json.dump(uid_remap, f)
+
     hot = blocking.compute_hot_hosts(pruned(["host"]), cfg)
     pairs = checkpoint(
         blocking.generate_candidate_pairs(
-            pruned(["url", "host", "name", "minhash"]), cfg, hot
+            pruned(["url", "host", "name", "minhash"]), cfg, hot,
+            uid_remap=uid_remap,
         ),
         "pairs",
     )
@@ -270,10 +310,13 @@ def run_er(
         # no repartition: the dedup stage already emits
         # coarse_groupby_partitions() (= 4x CPUs) blocks, so the scorer
         # pool is fully subscribed without an extra 16B/pair all-to-all
-        edges_ds = scoring.score_pairs_fused(pairs, payload_feats, cfg, weights)
+        edges_ds = scoring.score_pairs_fused(
+            pairs, payload_feats, cfg, weights, uid_remap=uid_remap
+        )
     else:
         wide = blocking.attach_pair_payload(
             pairs, payload_feats, cfg, num_partitions, restore_urls=False,
+            uid_remap=uid_remap,
         )
         # persisting the full scored table would write+read ~150B x
         # |pairs| for a stage whose only consumer keeps score >= tau
@@ -289,7 +332,12 @@ def run_er(
         import pyarrow as pa
 
         return pa.table(
-            {"url": pa.array(blocking.page_uids(t.column("url").to_pylist()), pa.int64())}
+            {
+                "url": pa.array(
+                    blocking.page_uids(t.column("url").to_pylist(), uid_remap),
+                    pa.int64(),
+                )
+            }
         )
 
     uclusters = connected_components(
@@ -300,7 +348,10 @@ def run_er(
         max_iters=cfg.max_cc_iters,
     )
     clusters = checkpoint(
-        _restore_cluster_urls(uclusters, url_feats, num_partitions), "clusters"
+        _restore_cluster_urls(
+            uclusters, url_feats, num_partitions, uid_remap=uid_remap
+        ),
+        "clusters",
     )
     refined = None
     if cfg.refine_year_tolerance is not None or cfg.refine_domain_threshold is not None:

@@ -501,6 +501,50 @@ def run_er_incremental(
     # S1' — features for the increment only
     new_features = build_features(new_pages, cfg).materialize()
 
+    # uid collision audit (cfg.uid_mode="checked64"): reuse the base
+    # run's persisted remap verbatim (old edges reference those ids) and
+    # extend it for new-url collisions only — frozen old urls never move
+    uid_remap: dict | None = None
+    if cfg.uid_mode == "checked64":
+        import json
+
+        import numpy as _np
+
+        base_remap: dict[str, int] = {}
+        rp = os.path.join(old_out_dir, "uid_remap.json")
+        if os.path.exists(rp):
+            with open(rp) as f:
+                base_remap = {k: int(v) for k, v in json.load(f).items()}
+
+        def _flag(frozen: bool):
+            import pyarrow as _pa  # `pa` is function-local further down
+
+            def fn(t):
+                return t.append_column(
+                    "frozen",
+                    _pa.array(_np.full(t.num_rows, frozen, bool), _pa.bool_()),
+                )
+
+            return fn
+
+        flagged = (
+            read_feats(["url"])
+            .map_batches(_flag(True), batch_format="pyarrow")
+            .union(
+                new_features.select_columns(["url"]).map_batches(
+                    _flag(False), batch_format="pyarrow"
+                )
+            )
+        )
+        uid_remap = blocking.build_uid_remap(flagged, base_remap=base_remap)
+        if append_checkpoint and uid_remap:
+            import uuid as _uuid
+
+            tmp = rp + ".tmp-" + _uuid.uuid4().hex[:8]
+            with open(tmp, "w") as f:
+                json.dump(uid_remap, f)
+            os.replace(tmp, rp)
+
     # hot hosts over the union (head domains shift as the crawl grows)
     hot = blocking.compute_hot_hosts(
         read_feats(["host"]).union(new_features.select_columns(["host"])),
@@ -545,7 +589,7 @@ def run_er_incremental(
 
     # S2' — new-touching candidate pairs
     pairs = blocking.generate_incremental_pairs(
-        old_block_cols, new_features, cfg, hot
+        old_block_cols, new_features, cfg, hot, uid_remap=uid_remap
     )
 
     # S3' — score them. Payload side must cover old AND new pages (a
@@ -555,10 +599,13 @@ def run_er_incremental(
     )
     n_union = payload_union.count()
     if n_union <= 1_000_000 and not cfg.keep_scored and not cfg.emit_features:
-        edges_new = scoring.score_pairs_fused(pairs, payload_union, cfg, weights)
+        edges_new = scoring.score_pairs_fused(
+            pairs, payload_union, cfg, weights, uid_remap=uid_remap
+        )
     else:
         wide = blocking.attach_pair_payload(
-            pairs, payload_union, cfg, num_partitions, restore_urls=False
+            pairs, payload_union, cfg, num_partitions, restore_urls=False,
+            uid_remap=uid_remap,
         )
         edges_new = scoring.edges_from_scores(
             scoring.score_pairs(wide, cfg, weights), cfg
@@ -572,7 +619,8 @@ def run_er_incremental(
         return pa.table(
             {
                 "url": pa.array(
-                    blocking.page_uids(t.column("url").to_pylist()), pa.int64()
+                    blocking.page_uids(t.column("url").to_pylist(), uid_remap),
+                    pa.int64(),
                 )
             }
         )
@@ -605,7 +653,9 @@ def run_er_incremental(
         nodes=url_union.map_batches(uid_nodes, batch_format="pyarrow"),
         max_iters=cfg.max_cc_iters,
     )
-    clusters = _restore_cluster_urls(uclusters, url_union, num_partitions)
+    clusters = _restore_cluster_urls(
+        uclusters, url_union, num_partitions, uid_remap=uid_remap
+    )
     return {
         "features_new": new_features,
         "pairs": pairs,

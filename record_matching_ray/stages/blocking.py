@@ -48,21 +48,241 @@ def _hasher(num_perm: int, seed: int = 7) -> MinHasher:
     return h
 
 
-def page_uids(urls) -> np.ndarray:
+def page_uids(urls, remap: dict | None = None) -> np.ndarray:
     """Stable 64-bit page id: mix64(blake8(url)). The pair pipeline moves
     ONLY these ids through its shuffles (urls are ~100B, uids 8B — the
     pair-dedup shuffle and its lexsorts get ~10x cheaper); urls are
     restored from the feature table at payload-attach. Collision odds at
     bench scale are ~n^2/2^64 (negligible); for 10^12-page deployments
-    widen to 128-bit (two columns) — documented trade-off. Stored as
-    NON-NEGATIVE int64 (top bit cleared): several Ray/Arrow/pandas
-    aggregate paths overflow on uint64 values above 2^63 and silently
-    fall back to pickled Python objects, which breaks downstream casts."""
-    return (mix64(hash_strings(urls)) >> _U64(1)).astype(np.int64)
+    set cfg.uid_mode="checked64": run_er builds a collision-audit remap
+    (build_uid_remap) and threads it here, so the O(50)-at-10^12
+    colliding urls get deterministic unique ids while every shuffle keeps
+    the 8B int64 wire format. Stored as NON-NEGATIVE int64 (top bit
+    cleared): several Ray/Arrow/pandas aggregate paths overflow on uint64
+    values above 2^63 and silently fall back to pickled Python objects,
+    which breaks downstream casts."""
+    base = (mix64(hash_strings(urls)) >> _U64(1)).astype(np.int64)
+    if remap:
+        # remap is tiny (expected collisions only) — n dict membership
+        # probes, writes only on the rare hits
+        for i, u in enumerate(urls):
+            v = remap.get(u)
+            if v is not None:
+                base[i] = v
+    return base
+
+
+_H2_SALT = _U64(0xA5A5A5A55A5A5A5A)
+
+
+def build_uid_remap(
+    urls_flagged: ray.data.Dataset,
+    n_parts: int | None = None,
+    base_remap: dict | None = None,
+) -> dict[str, int]:
+    """Collision audit for cfg.uid_mode="checked64": find 63-bit uid
+    collisions between DISTINCT urls and deterministically remap the
+    colliding MOVABLE urls to fresh unique ids.
+
+    Input: dataset with columns (url: string, frozen: bool). Frozen rows
+    (e.g. an incremental fold's already-clustered base corpus, whose
+    edges reference the old ids) never move; in a collision group every
+    non-frozen url is remapped. Two frozen urls can only collide if the
+    base run itself was unchecked — raises in that case.
+
+    Distributed shape: per-batch distinct (uid, h2, frozen) partials
+    where h2 is an INDEPENDENT second 64-bit hash witnessing url
+    distinctness (double-collision odds ~2^-127) — 17B/row, one int-keyed
+    shuffle; only colliding uids (expected n^2/2^64 ~ 50 at 10^12 pages)
+    reach the driver, then ONE more pruned pass collects their urls. New
+    ids are salted rehashes verified unique against the collision
+    neighborhood AND against the corpus via a final membership scan
+    (retry loop, expected 1 iteration)."""
+    from record_matching_ray.stages.util import coarse_groupby_partitions
+
+    if n_parts is None:
+        n_parts = coarse_groupby_partitions()
+    P = n_parts
+    base_remap = base_remap or {}
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        uid = page_uids(urls, base_remap)
+        h2 = (mix64(hash_strings(urls) ^ _H2_SALT) >> _U64(1)).astype(np.int64)
+        arr = np.unique(np.stack([uid, h2], axis=1), axis=0)
+        return pa.table(
+            {
+                "uid": pa.array(arr[:, 0], pa.int64()),
+                "h2": pa.array(arr[:, 1], pa.int64()),
+                "pk": pa.array(
+                    (arr[:, 0].astype(_U64) % _U64(P)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def colliding(g: pa.Table) -> pa.Table:
+        uid = g.column("uid").to_numpy(zero_copy_only=False)
+        h2 = g.column("h2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, uid))
+        uid, h2 = uid[order], h2[order]
+        # distinct (uid, h2): the same url seen in several batches (or on
+        # both the frozen and movable side) collapses to one witness
+        keep = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (h2[1:] != h2[:-1]))
+        )
+        uid, h2 = uid[keep], h2[keep]
+        new_u = np.concatenate(([True], uid[1:] != uid[:-1]))
+        grp = np.cumsum(new_u) - 1
+        counts = np.bincount(grp)
+        bad = counts[grp] > 1
+        return pa.table(
+            {
+                "uid": pa.array(uid[bad], pa.int64()),
+                "h2": pa.array(h2[bad], pa.int64()),
+            }
+        )
+
+    cols = (
+        urls_flagged.map_batches(partial, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(colliding, batch_format="pyarrow")
+    )
+    bad_rows = [
+        t
+        for t in cols.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows and "uid" in t.schema.names
+    ]
+    if not bad_rows:
+        return dict(base_remap)
+    bad = pa.concat_tables(bad_rows)
+    bad_uids = set(bad.column("uid").to_pylist())
+
+    import ray as _ray
+
+    bad_ref = _ray.put(bad_uids)
+
+    def gather_urls(t: pa.Table) -> pa.Table:
+        s = _ray.get(bad_ref) if isinstance(bad_ref, _ray.ObjectRef) else bad_ref
+        urls = t.column("url").to_pylist()
+        uid = page_uids(urls, base_remap)
+        fz = t.column("frozen").to_numpy(zero_copy_only=False)
+        keep = np.fromiter((int(u) in s for u in uid), dtype=bool, count=len(urls))
+        return pa.table(
+            {
+                "url": pa.array(
+                    [u for u, k in zip(urls, keep) if k], pa.string()
+                ),
+                "uid": pa.array(uid[keep], pa.int64()),
+                "frozen": pa.array(fz[keep], pa.bool_()),
+            }
+        )
+
+    hits = [
+        t
+        for t in urls_flagged.map_batches(gather_urls, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows and "url" in t.schema.names
+    ]
+    ht = pa.concat_tables(hits)
+    # distinct urls (a url may appear on both sides / several batches —
+    # frozen wins)
+    rows: dict[str, tuple[int, bool]] = {}
+    for u, i, f in zip(
+        ht.column("url").to_pylist(),
+        ht.column("uid").to_pylist(),
+        ht.column("frozen").to_pylist(),
+    ):
+        prev = rows.get(u)
+        rows[u] = (int(i), bool(f) or (prev[1] if prev else False))
+    groups: dict[int, list[tuple[str, bool]]] = {}
+    for u, (i, f) in rows.items():
+        groups.setdefault(i, []).append((u, f))
+    taken = set(groups.keys()) | set(base_remap.values())
+    remap: dict[str, int] = dict(base_remap)
+    for i in sorted(groups):
+        members = sorted(groups[i])
+        if len(members) < 2:
+            continue  # the collision was with itself across flags
+        frozen_members = [u for u, f in members if f]
+        if len(frozen_members) > 1:
+            raise ValueError(
+                "two FROZEN urls collide on uid — the base run was not "
+                f"collision-checked: {frozen_members[:2]!r}"
+            )
+        # first frozen member (or deterministic first) keeps the id
+        keep_url = frozen_members[0] if frozen_members else members[0][0]
+        for u, _f in members:
+            if u == keep_url:
+                continue
+            k = 1
+            while True:
+                cand = int(
+                    (
+                        mix64(hash_strings([u]) ^ (_H2_SALT + _U64(k)))
+                        >> _U64(1)
+                    )[0]
+                )
+                if cand not in taken:
+                    taken.add(cand)
+                    remap[u] = cand
+                    break
+                k += 1
+    if len(remap) == len(base_remap):
+        return remap
+    # final corpus-wide uniqueness scan: do any EXISTING uids equal a
+    # freshly assigned id? (odds ~|remap| * n / 2^63 — one cheap pruned
+    # pass; retry the clashing assignments if it ever fires)
+    fresh = {u: v for u, v in remap.items() if base_remap.get(u) != v}
+    cand_ref = _ray.put(set(fresh.values()))
+
+    def clash(t: pa.Table) -> pa.Table:
+        s = _ray.get(cand_ref) if isinstance(cand_ref, _ray.ObjectRef) else cand_ref
+        urls = t.column("url").to_pylist()
+        uid = page_uids(urls, base_remap)
+        hit = [u for u, i in zip(urls, uid) if int(i) in s]
+        return pa.table({"url": pa.array(hit, pa.string())})
+
+    clashes = [
+        t
+        for t in urls_flagged.map_batches(clash, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows and "url" in t.schema.names
+    ]
+    clash_urls = (
+        set(pa.concat_tables(clashes).column("url").to_pylist())
+        if clashes
+        else set()
+    )
+    clash_urls -= set(remap)  # a remapped url's OLD id may clash freely
+    if clash_urls:
+        # bump the clashing assignments to the next free salt
+        clash_ids = {
+            int(i)
+            for i in page_uids(sorted(clash_urls), base_remap)
+        }
+        for u in sorted(fresh):
+            if remap[u] in clash_ids:
+                k = 1000  # disjoint salt range for the retry
+                while True:
+                    cand = int(
+                        (
+                            mix64(hash_strings([u]) ^ (_H2_SALT + _U64(k)))
+                            >> _U64(1)
+                        )[0]
+                    )
+                    if cand not in taken and cand not in clash_ids:
+                        taken.add(cand)
+                        remap[u] = cand
+                        break
+                    k += 1
+    return remap
 
 
 def emit_block_keys(
-    batch: pa.Table, cfg: PipelineConfig, hot_hosts: set[str] | None = None
+    batch: pa.Table,
+    cfg: PipelineConfig,
+    hot_hosts: set[str] | None = None,
+    uid_remap: dict | None = None,
 ) -> pa.Table:
     """map_batches fn: features -> long (block_key: uint64, uid: uint64).
 
@@ -81,7 +301,7 @@ def emit_block_keys(
     """
     hot_hosts = hot_hosts or set()
     n = batch.num_rows
-    uids = page_uids(batch.column("url").to_pylist())
+    uids = page_uids(batch.column("url").to_pylist(), uid_remap)
     out_keys: list[np.ndarray] = []
     out_idx: list[np.ndarray] = []
 
@@ -277,6 +497,7 @@ def generate_incremental_pairs(
     new_features: ray.data.Dataset,
     cfg: PipelineConfig,
     hot_hosts: list[str] | None = None,
+    uid_remap: dict | None = None,
 ) -> ray.data.Dataset:
     """Candidate pairs for an incremental fold: block keys over old AND
     new features (stateless map over each side; old feature extraction is
@@ -288,7 +509,7 @@ def generate_incremental_pairs(
 
     def keyed(feats: ray.data.Dataset, flag: int) -> ray.data.Dataset:
         def emit(t: pa.Table) -> pa.Table:
-            keys = emit_block_keys(t, cfg, set(hot_hosts or []))
+            keys = emit_block_keys(t, cfg, set(hot_hosts or []), uid_remap)
             return keys.append_column(
                 "is_new",
                 pa.array(np.full(keys.num_rows, flag, dtype=np.int8), pa.int8()),
@@ -324,7 +545,10 @@ def generate_incremental_pairs(
 
 
 def generate_candidate_pairs(
-    features: ray.data.Dataset, cfg: PipelineConfig, hot_hosts: list[str] | None = None
+    features: ray.data.Dataset,
+    cfg: PipelineConfig,
+    hot_hosts: list[str] | None = None,
+    uid_remap: dict | None = None,
 ) -> ray.data.Dataset:
     """features -> deduped candidate pairs (left, right).
 
@@ -334,7 +558,11 @@ def generate_candidate_pairs(
     """
     blocks = features.map_batches(
         emit_block_keys,
-        fn_kwargs={"cfg": cfg, "hot_hosts": set(hot_hosts or [])},
+        fn_kwargs={
+            "cfg": cfg,
+            "hot_hosts": set(hot_hosts or []),
+            "uid_remap": uid_remap,
+        },
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
     )
@@ -454,6 +682,7 @@ def attach_pair_payload(
     num_partitions: int | None = None,
     broadcast_max_rows: int = 1_000_000,
     restore_urls: bool = True,
+    uid_remap: dict | None = None,
 ) -> ray.data.Dataset:
     """Attach both sides' feature payloads to each candidate pair.
 
@@ -485,11 +714,17 @@ def attach_pair_payload(
         num_partitions = shuffle_partitions()
     n_features = features.count()
     if n_features <= broadcast_max_rows:
-        return _attach_payload_broadcast(pairs, features, cfg, restore_urls)
-    return _attach_payload_join(pairs, features, cfg, num_partitions, restore_urls)
+        return _attach_payload_broadcast(
+            pairs, features, cfg, restore_urls, uid_remap
+        )
+    return _attach_payload_join(
+        pairs, features, cfg, num_partitions, restore_urls, uid_remap
+    )
 
 
-def _pairs_to_uids(pairs: ray.data.Dataset) -> ray.data.Dataset:
+def _pairs_to_uids(
+    pairs: ray.data.Dataset, uid_remap: dict | None = None
+) -> ray.data.Dataset:
     """Normalize (left, right) to uid keys if they are url strings."""
     sch = pairs.schema()
     left_type = sch.types[sch.names.index("left")]
@@ -498,14 +733,18 @@ def _pairs_to_uids(pairs: ray.data.Dataset) -> ray.data.Dataset:
 
     def conv(t: pa.Table) -> pa.Table:
         cols = {n: t.column(n) for n in t.schema.names}
-        cols["left"] = pa.array(page_uids(t.column("left").to_pylist()), pa.int64())
-        cols["right"] = pa.array(page_uids(t.column("right").to_pylist()), pa.int64())
+        cols["left"] = pa.array(
+            page_uids(t.column("left").to_pylist(), uid_remap), pa.int64()
+        )
+        cols["right"] = pa.array(
+            page_uids(t.column("right").to_pylist(), uid_remap), pa.int64()
+        )
         return pa.table(cols)
 
     return pairs.map_batches(conv, batch_format="pyarrow")
 
 
-def _pack_payload_batch(t: pa.Table) -> pa.Table:
+def _pack_payload_batch(t: pa.Table, uid_remap: dict | None = None) -> pa.Table:
     """Distributed prep for the broadcast build side: pack fixed-size-list
     columns to binary blobs and add uids — runs in map_batches tasks so
     the driver only concatenates Arrow tables."""
@@ -513,7 +752,9 @@ def _pack_payload_batch(t: pa.Table) -> pa.Table:
         "url": t.column("url"),
         "name": t.column("name"),
         "year": t.column("year").cast(pa.float64()),
-        "uid": pa.array(page_uids(t.column("url").to_pylist()), pa.int64()),
+        "uid": pa.array(
+            page_uids(t.column("url").to_pylist(), uid_remap), pa.int64()
+        ),
     }
     for name in ("embedding", "minhash"):
         col = t.column(name)
@@ -552,11 +793,14 @@ def _attach_payload_broadcast(
     features: ray.data.Dataset,
     cfg: PipelineConfig,
     restore_urls: bool = True,
+    uid_remap: dict | None = None,
 ) -> ray.data.Dataset:
     import ray as _ray
 
     packed = features.select_columns(["url"] + PAIR_PAYLOAD).map_batches(
-        _pack_payload_batch, batch_format="pyarrow"
+        _pack_payload_batch,
+        fn_kwargs={"uid_remap": uid_remap},
+        batch_format="pyarrow",
     )
     tables = [
         t
@@ -619,7 +863,9 @@ def _attach_payload_broadcast(
             cols[f"{name}_r"] = pa.array(arr[ri], typ)
         return pa.table(cols)
 
-    return _pairs_to_uids(pairs).map_batches(attach, batch_format="pyarrow")
+    return _pairs_to_uids(pairs, uid_remap).map_batches(
+        attach, batch_format="pyarrow"
+    )
 
 
 def _attach_payload_join(
@@ -628,6 +874,7 @@ def _attach_payload_join(
     cfg: PipelineConfig,
     num_partitions: int | None = None,
     restore_urls: bool = True,
+    uid_remap: dict | None = None,
 ) -> ray.data.Dataset:
     """Shuffle-join plan (build side too large to broadcast)."""
     if num_partitions is None:
@@ -660,7 +907,10 @@ def _attach_payload_join(
 
     def add_uid(t: pa.Table) -> pa.Table:
         return t.append_column(
-            "uid", pa.array(page_uids(t.column("url").to_pylist()), pa.int64())
+            "uid",
+            pa.array(
+                page_uids(t.column("url").to_pylist(), uid_remap), pa.int64()
+            ),
         )
 
     side = features.select_columns(["url"] + PAIR_PAYLOAD).map_batches(
@@ -668,7 +918,7 @@ def _attach_payload_join(
     ).map_batches(add_uid, batch_format="pyarrow")
     # pairs come from a groupby; merge away its zero-column empty blocks
     # before they hit the Acero join (see stages/util.conform_schema)
-    pairs = _pairs_to_uids(pairs).repartition(num_partitions)
+    pairs = _pairs_to_uids(pairs, uid_remap).repartition(num_partitions)
     # Ray's join merges the key columns away; payload columns come through
     # unsuffixed (suffixes only apply on collision), so rename explicitly.
     left = pairs.join(

@@ -232,6 +232,7 @@ def blocking_metrics(
     pairs: ray.data.Dataset,
     truth: ray.data.Dataset,
     n_records: int,
+    uid_remap: dict | None = None,
 ) -> BlockingMetrics:
     """Blocking quality of a candidate pair set (uid space, like
     generate_candidate_pairs' output) against truth clusters (url,
@@ -249,7 +250,7 @@ def blocking_metrics(
     for t in truth.iter_batches(batch_format="pyarrow", batch_size=None):
         urls = t.column("url").to_pylist()
         eids = t.column("entity_id").to_pylist()
-        for u, e in zip(page_uids(urls), eids):
+        for u, e in zip(page_uids(urls, uid_remap), eids):
             code = eid_codes.setdefault(str(e), len(eid_codes))
             ent[int(u)] = code
             sizes[code] = sizes.get(code, 0) + 1

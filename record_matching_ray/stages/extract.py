@@ -22,7 +22,6 @@ import numpy as np
 import pyarrow as pa
 
 from record_matching_ray.config import PipelineConfig
-from record_matching_ray.functions.embed import hashing_embed
 from record_matching_ray.functions.hashing import _U64, hash_strings, shingle_hashes
 from record_matching_ray.functions.minhash import MinHasher
 from record_matching_ray.functions.simhash import simhash
@@ -103,10 +102,29 @@ class ExtractFeatures:
       simhash (uint64), embedding (fixed_size_list<float32, embed_dim>).
     """
 
-    def __init__(self, cfg: PipelineConfig | None = None, with_html: bool = True):
+    def __init__(
+        self,
+        cfg: PipelineConfig | None = None,
+        with_html: bool = True,
+        encoder=None,
+    ):
         self.cfg = cfg or PipelineConfig()
         self.hasher = MinHasher(self.cfg.num_perm)
         self.with_html = with_html
+        # pluggable embedding encoder (functions/encoder.py protocol):
+        # resolved ONCE per actor. `encoder` may be an instance or a
+        # zero-arg factory (heavy models should use a factory so the
+        # model loads in the actor, not on the driver / in the pickle).
+        if encoder is None:
+            from record_matching_ray.functions.encoder import HashingEncoder
+
+            self.encoder = HashingEncoder(
+                self.cfg.embed_dim, self.cfg.max_tokens
+            )
+        else:
+            self.encoder = encoder() if callable(encoder) and not hasattr(
+                encoder, "encode"
+            ) else encoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -144,7 +162,9 @@ class ExtractFeatures:
 
         sigs = self.hasher.signatures(flat_shingles, sh_offsets)  # (n, num_perm)
         sh = simhash(flat_hashes, offsets)
-        emb = hashing_embed(flat_hashes, offsets, cfg.embed_dim)
+        emb = np.ascontiguousarray(
+            self.encoder.encode(texts, flat_hashes, offsets), dtype=np.float32
+        )
 
         token_sig = [" ".join(toks[:64]) for toks in token_lists]
 
@@ -187,3 +207,53 @@ def embedding_matrix(col: pa.ChunkedArray | pa.Array, dim: int) -> np.ndarray:
         col = col.combine_chunks()
     flat = col.flatten()
     return flat.to_numpy(zero_copy_only=False).reshape(-1, dim).astype(np.float32)
+
+
+def embed_texts(
+    ds,
+    encoder_factory,
+    dim: int,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    batch_size: int = 256,
+    concurrency: int | None = None,
+):
+    """Standalone embedding stage: add a fixed_size_list<float32, dim>
+    column computed by a pluggable encoder (functions/encoder.py).
+
+    ``encoder_factory``: ZERO-ARG callable building the encoder — runs in
+    each actor's __init__ so the model/client loads once per actor, never
+    per batch and never on the driver (reference: the per-stage remote
+    embedding client, record_matching/main.py:96-102). Batch size small
+    by default: remote APIs rate-limit, and embedding payloads are the
+    widest rows in the pipeline."""
+    import ray.data  # noqa: F401 — ds is a ray.data.Dataset
+
+    from record_matching_ray.stages.util import cluster_parallelism
+
+    class _EmbedActor:
+        def __init__(self):
+            self.enc = encoder_factory()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t.column(text_col).to_pylist()
+            mat = np.ascontiguousarray(
+                self.enc.encode(texts), dtype=np.float32
+            )
+            if mat.shape != (len(texts), dim):
+                raise ValueError(
+                    f"encoder returned {mat.shape}, want {(len(texts), dim)}"
+                )
+            col = pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), pa.float32()), dim
+            )
+            if out_col in t.schema.names:
+                t = t.drop_columns([out_col])
+            return t.append_column(out_col, col)
+
+    return ds.map_batches(
+        _EmbedActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency or cluster_parallelism()),
+    )

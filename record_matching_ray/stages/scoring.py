@@ -182,7 +182,9 @@ def score_pairs(
     )
 
 
-def build_payload_arrays(features: ray.data.Dataset) -> tuple:
+def build_payload_arrays(
+    features: ray.data.Dataset, uid_remap: dict | None = None
+) -> tuple:
     """Collect the (bounded, counted-small) feature payload into numpy
     arrays for the fused broadcast scorer: (uids_sorted, perm, urls,
     names, years, minhash (n,p) uint8, embedding (n,d) float32).
@@ -192,7 +194,9 @@ def build_payload_arrays(features: ray.data.Dataset) -> tuple:
     from record_matching_ray.stages import blocking as _b
 
     packed = features.select_columns(["url"] + _b.PAIR_PAYLOAD).map_batches(
-        _b._pack_payload_batch, batch_format="pyarrow"
+        _b._pack_payload_batch,
+        fn_kwargs={"uid_remap": uid_remap},
+        batch_format="pyarrow",
     )
     tables = [
         t
@@ -318,12 +322,13 @@ def score_pairs_fused(
     features: ray.data.Dataset,
     cfg: PipelineConfig,
     weights: tuple[float, np.ndarray] | None = None,
+    uid_remap: dict | None = None,
 ) -> ray.data.Dataset:
     """uid pairs + broadcast feature payload -> edges (left, right,
     score >= tau), one map_batches. Only valid when the feature payload
     fits a broadcast (caller gates on count — run_er checks the same
     bound attach_pair_payload uses)."""
-    payload_ref = ray.put(build_payload_arrays(features))
+    payload_ref = ray.put(build_payload_arrays(features, uid_remap))
     weights_ref = ray.put(weights) if weights is not None else None
     return pairs.select_columns(["left", "right"]).map_batches(
         FusedPairScorer,
