@@ -2021,6 +2021,49 @@ _MINHASH_NEARDUP_SQL = (
 # closure (each component's label = its minimum doc_id). The synthetic
 # corpus' near-dup pairs sit at jaccard >= 0.9 with nothing between 0.5
 # and 0.9, so the ER pipeline's learned edges induce the same components.
+def _er_error_pairs_docs(sf_dir: str):
+    """FP/FN pair export (stages/evaluate.error_pairs_on_labeled — the
+    reference recall()'s anti-join pair tables, main.py:771-782): labeled
+    pairs are the exact-Jaccard candidates (>= 0.5) labeled match iff
+    jaccard >= 0.95; predictions are er_clusters_documents' components
+    (threshold 0.5), so the mid-band pairs surface as 'fp' rows for
+    review. Oracle recomputes labels + components + the disagreement
+    filter in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from record_matching_ray.stages.dedup import ngram_jaccard_pairs
+    from record_matching_ray.stages.evaluate import error_pairs_on_labeled
+    from record_matching_ray.stages.util import conformed
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cand = ngram_jaccard_pairs(docs, threshold=0.5)
+
+    def label(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "left": t.column("left"),
+                "right": t.column("right"),
+                "match": pc.greater_equal(t.column("jaccard"), 0.95),
+            }
+        )
+
+    labeled = conformed(
+        cand.map_batches(label, batch_format="pyarrow"),
+        pa.schema(
+            [("left", pa.int64()), ("right", pa.int64()), ("match", pa.bool_())]
+        ),
+    )
+    clusters = _er_clusters_documents(sf_dir).rename_columns(
+        {"doc_id": "url"}
+    )
+    return error_pairs_on_labeled(labeled, clusters)
+
+
 _ER_CLUSTERS_SQL = (
     "WITH RECURSIVE "
     + _SHINGLE_CTE
@@ -2036,6 +2079,35 @@ _ER_CLUSTERS_SQL = (
       SELECT und.a, reach.lbl FROM und JOIN reach ON reach.n = und.b
     )
     SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY n
+"""
+)
+
+_ER_ERROR_PAIRS_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + """,
+    und AS (
+      SELECT l AS a, r AS b FROM jac WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT r AS a, l AS b FROM jac WHERE jaccard >= 0.5
+    ),
+    reach(n, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT und.a, reach.lbl FROM und JOIN reach ON reach.n = und.b
+    ),
+    comp AS (SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY n),
+    lab AS (
+      SELECT l, r, jaccard >= 0.95 AS match FROM jac WHERE jaccard >= 0.5
+    )
+    SELECT lab.l AS "left", lab.r AS "right", lab.match,
+           (ca.cluster_id = cb.cluster_id) AS predicted,
+           CASE WHEN ca.cluster_id = cb.cluster_id THEN 'fp' ELSE 'fn' END
+             AS error
+    FROM lab
+    JOIN comp ca ON ca.doc_id = lab.l
+    JOIN comp cb ON cb.doc_id = lab.r
+    WHERE lab.match <> (ca.cluster_id = cb.cluster_id)
 """
 )
 
@@ -3204,6 +3276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch recall is total at this scale; approximation behavior at
         # scale configs is pytest-covered)
         "er_clusters_documents": _er_clusters_documents,
+        "er_error_pairs_docs": _er_error_pairs_docs,
         "er_incremental_docs": _er_incremental_docs,
         "minhash_neardup_docs": _minhash_neardup,
         "ngram_jaccard_docs": _ngram_jaccard,
@@ -3966,6 +4039,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_docs": _NGRAM_JACCARD_SQL,
         "minhash_neardup_docs": _MINHASH_NEARDUP_SQL,
         "er_clusters_documents": _ER_CLUSTERS_SQL,
+        "er_error_pairs_docs": _ER_ERROR_PAIRS_SQL,
         "er_incremental_docs": _ER_CLUSTERS_SQL,
         "canonical_documents": _CANONICAL_DOCS_SQL,
         "simhash_neardup_docs": _SIMHASH_SQL,

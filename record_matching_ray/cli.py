@@ -342,6 +342,15 @@ def cmd_evaluate(args) -> None:
         from record_matching_ray.stages.sinks import write_metrics_json
 
         write_metrics_json(args.metrics_json, out)
+    if args.errors_out:
+        # FP/FN pair export for error review (reference recall()'s
+        # anti-join pair tables, main.py:771-782)
+        from record_matching_ray.stages.evaluate import error_pairs_on_labeled
+
+        errs = error_pairs_on_labeled(labeled, clusters)
+        mf.write_stage(errs, args.errors_out, _fp(args) + ":errors")
+        out["errors_out"] = args.errors_out
+        out["error_rows"] = mf.read_manifest(args.errors_out)["rows"]
     print(json.dumps(out))
 
 
@@ -474,6 +483,11 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--labeled", required=True)
     sp.add_argument("--metrics-json", dest="metrics_json")
+    sp.add_argument(
+        "--errors-out",
+        dest="errors_out",
+        help="write the FP/FN pair table (parquet stage) here for review",
+    )
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("search")

@@ -114,6 +114,121 @@ def pairwise_metrics_on_labeled(
     )
 
 
+def error_pairs_on_labeled(
+    labeled_pairs: ray.data.Dataset,
+    clusters: ray.data.Dataset,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """FP/FN PAIR EXPORT for error review — the reference's recall()
+    materializes the actual false-positive / false-negative pair tables
+    via anti-joins (record_matching/main.py:771-782); this is that
+    surface: every labeled pair where the prediction (same-cluster)
+    disagrees with the label, as a streaming Dataset
+    (left, right, match, predicted, error in {'fp','fn'}).
+
+    Same two hash joins as pairwise_metrics_on_labeled; the error filter
+    runs inside map_batches, so only disagreeing rows ever materialize —
+    on a healthy pipeline that's a tiny table regardless of corpus size."""
+    from record_matching_ray.stages.util import compact_nonempty, conformed
+
+    if num_partitions is None:
+        from record_matching_ray.stages.util import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
+    left_t = labeled_pairs.schema().types[
+        labeled_pairs.schema().names.index("left")
+    ]
+    cid_t = clusters.schema().types[
+        clusters.schema().names.index("cluster_id")
+    ]
+    # labeled pairs are a bounded relation (a labeled SAMPLE, not the
+    # corpus): compact so no empty block poisons the hash join (Ray 2.49
+    # loses the join schema broadcast on an empty first block — see
+    # stages/util.compact_nonempty / rayfix.py), and size the join to the
+    # actual row count
+    labeled_pairs, n_lab = compact_nonempty(labeled_pairs, num_partitions)
+    if n_lab == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("left", left_t), ("right", left_t), ("match", pa.bool_()),
+                 ("predicted", pa.bool_()), ("error", pa.string())]
+            ).empty_table()
+        )
+    num_partitions = max(1, min(num_partitions, -(-n_lab // 4096)))
+    # the per-side cluster column is renamed BEFORE the join (a
+    # rename-after-join Project is applied per block and Ray 2.49 leaves
+    # some post-join blocks un-renamed on tiny inputs, poisoning the
+    # second join with a duplicate `cluster_id` field), and each join
+    # output is conformed so empty partitions keep the stage schema
+    def side_as(alias: str) -> ray.data.Dataset:
+        def ren(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"url": t.column("url"), alias: t.column("cluster_id")}
+            )
+
+        return conformed(
+            clusters.select_columns(["url", "cluster_id"]).map_batches(
+                ren, batch_format="pyarrow"
+            ),
+            pa.schema([("url", left_t), (alias, cid_t)]),
+        )
+
+    j1 = labeled_pairs.join(
+        side_as("cid_l"), join_type="left_outer",
+        num_partitions=num_partitions, on=("left",), right_on=("url",),
+    )
+    j1 = conformed(
+        j1,
+        pa.schema(
+            [("left", left_t), ("right", left_t), ("match", pa.bool_()),
+             ("cid_l", cid_t)]
+        ),
+    )
+    joined = j1.join(
+        side_as("cid_r"), join_type="left_outer",
+        num_partitions=num_partitions, on=("right",), right_on=("url",),
+    )
+    joined = conformed(
+        joined,
+        pa.schema(
+            [("left", left_t), ("right", left_t), ("match", pa.bool_()),
+             ("cid_l", cid_t), ("cid_r", cid_t)]
+        ),
+    )
+
+    def errs(t: pa.Table) -> pa.Table:
+        match = t.column("match").to_numpy(zero_copy_only=False).astype(bool)
+        cid_l = t.column("cid_l").to_pylist()
+        cid_r = t.column("cid_r").to_pylist()
+        pred = np.array(
+            [a is not None and a == b for a, b in zip(cid_l, cid_r)], dtype=bool
+        )
+        bad = match != pred
+        err = np.where(pred, "fp", "fn")
+        return pa.table(
+            {
+                "left": t.column("left").filter(pa.array(bad)),
+                "right": t.column("right").filter(pa.array(bad)),
+                "match": pa.array(match[bad], pa.bool_()),
+                "predicted": pa.array(pred[bad], pa.bool_()),
+                "error": pa.array(list(err[bad]), pa.string()),
+            }
+        )
+
+    return conformed(
+        joined.map_batches(errs, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("left", left_t),
+                ("right", left_t),
+                ("match", pa.bool_()),
+                ("predicted", pa.bool_()),
+                ("error", pa.string()),
+            ]
+        ),
+    )
+
+
 def adjusted_rand_vs_truth(
     clusters: ray.data.Dataset,
     truth: ray.data.Dataset,

@@ -128,3 +128,51 @@ def test_fused_and_join_scorers_agree(corpus):
         for r in scoring.edges_from_scores(scored, cfg).take_all()
     }
     assert fused == joined
+
+
+def test_error_pairs_on_labeled_exports_fp_and_fn():
+    """FP/FN pair export (evaluate.error_pairs_on_labeled): both error
+    directions materialize with the right tags; agreeing pairs don't."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.stages.evaluate import error_pairs_on_labeled
+
+    clusters = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["a", "b", "c", "d"], pa.string()),
+                "cluster_id": pa.array(["k1", "k1", "k2", "k3"], pa.string()),
+            }
+        )
+    )
+    labeled = rd.from_arrow(
+        pa.table(
+            {
+                "left": pa.array(["a", "a", "c"], pa.string()),
+                "right": pa.array(["b", "c", "d"], pa.string()),
+                # (a,b): match & same cluster -> TP (no row)
+                # (a,c): match but different clusters -> FN
+                # (c,d): non-match, different clusters -> TN (no row)
+                "match": pa.array([True, True, False], pa.bool_()),
+            }
+        )
+    )
+    out = error_pairs_on_labeled(labeled, clusters).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["left"], r["right"], r["error"]) == ("a", "c", "fn")
+    assert bool(r["match"]) is True and bool(r["predicted"]) is False
+
+    # flip: a false positive
+    labeled_fp = rd.from_arrow(
+        pa.table(
+            {
+                "left": pa.array(["a"], pa.string()),
+                "right": pa.array(["b"], pa.string()),
+                "match": pa.array([False], pa.bool_()),
+            }
+        )
+    )
+    out2 = error_pairs_on_labeled(labeled_fp, clusters).to_pandas()
+    assert len(out2) == 1 and out2.iloc[0]["error"] == "fp"
