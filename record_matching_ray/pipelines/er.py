@@ -64,6 +64,7 @@ def build_features(
     cfg: PipelineConfig,
     concurrency: int | None = None,
     encoder=None,
+    registry=None,
 ) -> ray.data.Dataset:
     """S1. Actor pool so the per-worker state (permutation bank, compiled
     regexes, embedding model) is built once per actor, not per batch.
@@ -75,7 +76,7 @@ def build_features(
     encoder tag into run_er's input_key so checkpoints fingerprint it."""
     return pages.map_batches(
         ExtractFeatures,
-        fn_constructor_args=(cfg, True, encoder),
+        fn_constructor_args=(cfg, True, encoder, registry),
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
         # autoscaling pool (min 1): a fixed-size pool would reserve CPUs
@@ -89,6 +90,7 @@ def train_weights_from_labeled(
     labeled_pairs: ray.data.Dataset,
     cfg: PipelineConfig,
     num_partitions: int | None = None,
+    registry=None,
 ) -> tuple[float, np.ndarray, float]:
     """Logistic-regression weights from the labeled pair sample.
 
@@ -99,19 +101,23 @@ def train_weights_from_labeled(
     sklearn liblinear at main.py:444-486). Returns (intercept, weights,
     train AUC)."""
     pairs = labeled_pairs.select_columns(["left", "right", "match"])
-    wide = blocking.attach_pair_payload(pairs, features, cfg, num_partitions)
+    fnames = registry.feature_names() if registry else cfg.feature_names()
+    wide = blocking.attach_pair_payload(
+        pairs, features, cfg, num_partitions,
+        extra_payload=registry.payload_columns() if registry else None,
+    )
 
     import pyarrow as pa
 
     def featurize(t: pa.Table) -> pa.Table:
-        X = scoring.compute_pair_features(t, cfg.embed_dim)
+        X = scoring.compute_pair_features(t, cfg.embed_dim, registry=registry)
         cols = {"match": t.column("match")}
-        for i, name in enumerate(cfg.feature_names()):
+        for i, name in enumerate(fnames):
             cols[name] = pa.array(X[:, i], pa.float64())
         return pa.table(cols)
 
     mat = wide.map_batches(featurize, batch_format="pyarrow").to_pandas()
-    X = mat[list(cfg.feature_names())].to_numpy()
+    X = mat[list(fnames)].to_numpy()
     y = mat["match"].to_numpy().astype(np.float64)
     intercept, weights = fit_logistic(X, y)
     from record_matching_ray.functions.logistic import predict_proba
@@ -197,6 +203,7 @@ def run_er(
     num_partitions: int | None = None,
     feature_concurrency: int | None = None,
     encoder=None,
+    registry=None,
 ) -> dict:
     """Run S1..S5. If out_dir is set, every stage checkpoints to
     out_dir/<stage>/ with a manifest and a rerun skips complete stages
@@ -216,7 +223,13 @@ def run_er(
         # 11.5s, 32 partitions 52.6s, 64 partitions >390s. Keep exactly
         # shuffle_partitions() (CPUs/2), never a multiple of it.
         num_partitions = max(8, shuffle_partitions())
-    fp = cfg.fingerprint() + weights_digest(weights) + ":" + input_key
+    fp = (
+        cfg.fingerprint()
+        + weights_digest(weights)
+        + (registry.fingerprint() if registry else "")
+        + ":"
+        + input_key
+    )
 
     def checkpoint(ds: ray.data.Dataset, stage: str) -> ray.data.Dataset:
         if out_dir is None:
@@ -235,7 +248,8 @@ def run_er(
         return mf.read_stage(sdir)
 
     features = checkpoint(
-        build_features(pages, cfg, feature_concurrency, encoder), "features"
+        build_features(pages, cfg, feature_concurrency, encoder, registry),
+        "features",
     )
     if out_dir is None:
         # features feed 4+ consumers (hot hosts, block keys, both payload
@@ -287,7 +301,8 @@ def run_er(
         ),
         "pairs",
     )
-    payload_feats = pruned(["url"] + blocking.PAIR_PAYLOAD)
+    extra_cols = registry.payload_columns() if registry else []
+    payload_feats = pruned(["url"] + blocking.PAIR_PAYLOAD + extra_cols)
     url_feats = pruned(["url"])
     # Scoring, edges and clustering all run in uid space (8B keys);
     # urls are restored once on the final cluster table. Two scoring
@@ -306,6 +321,10 @@ def run_er(
         url_feats.count() <= 1_000_000
         and not cfg.keep_scored
         and not cfg.emit_features
+        and not registry
+        # registered custom fields use the generic payload-attach +
+        # PairScorer plan (the fused scorer's packed actor state is
+        # built-in-only — documented trade in registry.py)
     ):
         # no repartition: the dedup stage already emits
         # coarse_groupby_partitions() (= 4x CPUs) blocks, so the scorer
@@ -316,13 +335,13 @@ def run_er(
     else:
         wide = blocking.attach_pair_payload(
             pairs, payload_feats, cfg, num_partitions, restore_urls=False,
-            uid_remap=uid_remap,
+            uid_remap=uid_remap, extra_payload=extra_cols or None,
         )
         # persisting the full scored table would write+read ~150B x
         # |pairs| for a stage whose only consumer keeps score >= tau
         # rows; set keep_scored=True (cfg) to checkpoint it for
         # re-thresholding experiments.
-        scored = scoring.score_pairs(wide, cfg, weights)
+        scored = scoring.score_pairs(wide, cfg, weights, registry)
         if out_dir is not None and cfg.keep_scored:
             scored = checkpoint(scored, "scored")
         edges_ds = scoring.edges_from_scores(scored, cfg)

@@ -683,6 +683,7 @@ def attach_pair_payload(
     broadcast_max_rows: int = 1_000_000,
     restore_urls: bool = True,
     uid_remap: dict | None = None,
+    extra_payload: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Attach both sides' feature payloads to each candidate pair.
 
@@ -715,10 +716,11 @@ def attach_pair_payload(
     n_features = features.count()
     if n_features <= broadcast_max_rows:
         return _attach_payload_broadcast(
-            pairs, features, cfg, restore_urls, uid_remap
+            pairs, features, cfg, restore_urls, uid_remap, extra_payload
         )
     return _attach_payload_join(
-        pairs, features, cfg, num_partitions, restore_urls, uid_remap
+        pairs, features, cfg, num_partitions, restore_urls, uid_remap,
+        extra_payload,
     )
 
 
@@ -744,7 +746,9 @@ def _pairs_to_uids(
     return pairs.map_batches(conv, batch_format="pyarrow")
 
 
-def _pack_payload_batch(t: pa.Table, uid_remap: dict | None = None) -> pa.Table:
+def _pack_payload_batch(
+    t: pa.Table, uid_remap: dict | None = None
+) -> pa.Table:
     """Distributed prep for the broadcast build side: pack fixed-size-list
     columns to binary blobs and add uids — runs in map_batches tasks so
     the driver only concatenates Arrow tables."""
@@ -785,6 +789,10 @@ def _pack_payload_batch(t: pa.Table, uid_remap: dict | None = None) -> pa.Table:
             [mat[i * dim : (i + 1) * dim].tobytes() for i in range(t.num_rows)],
             pa.binary(),
         )
+    # registered custom payload columns (registry.py) pass through as-is
+    for name in t.schema.names:
+        if name not in cols and name not in ("embedding", "minhash"):
+            cols[name] = t.column(name)
     return pa.table(cols)
 
 
@@ -794,10 +802,14 @@ def _attach_payload_broadcast(
     cfg: PipelineConfig,
     restore_urls: bool = True,
     uid_remap: dict | None = None,
+    extra_payload: list[str] | None = None,
 ) -> ray.data.Dataset:
     import ray as _ray
 
-    packed = features.select_columns(["url"] + PAIR_PAYLOAD).map_batches(
+    extra = list(extra_payload or [])
+    packed = features.select_columns(
+        ["url"] + PAIR_PAYLOAD + extra
+    ).map_batches(
         _pack_payload_batch,
         fn_kwargs={"uid_remap": uid_remap},
         batch_format="pyarrow",
@@ -820,6 +832,9 @@ def _attach_payload_broadcast(
                 side.column("embedding").to_pylist(), dtype=object
             ),
         }
+        extra_types = {c: side.schema.field(c).type for c in extra}
+        for c in extra:
+            payload[c] = np.asarray(side.column(c).to_pylist(), dtype=object)
     else:
         index = {}
         payload = {
@@ -829,6 +844,9 @@ def _attach_payload_broadcast(
             "year": np.empty(0, dtype=np.float64),
             "embedding": np.empty(0, dtype=object),
         }
+        extra_types = {c: pa.string() for c in extra}
+        for c in extra:
+            payload[c] = np.empty(0, dtype=object)
     ref = _ray.put((index, payload))
 
     def attach(t: pa.Table) -> pa.Table:
@@ -856,11 +874,14 @@ def _attach_payload_broadcast(
         for name, arr in pl.items():
             if name == "url":
                 continue
-            typ = pa.float64() if name == "year" else (
-                pa.binary() if name in ("embedding", "minhash") else pa.string()
-            )
-            cols[f"{name}_l"] = pa.array(arr[li], typ)
-            cols[f"{name}_r"] = pa.array(arr[ri], typ)
+            if name in extra_types:
+                typ = extra_types[name]
+            else:
+                typ = pa.float64() if name == "year" else (
+                    pa.binary() if name in ("embedding", "minhash") else pa.string()
+                )
+            cols[f"{name}_l"] = pa.array(list(arr[li]), typ)
+            cols[f"{name}_r"] = pa.array(list(arr[ri]), typ)
         return pa.table(cols)
 
     return _pairs_to_uids(pairs, uid_remap).map_batches(
@@ -875,8 +896,10 @@ def _attach_payload_join(
     num_partitions: int | None = None,
     restore_urls: bool = True,
     uid_remap: dict | None = None,
+    extra_payload: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Shuffle-join plan (build side too large to broadcast)."""
+    extra = list(extra_payload or [])
     if num_partitions is None:
         from record_matching_ray.stages.util import shuffle_partitions
 
@@ -913,7 +936,9 @@ def _attach_payload_join(
             ),
         )
 
-    side = features.select_columns(["url"] + PAIR_PAYLOAD).map_batches(
+    side = features.select_columns(
+        ["url"] + PAIR_PAYLOAD + extra
+    ).map_batches(
         pack_fixed_lists, batch_format="pyarrow"
     ).map_batches(add_uid, batch_format="pyarrow")
     # pairs come from a groupby; merge away its zero-column empty blocks
@@ -927,14 +952,14 @@ def _attach_payload_join(
         num_partitions=num_partitions,
         on=("left",),
         right_on=("uid",),
-    ).rename_columns({c: f"{c}_l" for c in PAIR_PAYLOAD + ["url"]})
+    ).rename_columns({c: f"{c}_l" for c in PAIR_PAYLOAD + extra + ["url"]})
     both = left.join(
         side,
         join_type="inner",
         num_partitions=num_partitions,
         on=("right",),
         right_on=("uid",),
-    ).rename_columns({c: f"{c}_r" for c in PAIR_PAYLOAD + ["url"]})
+    ).rename_columns({c: f"{c}_r" for c in PAIR_PAYLOAD + extra + ["url"]})
 
     def finalize(t: pa.Table) -> pa.Table:
         cols = {

@@ -107,6 +107,7 @@ class ExtractFeatures:
         cfg: PipelineConfig | None = None,
         with_html: bool = True,
         encoder=None,
+        registry=None,
     ):
         self.cfg = cfg or PipelineConfig()
         self.hasher = MinHasher(self.cfg.num_perm)
@@ -125,6 +126,9 @@ class ExtractFeatures:
             self.encoder = encoder() if callable(encoder) and not hasattr(
                 encoder, "encode"
             ) else encoder
+        # declarative custom fields (registry.py): extracted after the
+        # built-in columns so FieldSpec.extract sees the wide batch
+        self.registry = registry
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -191,6 +195,13 @@ class ExtractFeatures:
         }
         if "warc_ts" in batch.schema.names:
             cols["warc_ts"] = batch.column("warc_ts")
+        if self.registry:
+            wide = pa.table(cols)
+            for f in self.registry:
+                arr = f.extract(wide)
+                if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+                    arr = pa.array(arr, f.dtype)
+                cols[f.name] = arr
         return pa.table(cols)
 
 

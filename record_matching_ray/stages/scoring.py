@@ -76,17 +76,23 @@ def _memoized_pairwise(
 
 
 def compute_pair_features(
-    batch: pa.Table, dim: int, caches: dict[str, dict] | None = None
+    batch: pa.Table,
+    dim: int,
+    caches: dict[str, dict] | None = None,
+    registry=None,
 ) -> np.ndarray:
-    """(n, len(FEATURE_NAMES)) float64 feature matrix, FEATURE_NAMES order.
+    """(n, n_features) float64 feature matrix — FEATURE_NAMES order, then
+    any registered custom fields (registry.py) in registration order.
 
     f_cosine and f_jaccard are fully vectorized (embedding dot products /
     minhash signature agreement); the name kernels memoize through
     `caches` (persistent across batches when called from the PairScorer
-    actor)."""
+    actor). Custom fields compute FieldSpec.compare over the attached
+    <name>_l/<name>_r payload columns."""
     n = batch.num_rows
     caches = caches if caches is not None else {"jw": {}, "lev": {}, "tok": {}}
     caches.setdefault("tok", {})
+    names = registry.feature_names() if registry else FEATURE_NAMES
     # embeddings travel SQ8-quantized (int8 unit-scaled, blocking.py pack);
     # cosine_rows re-normalizes, so the scale cancels
     emb_l = _unpack_blobs(batch.column("embedding_l"), np.int8).astype(np.float32)
@@ -98,7 +104,7 @@ def compute_pair_features(
     year_l = batch.column("year_l").to_numpy(zero_copy_only=False)
     year_r = batch.column("year_r").to_numpy(zero_copy_only=False)
 
-    feats = np.empty((n, len(FEATURE_NAMES)), dtype=np.float64)
+    feats = np.empty((n, len(names)), dtype=np.float64)
     feats[:, FEATURE_NAMES.index("f_cosine")] = cosine_rows(emb_l, emb_r)
     feats[:, FEATURE_NAMES.index("f_jaccard")] = (mh_l == mh_r).mean(axis=1)
     feats[:, FEATURE_NAMES.index("f_jaro_winkler")] = strsim.cached_pairwise_vec(
@@ -116,6 +122,19 @@ def compute_pair_features(
         feats[:, FEATURE_NAMES.index("f_jaro_winkler")]
         * feats[:, FEATURE_NAMES.index("f_jaccard")]
     )
+    if registry:
+        for j, f in enumerate(registry.fields):
+            cl = batch.column(f"{f.name}_l")
+            cr = batch.column(f"{f.name}_r")
+            if pa.types.is_string(cl.type) or pa.types.is_binary(cl.type):
+                l_vals = np.asarray(cl.to_pylist(), dtype=object)
+                r_vals = np.asarray(cr.to_pylist(), dtype=object)
+            else:
+                l_vals = cl.to_numpy(zero_copy_only=False)
+                r_vals = cr.to_numpy(zero_copy_only=False)
+            feats[:, len(FEATURE_NAMES) + j] = np.asarray(
+                f.compare(l_vals, r_vals), dtype=np.float64
+            )
     return feats
 
 
@@ -126,11 +145,20 @@ class PairScorer:
     itself (tests). Resolved ONCE in __init__ (warm per actor).
     """
 
-    def __init__(self, cfg: PipelineConfig, weights_ref=None):
+    def __init__(self, cfg: PipelineConfig, weights_ref=None, registry=None):
         self.cfg = cfg
+        self.registry = registry
+        self.feature_names = (
+            registry.feature_names() if registry else FEATURE_NAMES
+        )
         if weights_ref is None:
             self.intercept = cfg.intercept
-            self.weights = np.asarray(cfg.weights, dtype=np.float64)
+            w = np.asarray(cfg.weights, dtype=np.float64)
+            if registry and len(w) == len(FEATURE_NAMES):
+                # cfg defaults cover the built-ins; registered fields
+                # start at 0 until trained
+                w = np.concatenate([w, np.zeros(len(registry.fields))])
+            self.weights = w
         else:
             obj = (
                 ray.get(weights_ref)
@@ -140,7 +168,7 @@ class PairScorer:
             self.intercept, self.weights = float(obj[0]), np.asarray(
                 obj[1], dtype=np.float64
             )
-        assert len(self.weights) == len(FEATURE_NAMES)
+        assert len(self.weights) == len(self.feature_names)
         # persistent name-kernel memoization (bounded: cleared past 1M
         # keys); misses are computed by the VECTORIZED codepoint-matrix
         # kernels (functions/strsim.py), so an all-unique-names corpus
@@ -151,14 +179,16 @@ class PairScorer:
         for c in self._caches.values():
             if len(c) > 1_000_000:
                 c.clear()
-        feats = compute_pair_features(batch, self.cfg.embed_dim, self._caches)
+        feats = compute_pair_features(
+            batch, self.cfg.embed_dim, self._caches, self.registry
+        )
         score = expit(feats @ self.weights + self.intercept)
         cols = {
             "left": batch.column("left"),
             "right": batch.column("right"),
         }
         if self.cfg.emit_features:
-            for i, fname in enumerate(FEATURE_NAMES):
+            for i, fname in enumerate(self.feature_names):
                 cols[fname] = pa.array(feats[:, i].astype(np.float32), pa.float32())
         cols["score"] = pa.array(score.astype(np.float32), pa.float32())
         return pa.table(cols)
@@ -168,12 +198,13 @@ def score_pairs(
     pairs_with_payload: ray.data.Dataset,
     cfg: PipelineConfig,
     weights: tuple[float, np.ndarray] | None = None,
+    registry=None,
 ) -> ray.data.Dataset:
     """The pairs-scored/sec hot loop (BASELINE.md headline metric)."""
     weights_ref = ray.put(weights) if weights is not None else None
     return pairs_with_payload.map_batches(
         PairScorer,
-        fn_constructor_args=(cfg, weights_ref),
+        fn_constructor_args=(cfg, weights_ref, registry),
         batch_format="pyarrow",
         batch_size=cfg.scorer_batch_size,
         # autoscaling (min 1) so the pool never starves co-scheduled
@@ -365,14 +396,16 @@ class ExplainScorer(PairScorer):
         for c in self._caches.values():
             if len(c) > 1_000_000:
                 c.clear()
-        feats = compute_pair_features(batch, self.cfg.embed_dim, self._caches)
+        feats = compute_pair_features(
+            batch, self.cfg.embed_dim, self._caches, self.registry
+        )
         contrib = feats * self.weights[None, :]
         logit = contrib.sum(axis=1) + self.intercept
         cols = {
             "left": batch.column("left"),
             "right": batch.column("right"),
         }
-        for i, fname in enumerate(FEATURE_NAMES):
+        for i, fname in enumerate(self.feature_names):
             cols[fname] = pa.array(feats[:, i], pa.float64())
             cols[f"w_{fname}"] = pa.array(contrib[:, i], pa.float64())
         cols["intercept"] = pa.array(
