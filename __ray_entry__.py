@@ -2799,6 +2799,74 @@ _MEDIA_PIXEL_SQL = """
 """
 
 
+def _media_jpeg_stats(sf_dir: str):
+    """REAL baseline-JPEG decode path, oracle-checked end to end: per
+    vec_id a 16x24 grayscale image of six constant 8x8 tiles (tile t =
+    (vec_id*37 + t*17) % 256) is encoded to ACTUAL JFIF bytes
+    (functions/jpeg.py — Annex K tables, Huffman entropy coding) at
+    quality 100, shipped as a binary column, then jpeg_decode'd inside a
+    distributed map_batches reporting per-image stats. 8x8-aligned
+    constant tiles at quality 100 round-trip EXACTLY (DC = 8*(c-128)
+    integer, quant 1), so the DuckDB oracle recomputes the stats from
+    the tile formula alone — any decoder bug (Huffman, dequant, IDCT,
+    raster assembly) goes red on the value hash."""
+    import numpy as np
+    import pyarrow as pa
+
+    from record_matching_ray.functions.jpeg import jpeg_decode, jpeg_encode
+
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+
+    def to_jpeg(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for v in ids:
+            tiles = ((int(v) * 37 + np.arange(6) * 17) % 256).astype(np.uint8)
+            img = np.kron(tiles.reshape(2, 3), np.ones((8, 8), np.uint8))
+            payloads.append(jpeg_encode(img, quality=100))
+        return pa.table(
+            {"vec_id": t.column("vec_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def pixel_stats(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id")
+        means, mins, maxs, ws, hs = [], [], [], [], []
+        for p in t.column("payload").to_pylist():
+            img = jpeg_decode(p)
+            px = img.astype(np.int64)
+            means.append(round(float(px.sum()) / px.size, 6))
+            mins.append(int(px.min()))
+            maxs.append(int(px.max()))
+            hs.append(int(img.shape[0]))
+            ws.append(int(img.shape[1]))
+        return pa.table(
+            {
+                "vec_id": ids,
+                "mean_px": pa.array(means, pa.float64()),
+                "min_px": pa.array(mins, pa.int64()),
+                "max_px": pa.array(maxs, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+            }
+        )
+
+    return embs.map_batches(to_jpeg, batch_format="pyarrow").map_batches(
+        pixel_stats, batch_format="pyarrow"
+    )
+
+
+_MEDIA_JPEG_SQL = """
+    SELECT e.vec_id,
+           ROUND(SUM((e.vec_id * 37 + g.t * 17) % 256) * 1.0 / 6, 6) AS mean_px,
+           MIN((e.vec_id * 37 + g.t * 17) % 256) AS min_px,
+           MAX((e.vec_id * 37 + g.t * 17) % 256) AS max_px,
+           CAST(24 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height
+    FROM embeddings e CROSS JOIN range(6) g(t)
+    GROUP BY e.vec_id
+"""
+
+
 def _orders_quality_checks(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -3225,6 +3293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metablocking_docs": _metablocking_docs,
         "orders_quality_checks": _orders_quality_checks,
         "media_pixel_stats": _media_pixel_stats,
+        "media_jpeg_stats": _media_jpeg_stats,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "lang_source_counts": _lang_source_counts,
@@ -3465,6 +3534,7 @@ def oracle_sql() -> dict[str, str]:
         "metablocking_docs": _METABLOCKING_SQL,
         "orders_quality_checks": _ORDERS_QUALITY_SQL,
         "media_pixel_stats": _MEDIA_PIXEL_SQL,
+        "media_jpeg_stats": _MEDIA_JPEG_SQL,
         "doc_token_stats": r"""
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -3,9 +3,9 @@
 The container has no image/audio libraries, but PNG is zlib (stdlib) plus
 per-row byte filters, and WAV is raw PCM behind a RIFF header (stdlib
 ``wave``) — so these two formats get REAL decode/encode paths, used by
-``stages/multimodal.DecodeKernel`` when ``fake=False``. JPEG/GIF/BMP get
-header sniffing (dimensions/type) only; full JPEG entropy decoding is out
-of scope and still raises ``NotImplementedError``.
+``stages/multimodal.DecodeKernel`` when ``fake=False``. Baseline JPEG
+encode/decode is real too (functions/jpeg.py, pure numpy); GIF/BMP get
+header sniffing (dimensions/type) only.
 
 PNG support: 8-bit gray / RGB / RGBA, non-interlaced, all five filter
 types (None/Sub/Up/Average/Paeth). Sub and Up unfilter vectorized; the

@@ -6,12 +6,12 @@ by actor-pool ``map_batches`` stages exactly like the text pipeline.
 Codec support is tiered:
 - REAL (stdlib + numpy, functions/media_codecs.py): PNG decode/encode
   (8-bit gray/RGB/RGBA, all five filters), WAV PCM decode, and header
-  sniffing (PNG/JPEG/GIF/BMP dims). ``DecodeKernel`` featurizes PNG
+  sniffing (PNG/JPEG/GIF/BMP dims). ``DecodeKernel`` featurizes PNG/JPEG
   payloads from decoded pixels and WAV payloads from segment energies;
   ``MediaResizer`` really decodes, nearest-neighbor resizes and
   re-encodes PNGs.
 - STUBBED: formats needing entropy decoders absent from this container
-  (JPEG pixels, video frames) raise ``NotImplementedError`` at the
+  (GIF/BMP pixels, video frames) raise ``NotImplementedError`` at the
   documented injection point; ``fake=True`` substitutes a deterministic
   content-hash decoder so schemas/batching/resume are exercised end to
   end regardless of format.
@@ -123,14 +123,18 @@ class DecodeKernel:
         kind = sniff_media(payload)["kind"]
         if kind == "png":
             return self._image_features(png_decode(payload))
+        if kind == "jpeg":
+            from record_matching_ray.functions.jpeg import jpeg_decode
+
+            return self._image_features(jpeg_decode(payload))
         if kind == "wav":
             samples, _rate = wav_decode(payload)
             return self._audio_features(samples)
         raise NotImplementedError(
-            f"no decoder for {kind!r} payloads in this environment (PNG and "
-            "WAV decode are real; JPEG/video need absent codec libraries); "
-            "construct MediaFeaturizer(..., fake=True) for the deterministic "
-            "stand-in decoder"
+            f"no decoder for {kind!r} payloads in this environment (PNG, "
+            "baseline JPEG and WAV decode are real; GIF/BMP/video need "
+            "absent codec libraries); construct MediaFeaturizer(..., "
+            "fake=True) for the deterministic stand-in decoder"
         )
 
 
@@ -207,14 +211,32 @@ class MediaResizer:
                 sniff_media,
             )
 
-            if sniff_media(payload)["kind"] != "png":
-                raise NotImplementedError(
-                    "real resize supports PNG payloads only in this "
-                    "environment; use fake=True for other formats"
+            kind = sniff_media(payload)["kind"]
+            if kind == "png":
+                out.append(
+                    png_encode(
+                        resize_nearest(png_decode(payload), self.width, self.height)
+                    )
                 )
-            out.append(
-                png_encode(resize_nearest(png_decode(payload), self.width, self.height))
-            )
+            elif kind == "jpeg":
+                from record_matching_ray.functions.jpeg import (
+                    jpeg_decode,
+                    jpeg_encode,
+                )
+
+                out.append(
+                    jpeg_encode(
+                        resize_nearest(
+                            jpeg_decode(payload), self.width, self.height
+                        ),
+                        quality=90,
+                    )
+                )
+            else:
+                raise NotImplementedError(
+                    "real resize supports PNG and baseline-JPEG payloads in "
+                    "this environment; use fake=True for other formats"
+                )
         return pa.table(
             {
                 "media_id": batch.column("media_id"),

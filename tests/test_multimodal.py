@@ -271,3 +271,101 @@ def test_resize_media_real_png():
             (src.reshape(-1, 3) == px).all(axis=1).any()
             for px in dec.reshape(-1, 3)
         )
+
+
+def test_jpeg_codec_roundtrip_properties():
+    """Baseline JPEG codec (functions/jpeg.py): constant 8x8 tiles at
+    quality 100 round-trip EXACTLY; random/gradient content round-trips
+    within the expected lossy bound; color and odd sizes work."""
+    import numpy as np
+
+    from record_matching_ray.functions.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(7)
+    tiles = rng.randint(0, 256, size=(3, 4), dtype=np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    assert np.array_equal(jpeg_decode(jpeg_encode(img, quality=100)), img)
+
+    g = rng.randint(0, 256, size=(24, 40), dtype=np.uint8)
+    back = jpeg_decode(jpeg_encode(g, quality=95))
+    assert back.shape == g.shape
+    assert np.abs(back.astype(int) - g.astype(int)).max() <= 16
+
+    xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+    smooth = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+    b = jpeg_decode(jpeg_encode(smooth, quality=90))
+    assert np.abs(b.astype(int) - smooth.astype(int)).max() <= 4
+
+    rgb = rng.randint(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    brgb = jpeg_decode(jpeg_encode(rgb, quality=95))
+    assert brgb.shape == (17, 23, 3)
+    assert np.abs(brgb.astype(int) - rgb.astype(int)).max() <= 32
+
+    odd = rng.randint(0, 256, size=(9, 13), dtype=np.uint8)
+    assert jpeg_decode(jpeg_encode(odd, quality=100)).shape == (9, 13)
+
+
+def test_jpeg_decoder_guards():
+    import numpy as np
+    import pytest
+
+    from record_matching_ray.functions.jpeg import jpeg_decode, jpeg_encode
+
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"not a jpeg")
+    data = bytearray(jpeg_encode(np.zeros((8, 8), np.uint8)))
+    # corrupt the SOF marker into progressive (0xC2)
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF"):
+        jpeg_decode(bytes(data))
+
+
+def test_featurizer_decodes_real_jpeg():
+    """DecodeKernel routes JPEG payloads through the real decoder: two
+    identical images featurize identically, a different one differs."""
+    import numpy as np
+
+    from record_matching_ray.functions.jpeg import jpeg_encode
+    from record_matching_ray.stages.multimodal import DecodeKernel
+
+    k = DecodeKernel(feature_dim=64, fake=False)
+    a = np.kron(
+        np.array([[10, 200], [60, 120]], np.uint8), np.ones((8, 8), np.uint8)
+    )
+    b = np.kron(
+        np.array([[250, 5], [90, 30]], np.uint8), np.ones((8, 8), np.uint8)
+    )
+    fa1 = k.decode_features(jpeg_encode(a, 100), "image")
+    fa2 = k.decode_features(jpeg_encode(a, 100), "image")
+    fb = k.decode_features(jpeg_encode(b, 100), "image")
+    assert np.array_equal(fa1, fa2)
+    assert not np.array_equal(fa1, fb)
+
+
+def test_resize_media_jpeg_payloads():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.functions.jpeg import jpeg_decode, jpeg_encode
+    from record_matching_ray.stages.multimodal import resize_media
+
+    rng = np.random.RandomState(3)
+    payloads = [
+        jpeg_encode(rng.randint(0, 256, size=(32, 32), dtype=np.uint8), 95)
+        for _ in range(3)
+    ]
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([0, 1, 2], pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    out = resize_media(media, width=16, height=16).to_pandas()
+    assert len(out) == 3
+    for p in out["payload"]:
+        img = jpeg_decode(bytes(p))
+        assert img.shape == (16, 16)
