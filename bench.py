@@ -235,6 +235,72 @@ def run_flagship(num_cpus: int) -> dict:
     }
 
 
+def run_scorer_adversarial(num_cpus: int, n_pages: int = 20000,
+                           n_pairs: int = 500_000) -> dict:
+    """Adversarial scorer leg (VERDICT r2 item 1 done-criterion): every
+    page gets a UNIQUE random name, so the scorer's per-pair memo
+    hit-rate is ~0 and the name kernels do all the work — this is the
+    corpus shape where the vectorized codepoint-matrix kernels
+    (functions/strsim.py) carry the stage, not the cache. Times the
+    fused scorer over n_pairs random pairs of a synthetic payload."""
+    _init_ray(num_cpus)
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from record_matching_ray.config import PipelineConfig
+    from record_matching_ray.stages import scoring
+
+    rng = np.random.RandomState(99)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    names = [
+        "".join(rng.choice(letters, size=rng.randint(10, 24))) + f" u{i}"
+        for i in range(n_pages)
+    ]
+    cfg = PipelineConfig()
+    emb = rng.standard_normal((n_pages, cfg.embed_dim)).astype(np.float32)
+    mh = rng.randint(0, 2**63, size=(n_pages, cfg.num_perm), dtype=np.int64)
+    feats = pa.table(
+        {
+            "url": pa.array([f"https://u{i}.com/p" for i in range(n_pages)]),
+            "name": pa.array(names, pa.string()),
+            "year": pa.array(
+                rng.randint(1900, 2020, n_pages).astype(np.float64), pa.float64()
+            ),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(mh.ravel().astype(np.uint64), pa.uint64()), cfg.num_perm
+            ),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), pa.float32()), cfg.embed_dim
+            ),
+        }
+    )
+    from record_matching_ray.stages.blocking import page_uids
+
+    uids = page_uids(feats.column("url").to_pylist())
+    li = rng.randint(0, n_pages, n_pairs)
+    ri = rng.randint(0, n_pages, n_pairs)
+    keep = li != ri
+    pairs = pa.table(
+        {
+            "left": pa.array(np.minimum(uids[li[keep]], uids[ri[keep]]), pa.int64()),
+            "right": pa.array(np.maximum(uids[li[keep]], uids[ri[keep]]), pa.int64()),
+        }
+    )
+    feats_ds = ray.data.from_arrow(feats).materialize()
+    pairs_ds = ray.data.from_arrow(pairs).repartition(2 * num_cpus).materialize()
+    n = pairs_ds.count()
+    t0 = time.time()
+    scoring.score_pairs_fused(pairs_ds, feats_ds, PipelineConfig()).count()
+    elapsed = time.time() - t0
+    return {
+        "elapsed_s": round(elapsed, 3),
+        "pairs": n,
+        "pairs_per_sec": round(n / elapsed, 1),
+        "unique_names": True,
+    }
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     """Headline operator timings over the sf tables. Each query is fully
     consumed (count) so lazy pipelines execute end to end."""
@@ -302,6 +368,8 @@ def main_bench() -> None:
     qtimes["er_pages_joinplan"] = joinplan["elapsed_s"]
     incremental = run_flagship_incremental(NUM_CPUS)
     qtimes["er_pages_incremental"] = incremental["elapsed_s"]
+    adversarial = run_scorer_adversarial(NUM_CPUS)
+    qtimes["scorer_unique_names"] = adversarial["elapsed_s"]
     total = round(time.time() - t_start, 3)
     out = {
         "metric": "end-to-end seconds (headline queries + flagship pages-ER)",
@@ -313,6 +381,7 @@ def main_bench() -> None:
         "flagship": flagship,
         "flagship_joinplan": joinplan,
         "flagship_incremental": incremental,
+        "scorer_adversarial": adversarial,
     }
     print(json.dumps(out))
     import ray

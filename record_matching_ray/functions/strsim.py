@@ -341,11 +341,68 @@ def jaro_winkler_vec(left, right) -> np.ndarray:
     return _jw_vec(m1, l1, m2, l2)
 
 
+def _lev_vec_myers(
+    m1: np.ndarray, l1: np.ndarray, m2: np.ndarray, l2: np.ndarray
+) -> np.ndarray:
+    """Myers 1999 bit-parallel Levenshtein, vectorized across pairs:
+    O(L2) iterations of ~12 uint64 elementwise ops instead of the
+    O(L1*L2) DP — patterns (left strings) must fit one 64-bit word.
+    Exact integer distances, bit-identical to the DP."""
+    n = len(l1)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    U1 = np.uint64(1)
+    FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # dense batch alphabet over both sides
+    alpha, codes = np.unique(np.concatenate([m1.ravel(), m2.ravel()]), return_inverse=True)
+    L1, L2 = m1.shape[1], m2.shape[1]
+    c1 = codes[: n * L1].reshape(n, L1)
+    c2 = codes[n * L1 :].reshape(n, L2)
+    na = len(alpha)
+    # per-pair pattern bitmasks: PM[p, a] has bit i set iff m1[p, i] == alpha[a]
+    PM = np.zeros((n, na), dtype=np.uint64)
+    rows = np.arange(n)
+    for i in range(int(l1.max()) if len(l1) else 0):
+        act = i < l1
+        np.bitwise_or.at(PM, (rows[act], c1[act, i]), U1 << np.uint64(i))
+    Pv = np.full(n, FULL, dtype=np.uint64)
+    Mv = np.zeros(n, dtype=np.uint64)
+    score = l1.astype(np.int64).copy()
+    last = np.where(l1 > 0, U1 << (l1.astype(np.uint64) - U1), np.uint64(0))
+    for j in range(int(l2.max()) if len(l2) else 0):
+        act = j < l2
+        Eq = PM[rows, c2[:, j]]
+        Xv = Eq | Mv
+        Xh = (((Eq & Pv) + Pv) ^ Pv) | Eq
+        Ph = Mv | ~(Xh | Pv)
+        Mh = Pv & Xh
+        inc = (Ph & last) != 0
+        dec = (Mh & last) != 0
+        score += np.where(act & inc, 1, 0)
+        score -= np.where(act & dec, 1, 0)
+        Ph = (Ph << U1) | U1
+        Mh = Mh << U1
+        nPv = Mh | ~(Xv | Ph)
+        nMv = Ph & Xv
+        Pv = np.where(act, nPv, Pv)
+        Mv = np.where(act, nMv, Mv)
+    # empty pattern: distance is the text length
+    return np.where(l1 == 0, l2, score).astype(np.int64)
+
+
 def levenshtein_ratio_vec(left, right) -> np.ndarray:
-    """Batch levenshtein_ratio, fully vectorized."""
+    """Batch levenshtein_ratio, fully vectorized. Myers bit-parallel path
+    (O(L) word ops per pair) when the pattern side fits 64 codepoints —
+    always true for names — else the O(L^2) DP; both exact integers, so
+    the ratio is bit-identical to the scalar reference either way."""
     m1, l1 = _codepoint_matrix(left)
     m2, l2 = _codepoint_matrix(right)
-    d = _lev_vec(m1, l1, m2, l2)
+    if m1.shape[1] <= 64:
+        d = _lev_vec_myers(m1, l1, m2, l2)
+    elif m2.shape[1] <= 64:
+        d = _lev_vec_myers(m2, l2, m1, l1)  # symmetric
+    else:
+        d = _lev_vec(m1, l1, m2, l2)
     mx = np.maximum(l1, l2)
     both_empty = mx == 0
     return np.where(
