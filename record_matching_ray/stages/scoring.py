@@ -259,7 +259,10 @@ class FusedPairScorer:
     per pair — never exists in the object store at all. Output: edges
     (left, right, score) in uid space, score >= tau only."""
 
-    def __init__(self, cfg: PipelineConfig, payload_ref, weights_ref=None):
+    def __init__(
+        self, cfg: PipelineConfig, payload_ref, weights_ref=None,
+        backend: str = "numpy",
+    ):
         self.cfg = cfg
         (self.uids_sorted, self.perm, self.urls, self.names, self.years,
          self.mh, self.emb) = (
@@ -278,6 +281,13 @@ class FusedPairScorer:
         )
         norms[norms == 0] = 1.0
         self.emb_norm = norms
+        # cosine kernel backend (functions/accel.py): "numpy" default is
+        # bit-reproducible; "torch"/"auto" offload the gather+dot to a
+        # device when torch is present (the reference's CUDA loop,
+        # main.py:494-501)
+        from record_matching_ray.functions.accel import cosine_backend
+
+        self._cosine = cosine_backend(self.emb_q, norms, backend)
         if weights_ref is None:
             self.intercept = cfg.intercept
             self.weights = np.asarray(cfg.weights, dtype=np.float64)
@@ -306,17 +316,7 @@ class FusedPairScorer:
         n = len(li)
         w = self.weights
         feats = np.empty((n, len(FEATURE_NAMES)), dtype=np.float64)
-        # gather stays int8 (64B/row from the big payload matrix — the
-        # DRAM-bound access); the cache-resident BATCH upcasts to float32
-        # so the dot takes numpy's SIMD float path (int einsum has none)
-        dots = np.einsum(
-            "ij,ij->i",
-            self.emb_q[li].astype(np.float32),
-            self.emb_q[ri].astype(np.float32),
-        )
-        feats[:, FEATURE_NAMES.index("f_cosine")] = dots / (
-            self.emb_norm[li] * self.emb_norm[ri]
-        )
+        feats[:, FEATURE_NAMES.index("f_cosine")] = self._cosine(li, ri)
         feats[:, FEATURE_NAMES.index("f_jaccard")] = (
             self.mh[li] == self.mh[ri]
         ).mean(axis=1)
@@ -354,6 +354,7 @@ def score_pairs_fused(
     cfg: PipelineConfig,
     weights: tuple[float, np.ndarray] | None = None,
     uid_remap: dict | None = None,
+    backend: str = "numpy",
 ) -> ray.data.Dataset:
     """uid pairs + broadcast feature payload -> edges (left, right,
     score >= tau), one map_batches. Only valid when the feature payload
@@ -363,7 +364,7 @@ def score_pairs_fused(
     weights_ref = ray.put(weights) if weights is not None else None
     return pairs.select_columns(["left", "right"]).map_batches(
         FusedPairScorer,
-        fn_constructor_args=(cfg, payload_ref, weights_ref),
+        fn_constructor_args=(cfg, payload_ref, weights_ref, backend),
         batch_format="pyarrow",
         batch_size=cfg.scorer_batch_size,
         concurrency=(1, max(cfg.scorer_concurrency, cluster_parallelism())),
