@@ -1968,6 +1968,39 @@ jac AS (
 )
 """
 
+
+_BLOCKING_QUALITY_SQL = (
+    "WITH "
+    + _SHINGLE_CTE
+    + """,
+    bl AS (SELECT doc_id, substr(lower(text), 1, 8) AS bk FROM documents),
+    bs AS (SELECT bk, count(*) AS s FROM bl GROUP BY 1),
+    cand AS (
+      SELECT CAST(COALESCE(sum(s * (s - 1) // 2), 0) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM bs
+    ),
+    truth AS (SELECT l, r FROM jac WHERE jaccard >= 0.5),
+    tn AS (SELECT CAST(count(*) AS BIGINT) AS t FROM truth),
+    cov AS (
+      SELECT CAST(count(*) AS BIGINT) AS cv
+      FROM truth t
+      JOIN bl a ON a.doc_id = t.l
+      JOIN bl b ON b.doc_id = t.r
+      WHERE a.bk = b.bk
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT nd.n AS n_docs, cand.nb AS n_blocks, cand.c AS cand_pairs,
+           tn.t AS truth_pairs, cov.cv AS covered_pairs,
+           round(1.0 - cand.c / CAST(GREATEST(nd.n * (nd.n - 1) // 2, 1) AS DOUBLE),
+                 6) AS reduction_ratio,
+           round(cov.cv / CAST(GREATEST(tn.t, 1) AS DOUBLE), 6)
+             AS pairs_completeness,
+           round(cov.cv / CAST(GREATEST(cand.c, 1) AS DOUBLE), 6) AS pairs_quality
+    FROM nd, cand, tn, cov
+"""
+)
+
 _NGRAM_JACCARD_SQL = (
     "WITH "
     + _SHINGLE_CTE
@@ -3261,6 +3294,77 @@ def _part_tf_weights(sf_dir: str):
     )
 
 
+
+def _copurchase_lift_parts(sf_dir: str):
+    """Market-basket 2-itemset support + lift over order baskets
+    (stages/basket.copurchase_lift): within-basket pair expansion after
+    ONE orderkey hash shuffle, int-packed pair-count shuffle, lift from
+    catalog-bounded per-part basket counts. The oracle recomputes the
+    distinct (order, part) relation, the pair self-join and the exact
+    lift expression."""
+    from record_matching_ray.stages.basket import copurchase_lift
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return copurchase_lift(li, min_support=2)
+
+
+def _event_transitions(sf_dir: str):
+    """First-order Markov transition matrix over each user's event
+    sequence (stages/temporal.event_transitions): lag_delta's
+    hash-partition + lexsort contract, type-vocabulary-bounded counts,
+    per-src probability normalization. Oracle: LEAD window + two
+    grouped aggregates."""
+    from record_matching_ray.stages.temporal import event_transitions
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return event_transitions(events)
+
+
+def _customer_symspell(sf_dir: str):
+    """Deletion-neighborhood (FastSS/SymSpell) edit-distance<=1 self-join
+    over customer names (stages/symspell.deletion_join): O(L) variant
+    keys per row, one hash shuffle, Myers bit-parallel verify, int-keyed
+    pair fold. The oracle cross-joins distinct names with DuckDB's
+    levenshtein()."""
+    from record_matching_ray.stages.symspell import deletion_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return deletion_join(cust, id_col="c_custkey", name_col="c_name")
+
+
+def _user_type_entropy(sf_dir: str):
+    from record_matching_ray.pipelines.analytics import user_type_entropy
+
+    return user_type_entropy(sf_dir)
+
+
+def _lineitem_unpivot(sf_dir: str):
+    from record_matching_ray.pipelines.analytics import lineitem_unpivot
+
+    return lineitem_unpivot(sf_dir)
+
+
+def _blocking_quality_docs(sf_dir: str):
+    """Blocking-scheme quality (reduction ratio / pairs completeness /
+    pairs quality, Christen 2012) of 8-char-prefix blocking against the
+    exact n-gram-Jaccard>=0.5 truth pairs (stages/evaluate.
+    blocking_quality). Candidate mass from block-size partials (never
+    one driver row per block); truth coverage via two small hash
+    joins."""
+    from record_matching_ray.stages.dedup import ngram_jaccard_pairs
+    from record_matching_ray.stages.evaluate import blocking_quality
+
+    truth = ngram_jaccard_pairs(_docs(sf_dir))
+    return blocking_quality(_docs(sf_dir), truth, prefix_len=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matching_ray.pipelines import analytics as an
 
@@ -3431,6 +3535,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": _orders_profile,
         "pca_check_embeddings": _pca_check_embeddings,
         "cluster_size_histogram": _cluster_size_histogram,
+        "copurchase_lift_parts": _copurchase_lift_parts,
+        "event_transitions": _event_transitions,
+        "customer_symspell": _customer_symspell,
+        "user_type_entropy": _user_type_entropy,
+        "lineitem_unpivot": _lineitem_unpivot,
+        "blocking_quality_docs": _blocking_quality_docs,
     }
 
 
@@ -4724,4 +4834,49 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
             LEFT JOIN freq f ON f.v = a.p_brand
             CROSS JOIN tot t CROSS JOIN uf u
         """,
+        "copurchase_lift_parts": """
+            WITH op AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ),
+            pcnt AS (SELECT p, count(*) AS c FROM op GROUP BY 1),
+            n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n FROM op),
+            prs AS (
+              SELECT a.p AS x, b.p AS y, count(*) AS pair_count
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+              GROUP BY 1, 2
+            )
+            SELECT x, y, CAST(pair_count AS BIGINT) AS pair_count,
+                   round(pair_count * n.n / (cx.c * cy.c), 6) AS lift
+            FROM prs
+            CROSS JOIN n
+            JOIN pcnt cx ON cx.p = prs.x
+            JOIN pcnt cy ON cy.p = prs.y
+            WHERE pair_count >= 2
+        """,
+        "event_transitions": """
+            WITH seq AS (
+              SELECT event_type AS src,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS dst
+              FROM events
+            ),
+            tc AS (
+              SELECT src, dst, count(*) AS cnt FROM seq
+              WHERE dst IS NOT NULL GROUP BY 1, 2
+            ),
+            st AS (SELECT src, sum(cnt) AS tot FROM tc GROUP BY 1)
+            SELECT tc.src, tc.dst, CAST(cnt AS BIGINT) AS cnt,
+                   round(cnt / CAST(tot AS DOUBLE), 6) AS prob
+            FROM tc JOIN st USING (src)
+        """,
+        "customer_symspell": """
+            WITH nm AS (SELECT c_custkey AS k, c_name AS n FROM customer)
+            SELECT a.k AS "left", b.k AS "right",
+                   CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist
+            FROM nm a JOIN nm b
+              ON a.k < b.k AND levenshtein(a.n, b.n) <= 1
+        """,
+        "user_type_entropy": an.USER_TYPE_ENTROPY_SQL,
+        "lineitem_unpivot": an.LINEITEM_UNPIVOT_SQL,
+        "blocking_quality_docs": _BLOCKING_QUALITY_SQL,
     }

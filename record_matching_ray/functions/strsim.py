@@ -390,6 +390,19 @@ def _lev_vec_myers(
     return np.where(l1 == 0, l2, score).astype(np.int64)
 
 
+def levenshtein_vec(left, right) -> np.ndarray:
+    """Batch Levenshtein DISTANCE (exact int64), fully vectorized: Myers
+    bit-parallel when either side fits 64 codepoints, else the DP —
+    bit-identical to levenshtein() either way."""
+    m1, l1 = _codepoint_matrix(left)
+    m2, l2 = _codepoint_matrix(right)
+    if m1.shape[1] <= 64:
+        return _lev_vec_myers(m1, l1, m2, l2)
+    if m2.shape[1] <= 64:
+        return _lev_vec_myers(m2, l2, m1, l1)
+    return _lev_vec(m1, l1, m2, l2)
+
+
 def levenshtein_ratio_vec(left, right) -> np.ndarray:
     """Batch levenshtein_ratio, fully vectorized. Myers bit-parallel path
     (O(L) word ops per pair) when the pattern side fits 64 codepoints —

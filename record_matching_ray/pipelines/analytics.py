@@ -2709,3 +2709,154 @@ FULL OUTER JOIN
       FROM events GROUP BY 1) e
   ON o.day = e.day
 """
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of each user's event-type distribution
+
+
+def user_type_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-user event count + Shannon entropy (nats) of its event-type
+    distribution — the classic behavioral-diversity profile. Two-level
+    partial aggregation: (user, type) counts combine per batch, one
+    shuffle on the pair, then a per-user vectorized entropy fold (the
+    per-user relation is type-vocabulary-bounded)."""
+    events = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["user_id", "event_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["user_id", "event_type", "c"])
+
+    counts = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .sum("c")
+        .rename_columns({"sum(c)": "c"})
+    )
+    counts = conformed(
+        counts,
+        pa.schema(
+            [("user_id", pa.int64()), ("event_type", pa.string()), ("c", pa.int64())]
+        ),
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(u, kind="stable")
+        u, c = u[order], c[order]
+        new = np.concatenate(([True], u[1:] != u[:-1]))
+        seg = np.cumsum(new) - 1
+        tot = np.bincount(seg, weights=c)
+        p = c / tot[seg]
+        from record_matching_ray.stages.util import round6_sql
+        ent = round6_sql(np.bincount(seg, weights=-p * np.log(p)))
+        return pa.table(
+            {
+                "user_id": pa.array(u[new], pa.int64()),
+                "n_events": pa.array(tot.astype(np.int64), pa.int64()),
+                "entropy": pa.array(ent, pa.float64()),
+            }
+        )
+
+    # hash-partition by user (segment-aware vectorized fold per
+    # partition — no per-user Python dispatch), same contract as
+    # temporal.lag_delta
+    from record_matching_ray.functions.hashing import _U64, mix64
+    from record_matching_ray.stages.util import shuffle_partitions
+
+    P = shuffle_partitions()
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "pk",
+            pa.array((mix64(u.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()),
+        )
+
+    out = (
+        counts.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: fold(g.drop_columns(["pk"])), batch_format="pyarrow")
+    )
+    return conformed(
+        out,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_events", pa.int64()),
+                ("entropy", pa.float64()),
+            ]
+        ),
+    )
+
+
+USER_TYPE_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+),
+t AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1)
+SELECT c.user_id,
+       CAST(t.n AS BIGINT) AS n_events,
+       round(sum(-(c.c / CAST(t.n AS DOUBLE))
+                 * ln(c.c / CAST(t.n AS DOUBLE))), 6) AS entropy
+FROM c JOIN t USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt: lineitem measures to long layout
+
+
+def lineitem_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """Melt the four lineitem measure columns into long
+    (l_orderkey, l_linenumber, measure, value) rows — the UNPIVOT
+    primitive (inverse of the category-pivot operator). Stateless and
+    shuffle-free: each batch emits 4× its rows with a dictionary-cheap
+    measure column; values are read straight from parquet (exact)."""
+    MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", *MEASURES])
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = []
+        for m in MEASURES:
+            parts.append(
+                pa.table(
+                    {
+                        "l_orderkey": t.column("l_orderkey"),
+                        "l_linenumber": t.column("l_linenumber"),
+                        "measure": pa.array([m] * n, pa.string()),
+                        "value": t.column(m).cast(pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    out = li.map_batches(melt, batch_format="pyarrow")
+    return conformed(
+        out,
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("measure", pa.string()),
+                ("value", pa.float64()),
+            ]
+        ),
+    )
+
+
+LINEITEM_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""

@@ -522,3 +522,110 @@ def bcubed_metrics(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def blocking_quality(
+    docs: ray.data.Dataset,
+    truth_pairs: ray.data.Dataset,
+    prefix_len: int = 8,
+):
+    """Blocking-scheme quality metrics (Christen 2012): reduction ratio,
+    pairs completeness and pairs quality of a prefix-blocking scheme
+    (block key = first ``prefix_len`` chars of lower(text)) against a
+    labeled truth pair set.
+
+    Reference analog: the reference *logs* its implicit blocking quality
+    (the Qdrant neighbor-limit warnings, claude_poc/entity-resolution_
+    v4.py:1556-1559, and the committed blocking_analysis report); this
+    makes it a first-class measured operator.
+
+    Scale: candidate-pair mass is computed from block-SIZE partials
+    (hash the key to int64, partial count per batch, one int-keyed
+    shuffle — the driver never sees one row per block, mirroring the
+    block_size_stats histogram fix); coverage joins the (small) truth
+    pair relation to the doc→block map twice via hash joins. Returns a
+    one-row pandas DataFrame of exact counts + derived ratios
+    (round-6, identical expression to the SQL oracle).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from record_matching_ray.functions.hashing import hash_strings
+    from record_matching_ray.stages.util import conformed, round6_sql, shuffle_partitions
+
+    def to_block(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_slice_codeunits(
+            pc.utf8_lower(t.column("text")), 0, prefix_len
+        ).to_pylist()
+        bk = hash_strings(txt).view(np.int64)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "bk": pa.array(bk, pa.int64())}
+        )
+
+    doc_bk = docs.map_batches(to_block, batch_format="pyarrow")
+    n_docs = docs.count()
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["bk"]), "bk").aggregate([([], "count_all")])
+        return g.rename_columns(["bk", "s"])
+
+    sizes = (
+        doc_bk.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("bk")
+        .sum("s")
+    )
+
+    def pair_mass(t: pa.Table) -> pa.Table:
+        s = t.column("sum(s)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cand": pa.array([int((s * (s - 1) // 2).sum())], pa.int64()),
+                "nb": pa.array([len(s)], pa.int64()),
+            }
+        )
+
+    mass = sizes.map_batches(pair_mass, batch_format="pyarrow").to_pandas()
+    cand_pairs = int(mass["cand"].sum())
+    n_blocks = int(mass["nb"].sum())
+
+    tp = conformed(
+        truth_pairs.select_columns(["left", "right"]),
+        pa.schema([("left", pa.int64()), ("right", pa.int64())]),
+    )
+    nj = max(1, min(8, shuffle_partitions()))
+    j = tp.join(
+        doc_bk, join_type="inner", num_partitions=nj,
+        on=("left",), right_on=("doc_id",),
+    ).rename_columns({"bk": "bk_l"})
+    j = j.join(
+        doc_bk, join_type="inner", num_partitions=nj,
+        on=("right",), right_on=("doc_id",),
+    ).rename_columns({"bk": "bk_r"})
+
+    def cover_partial(t: pa.Table) -> pa.Table:
+        eq = pc.equal(t.column("bk_l"), t.column("bk_r"))
+        return pa.table(
+            {
+                "cov": pa.array([int(pc.sum(eq).as_py() or 0)], pa.int64()),
+                "tot": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    cov_df = j.map_batches(cover_partial, batch_format="pyarrow").to_pandas()
+    covered = int(cov_df["cov"].sum())
+    truth_n = int(cov_df["tot"].sum())
+
+    return pd.DataFrame(
+        {
+            "n_docs": [n_docs],
+            "n_blocks": [n_blocks],
+            "cand_pairs": [cand_pairs],
+            "truth_pairs": [truth_n],
+            "covered_pairs": [covered],
+            "reduction_ratio": [
+                float(round6_sql(1.0 - cand_pairs / max(n_docs * (n_docs - 1) // 2, 1)))
+            ],
+            "pairs_completeness": [float(round6_sql(covered / max(truth_n, 1)))],
+            "pairs_quality": [float(round6_sql(covered / max(cand_pairs, 1)))],
+        }
+    )

@@ -1,0 +1,154 @@
+"""Deletion-neighborhood (FastSS / SymSpell) edit-distance self-join.
+
+Finds every pair of records whose string field is within Levenshtein
+distance <= 1 WITHOUT an all-pairs comparison: two strings are within
+distance 1 iff they share a member of {s} ∪ {s with one char deleted}
+(Bocek et al. 2007, "Fast Similarity Search in Large Dictionaries").
+Each record therefore emits len(s)+1 deletion-variant hash keys, one
+``groupby(key)`` shuffle co-locates all candidates, and an exact
+vectorized Levenshtein verify inside each bucket keeps only true pairs.
+
+Reference analog: the reference's candidate generation is ANN blocking
+(record_matching/main.py:552-577) and its PoCs use plain Levenshtein
+name similarity (claude_poc/entity-resolution_v4.py:588-603); this
+stage contributes the classical *exact* small-edit-distance blocking
+technique the reference lacks — the right tool for typo-level name
+dedup where LSH recall is probabilistic.
+
+Scale: emission blow-up is O(L) keys per row (L = string length), keys
+are 64-bit hashes shuffled once; bucket sizes are bounded by the
+deletion-variant fan-in (alphabet-sized, not corpus-sized) and capped
+OBSERVABLY via the engine's `overflow` counter column (blocking.py
+principle: caps must never be silent). Pair dedup (the same pair found
+via several shared variants) goes through the int-keyed packed
+pair-hash fold (stages/dedup.py:fold_candidate_pairs), never a
+composite-key groupby. Verification is the Myers bit-parallel
+Levenshtein (functions/strsim.py), vectorized over the bucket's pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from record_matching_ray.functions.hashing import hash_strings
+from record_matching_ray.functions.strsim import _codepoint_matrix, levenshtein_vec
+from record_matching_ray.stages.dedup import fold_candidate_pairs
+from record_matching_ray.stages.util import conformed
+
+
+def _deletion_variants(names: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """All 1-deletion variants of each name, vectorized.
+
+    Returns (row_idx, variant_strings): one entry per (name, deleted
+    position) with position < len(name). The full (undeleted) string is
+    NOT included — callers emit it separately."""
+    mat, lengths = _codepoint_matrix(names)
+    n, L = mat.shape
+    if n == 0 or L == 0:
+        return np.zeros(0, np.int64), np.zeros(0, dtype="<U1")
+    rows_out: list[np.ndarray] = []
+    vars_out: list[np.ndarray] = []
+    width = max(L - 1, 1)
+    for i in range(L):
+        mask = lengths > i
+        if not mask.any():
+            break
+        sub = np.concatenate(
+            [mat[mask][:, :i], mat[mask][:, i + 1 :]], axis=1
+        )
+        if sub.shape[1] < width:
+            pad = np.zeros((sub.shape[0], width - sub.shape[1]), np.uint32)
+            sub = np.concatenate([sub, pad], axis=1)
+        # contiguous (n, width) uint32 -> '<Uwidth' strings; numpy strips
+        # the 0-codepoint padding on conversion, so equal variant strings
+        # hash equal regardless of each batch's padded width
+        strs = np.ascontiguousarray(sub).view(f"<U{width}").ravel()
+        rows_out.append(np.nonzero(mask)[0].astype(np.int64))
+        vars_out.append(strs)
+    return np.concatenate(rows_out), np.concatenate(vars_out)
+
+
+def deletion_join(
+    ds: ray.data.Dataset,
+    id_col: str,
+    name_col: str,
+    max_bucket: int = 512,
+) -> ray.data.Dataset:
+    """Self-join: all (left, right, dist) id pairs with
+    ``levenshtein(name_left, name_right) <= 1``, left < right, deduped.
+
+    ``ds`` must carry one row per id (distinct ids); duplicate names on
+    distinct ids match at distance 0."""
+
+    def emit_keys(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        names = t.column(name_col).to_pylist()
+        full_keys = hash_strings(names)
+        rows, variants = _deletion_variants(names)
+        var_keys = hash_strings(variants) if len(variants) else np.zeros(0, np.uint64)
+        all_keys = np.concatenate([full_keys, var_keys]).view(np.int64)
+        all_rows = np.concatenate([np.arange(len(ids), dtype=np.int64), rows])
+        name_arr = pa.array(names, pa.string())
+        take = pa.array(all_rows, pa.int64())
+        return pa.table(
+            {
+                "bk": pa.array(all_keys, pa.int64()),
+                "id": pa.array(ids[all_rows], pa.int64()),
+                "nm": name_arr.take(take),
+            }
+        )
+
+    def bucket_verify(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "left": pa.array([], pa.int64()),
+                "right": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.int64()),
+                "overflow": pa.array([], pa.int64()),
+            }
+        )
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        uniq, idx = np.unique(ids, return_index=True)
+        m = len(uniq)
+        if m < 2:
+            return empty
+        total = m * (m - 1) // 2
+        over = np.int64(0)
+        if m > max_bucket:
+            # observable cap (blocking.py principle): count dropped pairs
+            over = np.int64(total - max_bucket * (max_bucket - 1) // 2)
+            uniq, idx = uniq[:max_bucket], idx[:max_bucket]
+            m = max_bucket
+        names = np.array(
+            g.column("nm").take(pa.array(idx, pa.int64())).to_pylist(), dtype=object
+        )
+        a, b = np.triu_indices(m, k=1)
+        d = levenshtein_vec(names[a], names[b])
+        keep = d <= 1
+        nk = int(keep.sum())
+        if nk == 0:
+            return empty
+        return pa.table(
+            {
+                "left": pa.array(uniq[a[keep]], pa.int64()),
+                "right": pa.array(uniq[b[keep]], pa.int64()),
+                "dist": pa.array(d[keep], pa.int64()),
+                "overflow": pa.array(np.full(nk, over, np.int64), pa.int64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(emit_keys, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(bucket_verify, batch_format="pyarrow")
+    )
+    out = fold_candidate_pairs(cand, "dist", pa.int64(), take_max=False)
+    return conformed(
+        out,
+        pa.schema(
+            [("left", pa.int64()), ("right", pa.int64()), ("dist", pa.int64())]
+        ),
+    )

@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from record_matching_ray.functions.hashing import _U64, mix64
-from record_matching_ray.stages.util import shuffle_partitions
+from record_matching_ray.stages.util import compact_nonempty, conformed, round6_sql, shuffle_partitions
 
 
 def asof_join(
@@ -1493,4 +1493,104 @@ def latest_snapshot(
         .map_batches(prune, batch_format="pyarrow")
         .groupby("pk")
         .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
+    )
+
+
+def event_transitions(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    type_col: str = "event_type",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """First-order Markov transition counts + probabilities over each
+    key's event sequence: for consecutive events (by ``ts, tie`` within a
+    key), count (src_type, dst_type) and emit
+    ``prob = cnt / sum(cnt per src)`` rounded to 6 decimals — the
+    session-flow / clickstream transition-matrix primitive.
+
+    Partitioning contract matches lag_delta (hash-partition by key, one
+    vectorized lexsort per partition, shifted same-key compare). The
+    transition relation is type-vocabulary-bounded (|types|² rows), so
+    the partial counts per partition and the final probability pass are
+    both tiny regardless of corpus size."""
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    P = num_partitions
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(keys.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(keys, pa.int64()),
+                "t": t.column(ts_col),
+                "tie": t.column(tie_col),
+                "ty": t.column(type_col),
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        keys = g.column("k").to_numpy(zero_copy_only=False)
+        ts = g.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        tie = g.column("tie").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
+        k_s = keys[order]
+        ty = g.column("ty").take(pa.array(order, pa.int64()))
+        same_next = np.concatenate((k_s[:-1] == k_s[1:], [False]))
+        idx = np.nonzero(same_next)[0]
+        pairs = pa.table(
+            {
+                "src": ty.take(pa.array(idx, pa.int64())),
+                "dst": ty.take(pa.array(idx + 1, pa.int64())),
+            }
+        )
+        agg = pa.TableGroupBy(pairs, ["src", "dst"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["src", "dst", "cnt"])
+
+    counts = (
+        ds.select_columns([key_col, ts_col, tie_col, type_col])
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow")
+    )
+    counts = conformed(
+        counts,
+        pa.schema([("src", pa.string()), ("dst", pa.string()), ("cnt", pa.int64())]),
+    )
+    total = (
+        counts.groupby(["src", "dst"]).sum("cnt").rename_columns({"sum(cnt)": "cnt"})
+    )
+    total = conformed(
+        total,
+        pa.schema([("src", pa.string()), ("dst", pa.string()), ("cnt", pa.int64())]),
+    )
+    # |types|² rows: one block, vectorized per-src normalization
+    small, _ = compact_nonempty(total, 1)
+
+    def add_prob(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("src").to_pylist(), dtype=object)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = np.zeros(len(src), np.float64)
+        for s in np.unique(src.astype(str)):
+            m = src == s
+            tot[m] = cnt[m].sum()
+        return t.append_column(
+            "prob", pa.array(round6_sql(cnt / tot), pa.float64())
+        )
+
+    out = small.map_batches(add_prob, batch_format="pyarrow")
+    return conformed(
+        out,
+        pa.schema(
+            [
+                ("src", pa.string()),
+                ("dst", pa.string()),
+                ("cnt", pa.int64()),
+                ("prob", pa.float64()),
+            ]
+        ),
     )

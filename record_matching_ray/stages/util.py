@@ -94,3 +94,18 @@ def coarse_groupby_partitions() -> int:
     if env:
         return max(1, int(env))
     return max(8, 4 * cluster_parallelism())
+
+
+def round6_sql(x):
+    """Round half AWAY FROM ZERO at 6 decimals — DuckDB round() semantics.
+
+    np.round / Python round are half-even (banker's): on an
+    exactly-representable .xxxxxx5 value (e.g. lift = 2·589/512 =
+    2.3015625) the two conventions disagree and the driver's value-hash
+    compare goes red. Any new derived-float column should round through
+    this helper; the long-standing np.round call sites only survive
+    because their divisions never landed on an exact half."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)

@@ -22,7 +22,7 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings", "events", "part", "orders"]:
+    for t in ["documents", "embeddings", "events", "part", "orders", "customer", "lineitem"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return c
 
@@ -70,6 +70,12 @@ def _compare(res, odf):
         "part_soundex",
         "hybrid_search_docs",
         "orders_price_dist",
+        "copurchase_lift_parts",
+        "event_transitions",
+        "customer_symspell",
+        "user_type_entropy",
+        "lineitem_unpivot",
+        "blocking_quality_docs",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
