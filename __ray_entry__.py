@@ -3365,6 +3365,22 @@ def _blocking_quality_docs(sf_dir: str):
     return blocking_quality(_docs(sf_dir), truth, prefix_len=8)
 
 
+def _hll_users_by_type(sf_dir: str):
+    """HyperLogLog approximate distinct users per event_type
+    (stages/sketches.hll_group_distinct): one pass folds each batch to a
+    4 KiB register blob per group, one tiny groupby merges blobs with
+    np.maximum — no raw-key shuffle, unlike COUNT(DISTINCT). The oracle
+    recomputes the SKETCH itself bit-for-bit (md5_number_lower hash,
+    exact bin()/ltrim leading-zero rank, same estimator), so this is a
+    full value-hash check of an approximate operator."""
+    from record_matching_ray.stages.sketches import hll_group_distinct
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_group_distinct(events, "event_type", "user_id", p=12)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matching_ray.pipelines import analytics as an
 
@@ -3541,7 +3557,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_entropy": _user_type_entropy,
         "lineitem_unpivot": _lineitem_unpivot,
         "blocking_quality_docs": _blocking_quality_docs,
+        "hll_users_by_type": _hll_users_by_type,
     }
+
+
+def _hll_sql() -> str:
+    from record_matching_ray.stages.sketches import HLL_SQL
+
+    return HLL_SQL("event_type", "user_id", "events", p=12)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4879,4 +4902,5 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "user_type_entropy": an.USER_TYPE_ENTROPY_SQL,
         "lineitem_unpivot": an.LINEITEM_UNPIVOT_SQL,
         "blocking_quality_docs": _BLOCKING_QUALITY_SQL,
+        "hll_users_by_type": _hll_sql(),
     }
