@@ -3558,6 +3558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": _lineitem_unpivot,
         "blocking_quality_docs": _blocking_quality_docs,
         "hll_users_by_type": _hll_users_by_type,
+        "orders_benford": an.orders_benford,
+        "orders_daily_ewma": an.orders_daily_ewma,
     }
 
 
@@ -4903,4 +4905,6 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "lineitem_unpivot": an.LINEITEM_UNPIVOT_SQL,
         "blocking_quality_docs": _BLOCKING_QUALITY_SQL,
         "hll_users_by_type": _hll_sql(),
+        "orders_benford": an.ORDERS_BENFORD_SQL,
+        "orders_daily_ewma": an.ORDERS_DAILY_EWMA_SQL,
     }

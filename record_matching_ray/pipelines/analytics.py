@@ -2860,3 +2860,147 @@ SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+
+
+def orders_benford(sf_dir: str) -> ray.data.Dataset:
+    """First-significant-digit distribution of order totals vs Benford's
+    law (Newcomb 1881 / Benford 1938) — the classic fraud/synthetic-data
+    audit over a money column.
+
+    Ray shape: totals go to exact integer cents, the leading digit is
+    peeled off with an exact integer divide-by-10 loop (max 12 vector
+    passes — no float log10, which goes inexact at power-of-10
+    boundaries), per-batch digit counts collapse each batch to <= 9 rows
+    before the one tiny groupby. Expected mass is log10(1 + 1/d), the
+    deviation column shares the expression tree with the SQL oracle.
+    """
+    from record_matching_ray.stages.util import round6_sql
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.abs(_cents(t.column("o_totalprice")))
+        v = v[v > 0]
+        while (v >= 10).any():
+            big = v >= 10
+            v[big] //= 10
+        d, n = np.unique(v, return_counts=True)
+        return pa.table(
+            {"digit": pa.array(d, pa.int64()), "n": pa.array(n, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum(on="n", alias_name="n"))
+    )
+    rows = sorted(counts.take_all(), key=lambda r: r["digit"])
+    total = float(sum(r["sum(n)"] if "sum(n)" in r else r["n"] for r in rows))
+    digit = np.array([r["digit"] for r in rows], dtype=np.int64)
+    n = np.array([r.get("sum(n)", r.get("n")) for r in rows], dtype=np.int64)
+    observed = round6_sql(n / total)
+    benford = round6_sql(np.log10(1.0 + 1.0 / digit))
+    dev = round6_sql(np.abs(n / total - np.log10(1.0 + 1.0 / digit)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "digit": pa.array(digit, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "observed_p": pa.array(observed, pa.float64()),
+                "benford_p": pa.array(benford, pa.float64()),
+                "abs_dev": pa.array(dev, pa.float64()),
+            }
+        )
+    )
+
+
+ORDERS_BENFORD_SQL = """
+WITH c AS (
+  SELECT CAST(left(CAST(CAST(abs(round(o_totalprice*100)) AS BIGINT) AS VARCHAR), 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE round(o_totalprice*100) <> 0
+),
+g AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM g)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n / CAST(total AS DOUBLE), 6) AS observed_p,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+       round(abs(n / CAST(total AS DOUBLE) - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+FROM g, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# EWMA over the daily order-count series
+
+
+def orders_daily_ewma(sf_dir: str, alpha: float = 0.3) -> ray.data.Dataset:
+    """Exponentially-weighted moving average of daily order counts
+    (recursive e_t = a*x_t + (1-a)*e_{t-1}, e_0 = x_0 — pandas
+    ``ewm(adjust=False)`` semantics).
+
+    Ray shape: the distributed part is the per-day count (per-batch
+    partial -> one date-keyed groupby, rows = distinct days, bounded by
+    the calendar, never by corpus size); the EWMA recursion runs over
+    that tiny aggregated series on the driver. The SQL oracle evaluates
+    the closed form sum a(1-a)^(t-i) x_i + (1-a)^t x_0 — an O(days^2)
+    self-join that is only feasible BECAUSE the series is
+    calendar-bounded; agreement is float-robust since (1-a)^k decays
+    geometrically."""
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.util import round6_sql
+
+    orders = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["o_orderdate"], unit="day")
+        g = pa.TableGroupBy(pa.table({"day": day}), "day").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["day", "n"])
+
+    counts = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum(on="n", alias_name="n"))
+    )
+    rows = sorted(counts.take_all(), key=lambda r: r["day"])
+    days = [r["day"] for r in rows]
+    x = np.array([r.get("sum(n)", r.get("n")) for r in rows], dtype=np.float64)
+    e = np.empty_like(x)
+    if len(x):
+        e[0] = x[0]
+        for i in range(1, len(x)):
+            e[i] = alpha * x[i] + (1.0 - alpha) * e[i - 1]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(days, pa.timestamp("us")),
+                "n": pa.array(x.astype(np.int64), pa.int64()),
+                "ewma": pa.array(round6_sql(e), pa.float64()),
+            }
+        )
+    )
+
+
+ORDERS_DAILY_EWMA_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n
+  FROM orders GROUP BY 1
+),
+r AS (SELECT day, n, row_number() OVER (ORDER BY day) AS t FROM d),
+f AS (SELECT min(t) AS t0 FROM r)
+SELECT a.day, CAST(a.n AS BIGINT) AS n,
+       round(
+         (SELECT SUM(CASE WHEN b.t = t0 THEN pow(0.7, a.t - b.t) * b.n
+                          ELSE 0.3 * pow(0.7, a.t - b.t) * b.n END)
+          FROM r b, f WHERE b.t <= a.t), 6) AS ewma
+FROM r a
+"""
