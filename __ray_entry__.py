@@ -3560,6 +3560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": _hll_users_by_type,
         "orders_benford": an.orders_benford,
         "orders_daily_ewma": an.orders_daily_ewma,
+        "supplier_full_coverage": an.supplier_full_coverage,
+        "nation_priority_mode": an.nation_priority_mode,
     }
 
 
@@ -4907,4 +4909,6 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "hll_users_by_type": _hll_sql(),
         "orders_benford": an.ORDERS_BENFORD_SQL,
         "orders_daily_ewma": an.ORDERS_DAILY_EWMA_SQL,
+        "supplier_full_coverage": an.SUPPLIER_FULL_COVERAGE_SQL,
+        "nation_priority_mode": an.NATION_PRIORITY_MODE_SQL,
     }

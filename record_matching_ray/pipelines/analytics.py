@@ -3004,3 +3004,191 @@ SELECT a.day, CAST(a.n AS BIGINT) AS n,
           FROM r b, f WHERE b.t <= a.t), 6) AS ewma
 FROM r a
 """
+
+
+# ---------------------------------------------------------------------------
+# Relational division: suppliers covering EVERY part type
+
+
+def supplier_full_coverage(sf_dir: str) -> ray.data.Dataset:
+    """Suppliers that have shipped at least one part of EVERY part type
+    — relational division (Codd's ÷), the one classic algebra operator
+    the inventory lacked.
+
+    Ray shape: the part dimension (p_partkey -> type id) is tiny and
+    broadcast via ray.put; lineitem streams once through a per-batch
+    (suppkey, type) DISTINCT partial — each batch collapses to its own
+    distinct pairs, bounded by |suppliers| x |types|, before the one
+    groupby that unions per-batch type BITMASKS (types are <= 64 here;
+    the general path would carry a binary bitmap column). A supplier
+    passes when its mask has all type bits set.
+    """
+    from ray.data.aggregate import Max
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    types = sorted(part["p_type"].unique())
+    tix = {t: i for i, t in enumerate(types)}
+    if len(types) > 62:
+        raise NotImplementedError(
+            "bitmask division path covers <= 62 types; carry a binary "
+            "bitmap column beyond that"
+        )
+    full_mask = (1 << len(types)) - 1
+    pkeys = part["p_partkey"].to_numpy().astype(np.int64)
+    pmasks = np.array([1 << tix[t] for t in part["p_type"]], dtype=np.int64)
+    order0 = np.argsort(pkeys)
+    p2m_ref = ray.put((pkeys[order0], pmasks[order0]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, kmasks = (
+            ray.get(p2m_ref) if isinstance(p2m_ref, ray.ObjectRef) else p2m_ref
+        )
+        supp = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, pk)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        masks = np.where(keys[pos] == pk, kmasks[pos], 0)
+        # per-batch OR-fold, vectorized: sort by supplier, OR-reduce runs
+        order = np.argsort(supp, kind="stable")
+        s, m2 = supp[order], masks[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        return pa.table(
+            {"l_suppkey": pa.array(s[starts], pa.int64()),
+             "mask": pa.array(np.bitwise_or.reduceat(m2, starts), pa.int64())}
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    folded = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .map_groups(
+            lambda g: pa.table(
+                {
+                    "s_suppkey": pa.array(
+                        [g.column("l_suppkey")[0].as_py()], pa.int64()
+                    ),
+                    "mask": pa.array(
+                        [int(np.bitwise_or.reduce(
+                            g.column("mask").to_numpy(zero_copy_only=False)))],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    def keep_full(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("mask"), full_mask)).select(
+            ["s_suppkey"]
+        )
+
+    out = folded.map_batches(keep_full, batch_format="pyarrow")
+    return conformed(out, pa.schema([("s_suppkey", pa.int64())]))
+
+
+SUPPLIER_FULL_COVERAGE_SQL = """
+SELECT l_suppkey AS s_suppkey
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+HAVING COUNT(DISTINCT p_type) = (SELECT COUNT(DISTINCT p_type) FROM part)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) per group
+
+
+def nation_priority_mode(sf_dir: str) -> ray.data.Dataset:
+    """Per customer nation: the modal order priority, with the SQL-exact
+    deterministic tie-break (higher count first, then lexicographically
+    smaller priority).
+
+    Ray shape: customer (custkey -> nationkey) broadcast once via
+    ray.put as two sorted numpy arrays (searchsorted lookup, no per-row
+    dict); per-batch (nation, priority) counts collapse each batch to
+    <= nations x priorities rows before the one tiny groupby; the
+    argmax sweep runs per nation group over a handful of rows.
+    """
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    ckeys = cust["c_custkey"].to_numpy().astype(np.int64)
+    cnats = cust["c_nationkey"].to_numpy().astype(np.int64)
+    order0 = np.argsort(ckeys)
+    lookup_ref = ray.put((ckeys[order0], cnats[order0]))
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, nats = (
+            ray.get(lookup_ref)
+            if isinstance(lookup_ref, ray.ObjectRef)
+            else lookup_ref
+        )
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        nat = np.where(keys[pos] == ck, nats[pos], -1)
+        prep = pa.table(
+            {
+                "nationkey": pa.array(nat, pa.int64()),
+                "priority": t.column("o_orderpriority"),
+            }
+        )
+        g = pa.TableGroupBy(prep, ["nationkey", "priority"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["nationkey", "priority", "cnt"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    # composite-key groupby is safe ONLY because the per-batch partial
+    # bounds rows to nations x priorities x batches (tiny); the measured
+    # ~100x composite-key slowness hits at millions of rows
+    counts = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["nationkey", "priority"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+    )
+
+    OUT = pa.schema(
+        [
+            ("n_name", pa.string()),
+            ("mode_priority", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def argmax(g: pa.Table) -> pa.Table:
+        cnt = g.column("cnt" if "cnt" in g.column_names else "sum(cnt)").to_numpy(
+            zero_copy_only=False
+        )
+        pri = np.asarray(g.column("priority").to_pylist(), dtype=object)
+        # highest count; ties -> lexicographically smallest priority
+        order = np.lexsort((pri, -cnt))
+        best = order[0]
+        nk = int(g.column("nationkey")[0].as_py())
+        return pa.table(
+            {
+                "n_name": pa.array([nname.get(nk, "?")], pa.string()),
+                "mode_priority": pa.array([str(pri[best])], pa.string()),
+                "n": pa.array([int(cnt[best])], pa.int64()),
+            }
+        )
+
+    out = counts.groupby("nationkey").map_groups(argmax, batch_format="pyarrow")
+    return conformed(out, OUT)
+
+
+NATION_PRIORITY_MODE_SQL = """
+WITH c AS (
+  SELECT n_name, o_orderpriority AS mode_priority, count(*) AS n,
+         row_number() OVER (
+           PARTITION BY n_name ORDER BY count(*) DESC, o_orderpriority
+         ) AS rk
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, mode_priority, CAST(n AS BIGINT) AS n FROM c WHERE rk = 1
+"""

@@ -22,7 +22,7 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings", "events", "part", "orders", "customer", "lineitem"]:
+    for t in ["documents", "embeddings", "events", "part", "orders", "customer", "lineitem", "nation", "region", "supplier"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return c
 
@@ -76,6 +76,11 @@ def _compare(res, odf):
         "user_type_entropy",
         "lineitem_unpivot",
         "blocking_quality_docs",
+        "hll_users_by_type",
+        "orders_benford",
+        "orders_daily_ewma",
+        "supplier_full_coverage",
+        "nation_priority_mode",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
