@@ -3562,7 +3562,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_daily_ewma": an.orders_daily_ewma,
         "supplier_full_coverage": an.supplier_full_coverage,
         "nation_priority_mode": an.nation_priority_mode,
+        "zipf_slope_docs": _zipf_slope_docs,
     }
+
+
+def _zipf_slope_docs(sf_dir: str):
+    """Zipf rank-frequency OLS fit (stages/textstats.zipf_slope): hashed
+    vocabulary-bounded TF shuffle, then the regression runs off the COUNT
+    HISTOGRAM (ties share a frequency, so rank order inside a tie block
+    cannot change the fitted pairs) — no distributed token ranking."""
+    from record_matching_ray.stages.textstats import zipf_slope
+
+    return zipf_slope(_docs(sf_dir))
+
+
+def _zipf_sql() -> str:
+    from record_matching_ray.stages.textstats import ZIPF_SLOPE_SQL
+
+    return ZIPF_SLOPE_SQL
 
 
 def _hll_sql() -> str:
@@ -4911,4 +4928,5 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "orders_daily_ewma": an.ORDERS_DAILY_EWMA_SQL,
         "supplier_full_coverage": an.SUPPLIER_FULL_COVERAGE_SQL,
         "nation_priority_mode": an.NATION_PRIORITY_MODE_SQL,
+        "zipf_slope_docs": _zipf_sql(),
     }

@@ -1441,3 +1441,109 @@ def count_min_topk_check(
         }
     )
     return rd.from_arrow(out)
+
+
+def zipf_slope(docs, text_col: str = "text"):
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope and
+    intercept of ln(count) on ln(rank), rank = frequency order. Healthy
+    natural-language corpora sit near slope -1 (Zipf 1949); strong
+    departures flag boilerplate floods or template spam — a corpus-level
+    quality gate next to the per-doc Gopher/CCNet signals.
+
+    Scale shape: the TF pass shuffles hashed (token, partial-count) rows
+    (vocabulary-bounded, same contract as unigram_logprob); the rank
+    regression needs only the COUNT HISTOGRAM (distinct count values,
+    ~sqrt(corpus) rows), because tokens tied at the same count share a
+    frequency, so permuting ranks inside a tie block leaves the (ln rank,
+    ln count) multiset unchanged — the driver expands ranks 1..V from the
+    histogram (V floats, vocab-bounded) and fits the same pairs the SQL
+    row_number() oracle sees, without ever ranking tokens distributively.
+
+    Output (one row): n_vocab, slope, intercept (round-6)."""
+    import ray
+    import ray.data
+
+    from record_matching_ray.functions.hashing import hash_strings
+    from record_matching_ray.stages.util import conformed, round6_sql
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        token_lists = [s.lower().split() for s in t.column(text_col).to_pylist()]
+        flat = hash_strings([tok for toks in token_lists for tok in toks])
+        uh, c = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(uh.view(np.int64), pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tf = (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .sum("cnt")
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        name = "sum(cnt)" if "sum(cnt)" in t.column_names else "cnt"
+        if t.num_rows == 0 or name not in t.column_names:
+            return pa.table(
+                {"c": pa.array([], pa.int64()), "k": pa.array([], pa.int64())}
+            )
+        c = t.column(name).to_numpy(zero_copy_only=False)
+        vals, k = np.unique(c, return_counts=True)
+        return pa.table(
+            {"c": pa.array(vals.astype(np.int64), pa.int64()),
+             "k": pa.array(k.astype(np.int64), pa.int64())}
+        )
+
+    hist_rows = (
+        tf.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c")
+        .sum("k")
+        .take_all()
+    )
+    cs = np.array([r["c"] for r in hist_rows], dtype=np.int64)
+    ks = np.array([r.get("sum(k)", r.get("k")) for r in hist_rows], dtype=np.int64)
+    order = np.argsort(-cs)  # frequency-descending rank blocks
+    cs, ks = cs[order], ks[order]
+    v = int(ks.sum())
+    # expand: ranks 1..V; rank r falls in the block its prefix sum covers
+    y = np.log(np.repeat(cs.astype(np.float64), ks))
+    x = np.log(np.arange(1, v + 1, dtype=np.float64))
+    mx, my = x.mean(), y.mean()
+    sxx = float(np.sum((x - mx) * (x - mx)))
+    sxy = float(np.sum((x - mx) * (y - my)))
+    slope = sxy / sxx
+    intercept = my - slope * mx
+    return conformed(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_vocab": pa.array([v], pa.int64()),
+                    "slope": pa.array([float(round6_sql(slope))], pa.float64()),
+                    "intercept": pa.array(
+                        [float(round6_sql(intercept))], pa.float64()
+                    ),
+                }
+            )
+        ),
+        pa.schema(
+            [("n_vocab", pa.int64()), ("slope", pa.float64()),
+             ("intercept", pa.float64())]
+        ),
+    )
+
+
+ZIPF_SLOPE_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC) AS rk FROM tf)
+SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+       round(regr_slope(ln(c), ln(rk)), 6) AS slope,
+       round(regr_intercept(ln(c), ln(rk)), 6) AS intercept
+FROM r
+"""

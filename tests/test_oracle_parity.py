@@ -81,6 +81,7 @@ def _compare(res, odf):
         "orders_daily_ewma",
         "supplier_full_coverage",
         "nation_priority_mode",
+        "zipf_slope_docs",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
