@@ -3563,6 +3563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_full_coverage": an.supplier_full_coverage,
         "nation_priority_mode": an.nation_priority_mode,
         "zipf_slope_docs": _zipf_slope_docs,
+        "bfs_name_graph": _bfs_name_graph,
     }
 
 
@@ -3574,6 +3575,48 @@ def _zipf_slope_docs(sf_dir: str):
     from record_matching_ray.stages.textstats import zipf_slope
 
     return zipf_slope(_docs(sf_dir))
+
+
+def _bfs_name_graph(sf_dir: str):
+    """Single-source BFS rings over the edit-distance<=1 customer-name
+    graph (stages/graph.bfs_hops over stages/symspell.deletion_join
+    edges): one edge-Dataset pass per hop, frontier broadcast under the
+    counted gate. Source = the smallest node id in the graph (always a
+    pair's left, so min(left) — deterministic on both sides). The
+    bounded hop count makes the oracle a depth-limited recursive CTE
+    with UNION dedup + MIN(hops)."""
+    from record_matching_ray.stages.graph import bfs_hops
+    from record_matching_ray.stages.symspell import deletion_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    # materialize once: both the min() source lookup and the per-hop
+    # edge scans read the same computed pair set
+    pairs = deletion_join(cust, id_col="c_custkey", name_col="c_name").materialize()
+    edges = pairs.select_columns(["left", "right"]).rename_columns(
+        {"left": "src", "right": "dst"}
+    )
+    source = pairs.min("left")
+    return bfs_hops(edges, source, max_hops=8)
+
+
+_BFS_NAME_GRAPH_SQL = """
+WITH RECURSIVE nm AS (SELECT c_custkey AS k, c_name AS n FROM customer),
+e AS (
+  SELECT a.k AS s, b.k AS d
+  FROM nm a JOIN nm b ON a.k < b.k AND levenshtein(a.n, b.n) <= 1
+),
+src AS (SELECT min(s) AS v FROM e),
+walk(node, hops) AS (
+  SELECT v, 0 FROM src
+  UNION
+  SELECT CASE WHEN e.s = w.node THEN e.d ELSE e.s END, w.hops + 1
+  FROM walk w JOIN e ON e.s = w.node OR e.d = w.node
+  WHERE w.hops < 8
+)
+SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY 1
+"""
 
 
 def _zipf_sql() -> str:
@@ -4929,4 +4972,5 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "supplier_full_coverage": an.SUPPLIER_FULL_COVERAGE_SQL,
         "nation_priority_mode": an.NATION_PRIORITY_MODE_SQL,
         "zipf_slope_docs": _zipf_sql(),
+        "bfs_name_graph": _BFS_NAME_GRAPH_SQL,
     }

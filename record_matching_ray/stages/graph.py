@@ -516,3 +516,126 @@ def k_core(
         return t.rename_columns(["node", "core_deg"]).cast(OUT)
 
     return conformed(deg.map_batches(finish, batch_format="pyarrow"), OUT)
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    source: int,
+    max_hops: int = 8,
+    broadcast_gate: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Single-source BFS hop distances over an undirected edge list
+    (src/dst int64), bounded at ``max_hops`` — reachability rings for
+    graph-shaped ER diagnostics ("how far does this identity bleed?").
+
+    Iterative frontier expansion, one pass over the edge Dataset per
+    hop: the visited/frontier sets live on the driver and are broadcast
+    via ray.put into a stateless map_batches filter (same counted gate
+    as pagerank/k_core — BFS ring sizes are bounded by the node set;
+    the gate raises before the driver set exceeds ``broadcast_gate``
+    ids, where a distributed semi-join frontier would take over).
+    Bounded hops make the SQL oracle expressible as a depth-limited
+    recursive CTE with UNION dedup (rows bounded by nodes x hops).
+
+    Output: (node, hops) for every node within max_hops of source,
+    source included at 0.
+    """
+    # materialize the edge list once: every hop re-scans it, and leaving
+    # it lazy would re-execute the whole upstream pipeline (e.g. an
+    # edit-distance join) once per hop
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    n_edges = edges.count()
+    if n_edges <= broadcast_gate:
+        # counted local finish (clustering.py's hybrid-CC gate pattern):
+        # below the gate the whole edge list is driver-affordable and a
+        # local CSR BFS beats max_hops scheduled passes; above it the
+        # per-hop distributed scan below takes over
+        t = pa.concat_tables(
+            ray.get(r) for r in edges.to_arrow_refs()
+        )
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        und_s = np.concatenate([s, d])
+        und_d = np.concatenate([d, s])
+        order = np.argsort(und_s, kind="stable")
+        und_s, und_d = und_s[order], und_d[order]
+        uniq_nodes = np.unique(und_s)
+        row_start = np.searchsorted(und_s, uniq_nodes)
+        row_end = np.r_[row_start[1:], len(und_s)]
+        dist_l: dict[int, int] = {int(source): 0}
+        frontier_l = [int(source)]
+        for hop in range(1, max_hops + 1):
+            nxt: list[int] = []
+            for u in frontier_l:
+                j = np.searchsorted(uniq_nodes, u)
+                if j >= len(uniq_nodes) or uniq_nodes[j] != u:
+                    continue
+                for v in und_d[row_start[j]:row_end[j]]:
+                    vi = int(v)
+                    if vi not in dist_l:
+                        dist_l[vi] = hop
+                        nxt.append(vi)
+            if not nxt:
+                break
+            frontier_l = nxt
+        nodes = np.fromiter(dist_l.keys(), dtype=np.int64)
+        hops = np.fromiter((dist_l[int(n)] for n in nodes), dtype=np.int64)
+        order = np.argsort(nodes)
+        return conformed(
+            ray.data.from_arrow(
+                pa.table(
+                    {"node": pa.array(nodes[order], pa.int64()),
+                     "hops": pa.array(hops[order], pa.int64())}
+                )
+            ),
+            pa.schema([("node", pa.int64()), ("hops", pa.int64())]),
+        )
+    dist: dict[int, int] = {int(source): 0}
+    frontier = {int(source)}
+    for hop in range(1, max_hops + 1):
+        if not frontier:
+            break
+        if len(dist) > broadcast_gate:
+            raise RuntimeError(
+                f"bfs_hops broadcast gate: {len(dist)} visited ids > "
+                f"{broadcast_gate}; switch to the distributed semi-join "
+                "frontier for this graph"
+            )
+        f_ref = ray.put(np.fromiter(frontier, dtype=np.int64))
+
+        def nbrs(t: pa.Table) -> pa.Table:
+            f = ray.get(f_ref) if isinstance(f_ref, ray.ObjectRef) else f_ref
+            f = np.sort(f)
+            s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            hits_s = np.searchsorted(f, s)
+            hits_s = (hits_s < len(f)) & (f[np.clip(hits_s, 0, len(f) - 1)] == s)
+            hits_d = np.searchsorted(f, d)
+            hits_d = (hits_d < len(f)) & (f[np.clip(hits_d, 0, len(f) - 1)] == d)
+            out = np.unique(np.concatenate([d[hits_s], s[hits_d]]))
+            return pa.table({"node": pa.array(out, pa.int64())})
+
+        # per-batch unique then driver set-union — ring sizes are under
+        # the same counted gate as the frontier broadcast, and this
+        # avoids one all-to-all shuffle per hop
+        frontier = set()
+        for b in edges.map_batches(nbrs, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            for n in b.column("node").to_numpy(zero_copy_only=False):
+                if int(n) not in dist:
+                    frontier.add(int(n))
+        for n in frontier:
+            dist[n] = hop
+    nodes = np.fromiter(dist.keys(), dtype=np.int64)
+    hops = np.fromiter((dist[int(n)] for n in nodes), dtype=np.int64)
+    order = np.argsort(nodes)
+    return conformed(
+        ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array(nodes[order], pa.int64()),
+                 "hops": pa.array(hops[order], pa.int64())}
+            )
+        ),
+        pa.schema([("node", pa.int64()), ("hops", pa.int64())]),
+    )

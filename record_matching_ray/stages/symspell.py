@@ -101,49 +101,93 @@ def deletion_join(
             }
         )
 
-    def bucket_verify(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "left": pa.array([], pa.int64()),
-                "right": pa.array([], pa.int64()),
-                "dist": pa.array([], pa.int64()),
-                "overflow": pa.array([], pa.int64()),
-            }
-        )
+    EMPTY = pa.table(
+        {
+            "left": pa.array([], pa.int64()),
+            "right": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64()),
+            "overflow": pa.array([], pa.int64()),
+        }
+    )
+
+    def verify_partition(g: pa.Table) -> pa.Table:
+        """All buckets of one coarse partition in ONE dispatch: lexsort
+        by bucket key, sweep segments (most are singletons — skipped in
+        bulk), emit candidate index pairs, then ONE vectorized
+        Levenshtein call over every candidate in the partition.
+        blocking.py:570-575 measured this coarse-key layout against
+        per-group map_groups dispatch (~1ms/group kills 10^5 tiny
+        buckets)."""
+        bk = g.column("bk").to_numpy(zero_copy_only=False)
         ids = g.column("id").to_numpy(zero_copy_only=False)
-        uniq, idx = np.unique(ids, return_index=True)
-        m = len(uniq)
-        if m < 2:
-            return empty
-        total = m * (m - 1) // 2
-        over = np.int64(0)
-        if m > max_bucket:
-            # observable cap (blocking.py principle): count dropped pairs
-            over = np.int64(total - max_bucket * (max_bucket - 1) // 2)
-            uniq, idx = uniq[:max_bucket], idx[:max_bucket]
-            m = max_bucket
-        names = np.array(
-            g.column("nm").take(pa.array(idx, pa.int64())).to_pylist(), dtype=object
-        )
-        a, b = np.triu_indices(m, k=1)
-        d = levenshtein_vec(names[a], names[b])
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        names = np.asarray(g.column("nm").to_pylist(), dtype=object)[order]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        multi = np.flatnonzero(ends - starts >= 2)
+        if len(multi) == 0:
+            return EMPTY
+        ia_all, ib_all, over_all = [], [], []
+        for si in multi:
+            s, e = starts[si], ends[si]
+            # same id can hit one bucket via two deletions of its own
+            # name (ids sorted within the segment -> unique keeps order)
+            seg_ids = ids[s:e]
+            keep_first = np.r_[True, seg_ids[1:] != seg_ids[:-1]]
+            idx = s + np.flatnonzero(keep_first)
+            m = len(idx)
+            if m < 2:
+                continue
+            over = np.int64(0)
+            if m > max_bucket:
+                # observable cap (blocking.py principle): count drops
+                over = np.int64(
+                    m * (m - 1) // 2 - max_bucket * (max_bucket - 1) // 2
+                )
+                idx = idx[:max_bucket]
+                m = max_bucket
+            a, b = np.triu_indices(m, k=1)
+            ia_all.append(idx[a])
+            ib_all.append(idx[b])
+            over_all.append(np.full(len(a), over, np.int64))
+        if not ia_all:
+            return EMPTY
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        over = np.concatenate(over_all)
+        d = levenshtein_vec(names[ia], names[ib])
         keep = d <= 1
-        nk = int(keep.sum())
-        if nk == 0:
-            return empty
+        if not keep.any():
+            return EMPTY
+        left = ids[ia[keep]]
+        right = ids[ib[keep]]
+        lo = np.minimum(left, right)
+        hi = np.maximum(left, right)
         return pa.table(
             {
-                "left": pa.array(uniq[a[keep]], pa.int64()),
-                "right": pa.array(uniq[b[keep]], pa.int64()),
+                "left": pa.array(lo, pa.int64()),
+                "right": pa.array(hi, pa.int64()),
                 "dist": pa.array(d[keep], pa.int64()),
-                "overflow": pa.array(np.full(nk, over, np.int64), pa.int64()),
+                "overflow": pa.array(over[keep], pa.int64()),
             }
+        )
+
+    from record_matching_ray.stages.util import coarse_groupby_partitions
+
+    n_parts = coarse_groupby_partitions()
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        bk = t.column("bk").to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "pk", pa.array((bk % np.uint64(n_parts)).astype(np.int64), pa.int64())
         )
 
     cand = (
         ds.map_batches(emit_keys, batch_format="pyarrow")
-        .groupby("bk")
-        .map_groups(bucket_verify, batch_format="pyarrow")
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(verify_partition, batch_format="pyarrow")
     )
     out = fold_candidate_pairs(cand, "dist", pa.int64(), take_max=False)
     return conformed(
