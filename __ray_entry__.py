@@ -3564,7 +3564,102 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_priority_mode": an.nation_priority_mode,
         "zipf_slope_docs": _zipf_slope_docs,
         "bfs_name_graph": _bfs_name_graph,
+        "events_value_auc": _events_value_auc,
+        "events_value_calibration": _events_value_calibration,
     }
+
+
+def _events_value_auc(sf_dir: str):
+    """Distributed rank AUC (stages/evaluate.distributed_auc): the
+    stream collapses to its integer score histogram (cents of value)
+    before one shuffle; the Mann-Whitney tie-average rank sweep runs on
+    the sorted histogram. Label: event_type == 'purchase'."""
+    from record_matching_ray.stages.evaluate import distributed_auc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    def prep(t: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = _np.rint(_np.asarray(v, dtype=_np.float64) * 100).astype(_np.int64)
+        y = _pc.cast(
+            _pc.equal(t.column("event_type"), "purchase"), _pa.int64()
+        )
+        return _pa.table({"score": _pa.array(cents, _pa.int64()), "y": y})
+
+    return distributed_auc(
+        ev.map_batches(prep, batch_format="pyarrow"), "score", "y"
+    )
+
+
+_EVENTS_VALUE_AUC_SQL = """
+WITH p AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+r AS (
+  SELECT y,
+         rank() OVER (ORDER BY s)
+           + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS ar
+  FROM p
+),
+agg AS (
+  SELECT SUM(CASE WHEN y = 1 THEN ar ELSE 0 END) AS spr,
+         SUM(y) AS np, SUM(1 - y) AS nn
+  FROM r
+)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       round((spr - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+FROM agg
+"""
+
+
+def _events_value_calibration(sf_dir: str):
+    """Fixed-width-bin reliability diagram (stages/evaluate.
+    calibration_buckets; ntile() is engine-defined on ties, fixed bins
+    are not). Bucket = floor(cents/500)."""
+    from record_matching_ray.stages.evaluate import calibration_buckets
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def prep(t: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = _np.rint(_np.asarray(v, dtype=_np.float64) * 100).astype(_np.int64)
+        y = _pc.cast(
+            _pc.equal(t.column("event_type"), "purchase"), _pa.int64()
+        )
+        return _pa.table({"score": _pa.array(cents, _pa.int64()), "y": y})
+
+    return calibration_buckets(
+        ev.map_batches(prep, batch_format="pyarrow"), "score", "y", 500
+    )
+
+
+_EVENTS_VALUE_CALIBRATION_SQL = """
+WITH p AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+)
+SELECT s // 500 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       round(avg(CAST(y AS DOUBLE)), 6) AS avg_label,
+       round(avg(CAST(s AS DOUBLE)), 6) AS avg_score
+FROM p GROUP BY 1
+"""
 
 
 def _zipf_slope_docs(sf_dir: str):
@@ -4973,4 +5068,6 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "nation_priority_mode": an.NATION_PRIORITY_MODE_SQL,
         "zipf_slope_docs": _zipf_sql(),
         "bfs_name_graph": _BFS_NAME_GRAPH_SQL,
+        "events_value_auc": _EVENTS_VALUE_AUC_SQL,
+        "events_value_calibration": _EVENTS_VALUE_CALIBRATION_SQL,
     }

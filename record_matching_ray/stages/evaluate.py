@@ -629,3 +629,147 @@ def blocking_quality(
             "pairs_quality": [float(round6_sql(covered / max(cand_pairs, 1)))],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed prediction-quality metrics: rank AUC and calibration
+
+
+def distributed_auc(
+    preds: ray.data.Dataset, score_col: str, label_col: str
+) -> ray.data.Dataset:
+    """ROC AUC of an INTEGER score column against a 0/1 label, computed
+    as the Mann-Whitney rank statistic with tie-average ranks — the
+    distributed counterpart of functions/logistic.auc (which is a
+    driver-side numpy kernel for training folds).
+
+    Scale contract (same as quantiles.group_quantiles): the stream
+    collapses to its SCORE HISTOGRAM — per-batch (score, n_pos, n)
+    partials, one int-keyed shuffle whose row count is the distinct
+    score domain, never the row count. The rank sweep runs over the
+    sorted histogram on the driver: a tie block of k rows starting after
+    cumulative c contributes average rank c + (k+1)/2.
+
+    Output (one row): n_pos, n_neg, auc (round-6).
+    """
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.util import round6_sql
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(s, return_inverse=True)
+        npos = np.zeros(len(uniq), np.int64)
+        ntot = np.zeros(len(uniq), np.int64)
+        np.add.at(npos, inv, y)
+        np.add.at(ntot, inv, 1)
+        return pa.table(
+            {
+                "s": pa.array(uniq, pa.int64()),
+                "np": pa.array(npos, pa.int64()),
+                "n": pa.array(ntot, pa.int64()),
+            }
+        )
+
+    hist = (
+        preds.select_columns([score_col, label_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum(on="np", alias_name="np"), Sum(on="n", alias_name="n"))
+    )
+    rows = hist.take_all()
+    s = np.array([r["s"] for r in rows], dtype=np.int64)
+    npos = np.array([r.get("sum(np)", r.get("np")) for r in rows], dtype=np.int64)
+    ntot = np.array([r.get("sum(n)", r.get("n")) for r in rows], dtype=np.int64)
+    order = np.argsort(s)
+    npos, ntot = npos[order], ntot[order]
+    cum = np.concatenate([[0], np.cumsum(ntot)[:-1]]).astype(np.float64)
+    avg_rank = cum + (ntot + 1) / 2.0
+    n_pos = int(npos.sum())
+    n_neg = int(ntot.sum()) - n_pos
+    sum_pos_ranks = float(np.sum(npos * avg_rank))
+    auc = (sum_pos_ranks - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_pos": pa.array([n_pos], pa.int64()),
+                "n_neg": pa.array([n_neg], pa.int64()),
+                "auc": pa.array([float(round6_sql(auc))], pa.float64()),
+            }
+        )
+    )
+
+
+def calibration_buckets(
+    preds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    bucket_width: int,
+) -> ray.data.Dataset:
+    """Reliability-diagram buckets over FIXED-WIDTH integer score bins
+    (floor(score/width) — deterministic on both engine and SQL sides,
+    unlike ntile(), whose tie placement is engine-defined). Output per
+    bucket: n, avg_label, avg_score (round-6)."""
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.util import conformed, round6_sql
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.floor_divide(s, bucket_width)
+        uniq, inv = np.unique(b, return_inverse=True)
+        out = {
+            "bucket": uniq,
+            "n": np.zeros(len(uniq), np.int64),
+            "sy": np.zeros(len(uniq), np.int64),
+            "ss": np.zeros(len(uniq), np.int64),
+        }
+        np.add.at(out["n"], inv, 1)
+        np.add.at(out["sy"], inv, y)
+        np.add.at(out["ss"], inv, s)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    agg = (
+        preds.select_columns([score_col, label_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum(on="n", alias_name="n"),
+            Sum(on="sy", alias_name="sy"),
+            Sum(on="ss", alias_name="ss"),
+        )
+    )
+
+    OUT = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("n", pa.int64()),
+            ("avg_label", pa.float64()),
+            ("avg_score", pa.float64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        def col(base: str):
+            name = base if base in t.column_names else f"sum({base})"
+            return t.column(name).to_numpy(zero_copy_only=False).astype(np.float64)
+
+        if t.num_rows == 0 or (
+            "n" not in t.column_names and "sum(n)" not in t.column_names
+        ):
+            return OUT.empty_table()
+        n = col("n")
+        sy = col("sy")
+        ss = col("ss")
+        return pa.table(
+            {
+                "bucket": t.column("bucket"),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "avg_label": pa.array(round6_sql(sy / n), pa.float64()),
+                "avg_score": pa.array(round6_sql(ss / n), pa.float64()),
+            }
+        )
+
+    return conformed(agg.map_batches(finalize, batch_format="pyarrow"), OUT)

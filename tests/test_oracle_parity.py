@@ -82,6 +82,8 @@ def _compare(res, odf):
         "supplier_full_coverage",
         "nation_priority_mode",
         "zipf_slope_docs",
+        "events_value_auc",
+        "events_value_calibration",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):

@@ -77,3 +77,30 @@ def test_group_distinct_dataset(ray_session):
         # dataset path must equal the in-process sketch bit-for-bit
         local = hll_estimate(_sketch(vals[groups == g]))
         assert abs(approx - local) < 1e-6
+
+
+def test_distributed_auc_matches_local_rank_auc(ray_session):
+    from record_matching_ray.stages.evaluate import distributed_auc
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(0, 500, size=5000)  # heavy ties
+    y = (rng.random(5000) < 1 / (1 + np.exp(-(s - 250) / 80.0))).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"s": pa.array(s, pa.int64()), "y": pa.array(y, pa.int64())})
+    ).repartition(6)
+    got = distributed_auc(ds, "s", "y").to_pandas().iloc[0]
+    # local tie-average rank AUC reference
+    order = np.argsort(s, kind="stable")
+    ss, yy = s[order], y[order]
+    ranks = np.empty(len(ss), np.float64)
+    i = 0
+    while i < len(ss):
+        j = i
+        while j < len(ss) and ss[j] == ss[i]:
+            j += 1
+        ranks[i:j] = (i + j + 1) / 2.0
+        i = j
+    n_pos = int(yy.sum()); n_neg = len(yy) - n_pos
+    auc = (ranks[yy == 1].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
+    assert abs(got["auc"] - round(auc, 6)) < 1e-9
