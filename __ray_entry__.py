@@ -3566,7 +3566,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_name_graph": _bfs_name_graph,
         "events_value_auc": _events_value_auc,
         "events_value_calibration": _events_value_calibration,
+        "weighted_jaccard_docs": _weighted_jaccard_docs,
     }
+
+
+def _weighted_jaccard_docs(sf_dir: str):
+    """Multiset (weighted) Jaccard similarity join within deterministic
+    text-prefix blocks (stages/dedup.weighted_jaccard_pairs): each doc
+    belongs to exactly one block, so pairs emit once — no pair-dedup
+    shuffle; token-posting sweep accumulates sum(min(tf)) per pair and
+    the min/max identity closes the union weight from doc totals."""
+    from record_matching_ray.stages.dedup import weighted_jaccard_pairs
+
+    return weighted_jaccard_pairs(_docs(sf_dir), prefix_len=8, tau=0.3)
+
+
+_WEIGHTED_JACCARD_SQL = r"""
+WITH d AS (
+  SELECT doc_id, substr(lower(text), 1, 8) AS bk,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, bk, tok, count(*) AS c
+  FROM (SELECT doc_id, bk, unnest(toks) AS tok FROM d)
+  GROUP BY 1, 2, 3
+),
+sizes AS (SELECT doc_id, sum(c) AS tot FROM tf GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS l, b.doc_id AS r, sum(least(a.c, b.c)) AS iv
+  FROM tf a JOIN tf b
+    ON a.bk = b.bk AND a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT l AS "left", r AS "right",
+       round(iv / CAST(ta.tot + tb.tot - iv AS DOUBLE), 6) AS wjac
+FROM inter
+JOIN sizes ta ON ta.doc_id = l
+JOIN sizes tb ON tb.doc_id = r
+WHERE iv / CAST(ta.tot + tb.tot - iv AS DOUBLE) >= 0.3
+"""
 
 
 def _events_value_auc(sf_dir: str):
@@ -5070,4 +5110,5 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "bfs_name_graph": _BFS_NAME_GRAPH_SQL,
         "events_value_auc": _EVENTS_VALUE_AUC_SQL,
         "events_value_calibration": _EVENTS_VALUE_CALIBRATION_SQL,
+        "weighted_jaccard_docs": _WEIGHTED_JACCARD_SQL,
     }

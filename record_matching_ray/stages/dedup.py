@@ -619,3 +619,132 @@ def embedding_neardup_pairs(
     )
     # int-keyed pair-hash dedup, keep max cosine
     return fold_candidate_pairs(cand, "cos_sim", pa.float64(), take_max=True)
+
+
+def weighted_jaccard_pairs(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 8,
+    tau: float = 0.3,
+) -> ray.data.Dataset:
+    """Weighted (multiset) Jaccard similarity join within deterministic
+    prefix blocks: wjac(A,B) = sum_t min(tf_A, tf_B) / sum_t max(tf_A,
+    tf_B), pairs kept at >= tau. The min/max identity sum(max) = |A| +
+    |B| - sum(min) lets both sides share one exact integer expression
+    tree (Chierichetti et al. 2010 use the same weighted form for
+    near-dup web pages).
+
+    Scale shape: each doc belongs to exactly ONE block (its own text
+    prefix), so pairs are emitted once, no pair dedup shuffle at all.
+    Blocks co-locate on a coarse partition key (hashed prefix mod P, one
+    dispatch per partition — blocking.py:570 idiom); within a partition
+    the token-posting sweep accumulates min-count intersections per doc
+    pair. Posting lengths are block-bounded; at web scale the block cap
+    + overflow counter family (dedup bucket emitters above) applies
+    before this stage.
+    """
+    from record_matching_ray.functions.hashing import hash_strings
+    from record_matching_ray.stages.util import (
+        coarse_groupby_partitions,
+        round6_sql,
+    )
+
+    n_parts = coarse_groupby_partitions()
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [s.lower() for s in t.column(text_col).to_pylist()]
+        bks = hash_strings([s[:prefix_len] for s in texts])
+        out_bk, out_id, out_tok, out_c = [], [], [], []
+        for i, s in enumerate(texts):
+            toks = s.split()
+            if not toks:
+                continue
+            th = hash_strings(toks)
+            uh, c = np.unique(th, return_counts=True)
+            out_bk.append(np.full(len(uh), bks[i], np.uint64))
+            out_id.append(np.full(len(uh), ids[i], np.int64))
+            out_tok.append(uh)
+            out_c.append(c.astype(np.int64))
+        if not out_bk:
+            return pa.table(
+                {
+                    "pk": pa.array([], pa.int64()),
+                    "bk": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
+                    "tok": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        bk = np.concatenate(out_bk)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (bk % np.uint64(n_parts)).astype(np.int64), pa.int64()
+                ),
+                "bk": pa.array(bk.view(np.int64), pa.int64()),
+                "id": pa.array(np.concatenate(out_id), pa.int64()),
+                "tok": pa.array(np.concatenate(out_tok).view(np.int64), pa.int64()),
+                "c": pa.array(np.concatenate(out_c), pa.int64()),
+            }
+        )
+
+    OUT = pa.schema(
+        [("left", pa.int64()), ("right", pa.int64()), ("wjac", pa.float64())]
+    )
+
+    def verify_partition(g: pa.Table) -> pa.Table:
+        bk = g.column("bk").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        tok = g.column("tok").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        # doc totals (docs live wholly inside one partition via bk)
+        tot: dict[int, int] = {}
+        order = np.argsort(ids, kind="stable")
+        s_ids, s_c = ids[order], c[order]
+        starts = np.flatnonzero(np.r_[True, s_ids[1:] != s_ids[:-1]])
+        sums = np.add.reduceat(s_c, starts)
+        for i, st in enumerate(starts):
+            tot[int(s_ids[st])] = int(sums[i])
+        # posting sweep: per (bk, tok) group, accumulate min-count per pair
+        order = np.lexsort((ids, tok, bk))
+        bk, ids, tok, c = bk[order], ids[order], tok[order], c[order]
+        seg = np.flatnonzero(
+            np.r_[True, (bk[1:] != bk[:-1]) | (tok[1:] != tok[:-1])]
+        )
+        ends = np.r_[seg[1:], len(bk)]
+        inter: dict[tuple[int, int], int] = {}
+        for s, e in zip(seg, ends):
+            if e - s < 2:
+                continue
+            d = ids[s:e]
+            cc = c[s:e]
+            for i in range(len(d)):
+                for j in range(i + 1, len(d)):
+                    key = (int(d[i]), int(d[j]))
+                    inter[key] = inter.get(key, 0) + int(min(cc[i], cc[j]))
+        if not inter:
+            return OUT.empty_table()
+        lt = np.array([k[0] for k in inter], np.int64)
+        rt = np.array([k[1] for k in inter], np.int64)
+        iv = np.array(list(inter.values()), np.float64)
+        ta = np.array([tot[int(x)] for x in lt], np.float64)
+        tb = np.array([tot[int(x)] for x in rt], np.float64)
+        wj = iv / (ta + tb - iv)
+        keep = wj >= tau
+        return pa.table(
+            {
+                "left": pa.array(lt[keep], pa.int64()),
+                "right": pa.array(rt[keep], pa.int64()),
+                "wjac": pa.array(round6_sql(wj[keep]), pa.float64()),
+            }
+        )
+
+    out = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(verify_partition, batch_format="pyarrow")
+    )
+    return conformed(out, OUT)

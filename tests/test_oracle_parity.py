@@ -84,6 +84,7 @@ def _compare(res, odf):
         "zipf_slope_docs",
         "events_value_auc",
         "events_value_calibration",
+        "weighted_jaccard_docs",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
