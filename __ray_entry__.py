@@ -3567,7 +3567,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_auc": _events_value_auc,
         "events_value_calibration": _events_value_calibration,
         "weighted_jaccard_docs": _weighted_jaccard_docs,
+        "user_survival_km": _user_survival_km,
     }
+
+
+def _user_survival_km(sf_dir: str):
+    """Kaplan-Meier survival of user activity lifetime in hours
+    (stages/temporal.kaplan_meier): one user-keyed shuffle folds the
+    stream to per-user spans, the KM product sweep runs over the
+    duration HISTOGRAM; right-censoring at a 720-hour horizon before
+    corpus end. exp(cumsum(ln(1-d/n))) shares the oracle's window
+    expression tree."""
+    from record_matching_ray.stages.temporal import kaplan_meier
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return kaplan_meier(ev)
+
+
+_USER_SURVIVAL_KM_SQL = """
+WITH u AS (SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1),
+m AS (SELECT max(ts) AS mx FROM events),
+obs AS (
+  SELECT date_diff('hour', f, l) AS dur,
+         CASE WHEN date_diff('hour', l, mx) >= 720 THEN 1 ELSE 0 END AS ev
+  FROM u, m
+),
+t AS (SELECT dur, sum(ev) AS d, count(*) AS c FROM obs GROUP BY 1),
+r AS (
+  SELECT dur, d,
+         (SELECT sum(c) FROM t)
+           - COALESCE(sum(c) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nr
+  FROM t
+)
+SELECT dur AS t_unit, CAST(nr AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_events,
+       round(exp(sum(ln(1 - d / CAST(nr AS DOUBLE)))
+                 OVER (ORDER BY dur)), 6) AS survival
+FROM r
+"""
 
 
 def _weighted_jaccard_docs(sf_dir: str):
@@ -5111,4 +5151,5 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "events_value_auc": _EVENTS_VALUE_AUC_SQL,
         "events_value_calibration": _EVENTS_VALUE_CALIBRATION_SQL,
         "weighted_jaccard_docs": _WEIGHTED_JACCARD_SQL,
+        "user_survival_km": _USER_SURVIVAL_KM_SQL,
     }

@@ -1594,3 +1594,122 @@ def event_transitions(
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival over per-user activity spans
+
+
+def kaplan_meier(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    unit_us: int = 3_600_000_000,
+    censor_horizon: int = 720,
+) -> ray.data.Dataset:
+    """Kaplan-Meier (1958) survival estimate of user activity lifetime:
+    duration = span between a user's first and last event in whole time
+    units (boundary crossings, matching SQL date_diff); a user whose
+    last event is >= ``censor_horizon`` units before the corpus end is
+    an observed churn (event), later users are right-censored.
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i), computed as
+    exp(cumsum(ln(1 - d/n))) — the same expression tree the SQL window
+    oracle evaluates.
+
+    Scale shape: one user-keyed shuffle folds the stream to per-user
+    (first, last); the KM sweep runs over the DURATION HISTOGRAM
+    (distinct lifetimes, time-domain-bounded), never per user.
+
+    Output: (t_unit, n_risk, d_events, survival round-6), one row per
+    distinct duration."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from record_matching_ray.stages.util import round6_sql
+
+    def span_partial(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u, ts = u[order], ts[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        f = np.minimum.reduceat(ts, starts)
+        l = np.maximum.reduceat(ts, starts)
+        return pa.table(
+            {
+                "u": pa.array(u[starts], pa.int64()),
+                "f": pa.array(f, pa.int64()),
+                "l": pa.array(l, pa.int64()),
+            }
+        )
+
+    spans = (
+        events.select_columns([user_col, ts_col])
+        .map_batches(span_partial, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Min(on="f", alias_name="f"), Max(on="l", alias_name="l"))
+    )
+
+    # pass 1: the global corpus end (one aggregate scalar); pass 2 folds
+    # per-user spans to the (duration, churn, count) histogram, with
+    # durations and censoring both as boundary-crossing unit diffs
+    # (== SQL date_diff semantics)
+    mx = events.select_columns([ts_col]).max(ts_col)
+    mx_us = int(pa.scalar(mx).cast(pa.int64()).as_py())
+
+    def km_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"dur": pa.array([], pa.int64()),
+                 "d": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        fname = "f" if "f" in t.column_names else "min(f)"
+        lname = "l" if "l" in t.column_names else "max(l)"
+        f = t.column(fname).to_numpy(zero_copy_only=False)
+        l = t.column(lname).to_numpy(zero_copy_only=False)
+        dur = l // unit_us - f // unit_us
+        ev = ((mx_us // unit_us - l // unit_us) >= censor_horizon).astype(
+            np.int64
+        )
+        uniq, inv = np.unique(dur, return_inverse=True)
+        d = np.zeros(len(uniq), np.int64)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(d, inv, ev)
+        np.add.at(n, inv, 1)
+        return pa.table(
+            {"dur": pa.array(uniq, pa.int64()),
+             "d": pa.array(d, pa.int64()),
+             "n": pa.array(n, pa.int64())}
+        )
+
+    hist = (
+        spans.map_batches(km_partial, batch_format="pyarrow")
+        .groupby("dur")
+        .aggregate(Sum(on="d", alias_name="d"), Sum(on="n", alias_name="n"))
+        .take_all()
+    )
+    dur = np.array([r["dur"] for r in hist], np.int64)
+    d = np.array([r.get("sum(d)", r.get("d")) for r in hist], np.int64)
+    n = np.array([r.get("sum(n)", r.get("n")) for r in hist], np.int64)
+    order = np.argsort(dur)
+    dur, d, n = dur[order], d[order], n[order]
+    tot = int(n.sum())
+    prior = np.concatenate([[0], np.cumsum(n)[:-1]])
+    nr = tot - prior
+    if np.any(d >= nr):
+        raise ValueError(
+            "Kaplan-Meier degenerate tail: every at-risk user churns at "
+            "some duration (survival hits exact 0; the SQL oracle's "
+            "ln(0) errors the same way) — extend censor_horizon"
+        )
+    surv = np.exp(np.cumsum(np.log(1.0 - d / nr.astype(np.float64))))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "t_unit": pa.array(dur, pa.int64()),
+                "n_risk": pa.array(nr.astype(np.int64), pa.int64()),
+                "d_events": pa.array(d, pa.int64()),
+                "survival": pa.array(round6_sql(surv), pa.float64()),
+            }
+        )
+    )

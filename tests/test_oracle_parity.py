@@ -85,6 +85,7 @@ def _compare(res, odf):
         "events_value_auc",
         "events_value_calibration",
         "weighted_jaccard_docs",
+        "user_survival_km",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
