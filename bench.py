@@ -341,6 +341,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "bcubed_er_docs",
         "quality_buckets_docs",
         "corpus_snapshot_diff",
+        # round-3 additions: deletion-neighborhood edit join (coarse-
+        # partition sweep) and the HLL sketch (no raw-key shuffle)
+        "customer_symspell",
+        "hll_users_by_type",
     ]
     times: dict[str, float] = {}
     for name in names:
