@@ -3568,6 +3568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_calibration": _events_value_calibration,
         "weighted_jaccard_docs": _weighted_jaccard_docs,
         "user_survival_km": _user_survival_km,
+        "event_trigram_counts": an.event_trigram_counts,
+        "events_chi2": an.events_chi2,
     }
 
 
@@ -5152,4 +5154,6 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "events_value_calibration": _EVENTS_VALUE_CALIBRATION_SQL,
         "weighted_jaccard_docs": _WEIGHTED_JACCARD_SQL,
         "user_survival_km": _USER_SURVIVAL_KM_SQL,
+        "event_trigram_counts": an.EVENT_TRIGRAM_SQL,
+        "events_chi2": an.EVENTS_CHI2_SQL,
     }

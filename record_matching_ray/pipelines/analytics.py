@@ -3192,3 +3192,174 @@ WITH c AS (
 )
 SELECT n_name, mode_priority, CAST(n AS BIGINT) AS n FROM c WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining: event-type trigrams
+
+
+def event_trigram_counts(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Top-k 3-step event-type sequences across users (order by ts, then
+    event_id for SQL-identical tie placement) — the classic sequential
+    pattern sweep behind "what do users do right before X".
+
+    Ray shape: ONE user-keyed shuffle, then each partition lexsorts
+    (user, ts, event_id) and reads trigrams off shifted arrays — no
+    window join, no per-event rows leaving the partition (per-batch
+    trigram counts collapse to distinct trigrams). Top-k with
+    count-desc, trigram-asc tie-break on the driver over the tiny
+    distinct-trigram table."""
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.util import coarse_groupby_partitions
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_parts = coarse_groupby_partitions()
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "pk", pa.array((u % n_parts).astype(np.int64), pa.int64())
+        )
+
+    def trigrams(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, ty = u[order], ty[order]
+        if len(u) < 3:
+            return pa.table(
+                {"trigram": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        a, b, c = ty[:-2][same], ty[1:-1][same], ty[2:][same]
+        tri = np.array(
+            [f"{x}>{y}>{z}" for x, y, z in zip(a, b, c)], dtype=object
+        )
+        uniq, cnt = np.unique(tri, return_counts=True)
+        return pa.table(
+            {"trigram": pa.array(uniq, pa.string()),
+             "cnt": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    counts = (
+        ev.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(trigrams, batch_format="pyarrow")
+        .groupby("trigram")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+    )
+    rows = counts.take_all()
+    tri = [r["trigram"] for r in rows]
+    cnt = [int(r.get("sum(cnt)", r.get("cnt"))) for r in rows]
+    order = sorted(range(len(tri)), key=lambda i: (-cnt[i], tri[i]))[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "trigram": pa.array([tri[i] for i in order], pa.string()),
+                "cnt": pa.array([cnt[i] for i in order], pa.int64()),
+            }
+        )
+    )
+
+
+EVENT_TRIGRAM_SQL = """
+WITH s AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type, 1) OVER w AS b,
+         lead(event_type, 2) OVER w AS c,
+         lead(user_id, 2) OVER w AS u2
+  FROM events
+  WINDOW w AS (ORDER BY user_id, ts, event_id)
+),
+t AS (
+  SELECT a || '>' || b || '>' || c AS trigram, count(*) AS cnt
+  FROM s WHERE u2 = user_id
+  GROUP BY 1
+)
+SELECT trigram, CAST(cnt AS BIGINT) AS cnt
+FROM t ORDER BY cnt DESC, trigram LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence audit
+
+
+def events_chi2(sf_dir: str, value_split: float = 50.0) -> ray.data.Dataset:
+    """Pearson chi-square test of independence between event_type and a
+    high/low value flag: one pass of per-batch contingency partials
+    (types x 2 cells), one tiny groupby, closed-form statistic from
+    exact integer cells with the oracle's expression tree.
+
+    Output (one row): n, dof, chi2 (round-6)."""
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.util import round6_sql
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        hi = (
+            t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+            >= value_split
+        ).astype(np.int64)
+        key = np.array([f"{a}|{b}" for a, b in zip(ty, hi)], dtype=object)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq, pa.string()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()
+    )
+    ty = [r["cell"].rsplit("|", 1)[0] for r in cells]
+    hi = [int(r["cell"].rsplit("|", 1)[1]) for r in cells]
+    n = np.array([r.get("sum(n)", r.get("n")) for r in cells], dtype=np.float64)
+    types = sorted(set(ty))
+    obs = np.zeros((len(types), 2), np.float64)
+    for t_, h_, c_ in zip(ty, hi, n):
+        obs[types.index(t_), h_] = c_
+    total = obs.sum()
+    row = obs.sum(axis=1, keepdims=True)
+    col = obs.sum(axis=0, keepdims=True)
+    exp = row * col / total
+    chi2 = float(np.sum((obs - exp) ** 2 / exp))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([int(total)], pa.int64()),
+                "dof": pa.array([(len(types) - 1) * 1], pa.int64()),
+                "chi2": pa.array([float(round6_sql(chi2))], pa.float64()),
+            }
+        )
+    )
+
+
+EVENTS_CHI2_SQL = """
+WITH f AS (
+  SELECT event_type AS ty,
+         CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS hi
+  FROM events
+),
+cells AS (SELECT ty, hi, count(*) AS o FROM f GROUP BY 1, 2),
+rows_ AS (SELECT ty, sum(o) AS r FROM cells GROUP BY 1),
+cols_ AS (SELECT hi, sum(o) AS c FROM cells GROUP BY 1),
+tot AS (SELECT sum(o) AS t FROM cells),
+x AS (
+  SELECT o, rows_.r * cols_.c / CAST(t AS DOUBLE) AS e
+  FROM cells JOIN rows_ USING (ty) JOIN cols_ USING (hi) CROSS JOIN tot
+)
+SELECT CAST((SELECT t FROM tot) AS BIGINT) AS n,
+       CAST((SELECT count(*) - 1 FROM rows_) AS BIGINT) AS dof,
+       round(sum((o - e) * (o - e) / e), 6) AS chi2
+FROM x
+"""

@@ -86,6 +86,8 @@ def _compare(res, odf):
         "events_value_calibration",
         "weighted_jaccard_docs",
         "user_survival_km",
+        "event_trigram_counts",
+        "events_chi2",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
