@@ -3570,7 +3570,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_survival_km": _user_survival_km,
         "event_trigram_counts": an.event_trigram_counts,
         "events_chi2": an.events_chi2,
+        "adamic_adar_names": _adamic_adar_names,
     }
+
+
+def _adamic_adar_names(sf_dir: str):
+    """Adamic-Adar link prediction over the edit-distance<=1 customer
+    name graph (stages/graph.adamic_adar): coarse center-node partition
+    sweep emits co-neighbor pairs weighted 1/ln(deg), exact packed-int
+    pair sums, count-gated broadcast anti-join removes direct edges."""
+    from record_matching_ray.stages.graph import adamic_adar
+    from record_matching_ray.stages.symspell import deletion_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    pairs = deletion_join(cust, id_col="c_custkey", name_col="c_name")
+    edges = pairs.select_columns(["left", "right"]).rename_columns(
+        {"left": "src", "right": "dst"}
+    )
+    return adamic_adar(edges)
+
+
+_ADAMIC_ADAR_SQL = """
+WITH nm AS (SELECT c_custkey AS k, c_name AS n FROM customer),
+e AS (
+  SELECT a.k AS s, b.k AS d
+  FROM nm a JOIN nm b ON a.k < b.k AND levenshtein(a.n, b.n) <= 1
+),
+und AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e),
+deg AS (SELECT s AS z, count(*) AS dg FROM und GROUP BY 1),
+aa AS (
+  SELECT a.d AS l, b.d AS r, sum(1.0 / ln(dg)) AS v
+  FROM und a JOIN und b ON a.s = b.s AND a.d < b.d
+  JOIN deg ON deg.z = a.s
+  GROUP BY 1, 2
+)
+SELECT l AS "left", r AS "right", round(v, 6) AS aa
+FROM aa
+ANTI JOIN e ON (e.s = aa.l AND e.d = aa.r) OR (e.s = aa.r AND e.d = aa.l)
+"""
 
 
 def _user_survival_km(sf_dir: str):
@@ -5156,4 +5195,5 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "user_survival_km": _USER_SURVIVAL_KM_SQL,
         "event_trigram_counts": an.EVENT_TRIGRAM_SQL,
         "events_chi2": an.EVENTS_CHI2_SQL,
+        "adamic_adar_names": _ADAMIC_ADAR_SQL,
     }

@@ -639,3 +639,131 @@ def bfs_hops(
         ),
         pa.schema([("node", pa.int64()), ("hops", pa.int64())]),
     )
+
+
+def adamic_adar(
+    edges: ray.data.Dataset,
+    broadcast_gate: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Adamic-Adar link-prediction scores (Adamic & Adar 2003) for every
+    NON-adjacent pair sharing at least one neighbor:
+    AA(x,y) = sum over common neighbors z of 1/ln(deg(z)).
+
+    Ray shape: undirected adjacency co-locates on a coarse center-node
+    partition key; each partition lexsorts by center and emits the
+    center's neighbor pairs with weight 1/ln(deg) in one sweep (a center
+    needs deg >= 2 to emit, so ln(deg) > 0 always). Per-pair sums go
+    through an EXACT packed (l<<32|r) int key — ids are asserted < 2^31,
+    the uid contract of the small-id graphs this serves; hub centers are
+    the blow-up risk at scale and belong behind the k_core / cap family
+    first. Direct edges are removed by a count-gated broadcast of the
+    packed edge set.
+
+    Output: (left, right, aa round-6), left < right.
+    """
+    from record_matching_ray.stages.util import (
+        coarse_groupby_partitions,
+        round6_sql,
+    )
+
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    n_parts = coarse_groupby_partitions()
+
+    def und(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) and (s.max() >= 2**31 or d.max() >= 2**31 or s.min() < 0):
+            raise ValueError("adamic_adar packed-pair path requires ids in [0, 2^31)")
+        z = np.concatenate([s, d])
+        nb = np.concatenate([d, s])
+        return pa.table(
+            {
+                "pk": pa.array((z % n_parts).astype(np.int64), pa.int64()),
+                "z": pa.array(z, pa.int64()),
+                "nb": pa.array(nb, pa.int64()),
+            }
+        )
+
+    def center_pairs(g: pa.Table) -> pa.Table:
+        z = g.column("z").to_numpy(zero_copy_only=False)
+        nb = g.column("nb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, z))
+        z, nb = z[order], nb[order]
+        starts = np.flatnonzero(np.r_[True, z[1:] != z[:-1]])
+        ends = np.r_[starts[1:], len(z)]
+        keys_out, w_out = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            w = 1.0 / np.log(float(m))
+            nbrs = nb[s:e]  # sorted ascending within the center
+            a, b = np.triu_indices(m, k=1)
+            keys_out.append((nbrs[a] << 32) | nbrs[b])
+            w_out.append(np.full(len(a), w, np.float64))
+        if not keys_out:
+            return pa.table(
+                {"key": pa.array([], pa.int64()),
+                 "w": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate(keys_out), pa.int64()),
+                "w": pa.array(np.concatenate(w_out), pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        edges.map_batches(und, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(center_pairs, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum(on="w", alias_name="w"))
+    )
+
+    n_edges = edges.count()
+    if n_edges > broadcast_gate:
+        raise RuntimeError(
+            f"adamic_adar edge-set broadcast gate: {n_edges} edges > "
+            f"{broadcast_gate}; use a distributed anti-join for the "
+            "direct-edge removal"
+        )
+    et = pa.concat_tables(ray.get(r) for r in edges.to_arrow_refs())
+    es = et.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    ed = et.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = np.minimum(es, ed)
+    hi = np.maximum(es, ed)
+    edge_keys_ref = ray.put(np.unique((lo << 32) | hi))
+
+    OUT = pa.schema(
+        [("left", pa.int64()), ("right", pa.int64()), ("aa", pa.float64())]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return OUT.empty_table()
+        name = "w" if "w" in t.column_names else "sum(w)"
+        if name not in t.column_names or "key" not in t.column_names:
+            return OUT.empty_table()
+        keys = t.column("key").to_numpy(zero_copy_only=False)
+        w = t.column(name).to_numpy(zero_copy_only=False)
+        ek = (
+            ray.get(edge_keys_ref)
+            if isinstance(edge_keys_ref, ray.ObjectRef)
+            else edge_keys_ref
+        )
+        pos = np.clip(np.searchsorted(ek, keys), 0, max(len(ek) - 1, 0))
+        is_edge = (len(ek) > 0) & (ek[pos] == keys)
+        keep = ~is_edge
+        keys, w = keys[keep], w[keep]
+        return pa.table(
+            {
+                "left": pa.array(keys >> 32, pa.int64()),
+                "right": pa.array(keys & 0xFFFFFFFF, pa.int64()),
+                "aa": pa.array(round6_sql(w), pa.float64()),
+            }
+        )
+
+    return conformed(sums.map_batches(finalize, batch_format="pyarrow"), OUT)

@@ -88,6 +88,7 @@ def _compare(res, odf):
         "user_survival_km",
         "event_trigram_counts",
         "events_chi2",
+        "adamic_adar_names",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
