@@ -3571,7 +3571,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigram_counts": an.event_trigram_counts,
         "events_chi2": an.events_chi2,
         "adamic_adar_names": _adamic_adar_names,
+        "media_video_stats": _media_video_stats,
     }
+
+
+def _media_video_stats(sf_dir: str):
+    """REAL video path, oracle-checked end to end: per vec_id a 3-frame
+    MJPEG AVI (RIFF/hdrl/movi/idx1 container, functions/media_codecs.
+    avi_mjpeg_encode) whose frame f is a 16x24 grayscale of constant 8x8
+    tiles (tile t = (vec_id*37 + f*29 + t*17) % 256) at quality 100 —
+    exact JPEG round-trip. stages/multimodal.sample_frames walks the
+    RIFF chunks and emits each frame's own JPEG bytes; decode + stats
+    run distributed. The oracle recomputes from the tile formula over a
+    (vec_id x frame) grid, so container parsing, frame ordering, Huffman
+    and IDCT all gate the value hash."""
+    import numpy as np
+    import pyarrow as pa
+
+    from record_matching_ray.functions.jpeg import jpeg_decode, jpeg_encode
+    from record_matching_ray.functions.media_codecs import avi_mjpeg_encode
+    from record_matching_ray.stages.multimodal import sample_frames
+
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+
+    def to_avi(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for v in ids:
+            frames = []
+            for f in range(3):
+                tiles = (
+                    (int(v) * 37 + f * 29 + np.arange(6) * 17) % 256
+                ).astype(np.uint8)
+                img = np.kron(tiles.reshape(2, 3), np.ones((8, 8), np.uint8))
+                frames.append(jpeg_encode(img, quality=100))
+            payloads.append(avi_mjpeg_encode(frames, 24, 16, fps=10))
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    frames = sample_frames(
+        embs.map_batches(to_avi, batch_format="pyarrow"), every_n=1, max_frames=3
+    )
+
+    def frame_stats(t: pa.Table) -> pa.Table:
+        means, mins, maxs = [], [], []
+        for p in t.column("frame_payload").to_pylist():
+            px = jpeg_decode(p).astype(np.int64)
+            means.append(round(float(px.sum()) / px.size, 6))
+            mins.append(int(px.min()))
+            maxs.append(int(px.max()))
+        return pa.table(
+            {
+                "vec_id": t.column("media_id"),
+                "frame_idx": t.column("frame_idx"),
+                "mean_px": pa.array(means, pa.float64()),
+                "min_px": pa.array(mins, pa.int64()),
+                "max_px": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    return frames.map_batches(frame_stats, batch_format="pyarrow")
+
+
+_MEDIA_VIDEO_SQL = """
+    SELECT e.vec_id, f.f AS frame_idx,
+           ROUND(SUM((e.vec_id * 37 + f.f * 29 + g.t * 17) % 256) * 1.0 / 6, 6)
+             AS mean_px,
+           MIN((e.vec_id * 37 + f.f * 29 + g.t * 17) % 256) AS min_px,
+           MAX((e.vec_id * 37 + f.f * 29 + g.t * 17) % 256) AS max_px
+    FROM embeddings e CROSS JOIN range(3) f(f) CROSS JOIN range(6) g(t)
+    GROUP BY 1, 2
+"""
 
 
 def _adamic_adar_names(sf_dir: str):
@@ -5196,4 +5270,5 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "event_trigram_counts": an.EVENT_TRIGRAM_SQL,
         "events_chi2": an.EVENTS_CHI2_SQL,
         "adamic_adar_names": _ADAMIC_ADAR_SQL,
+        "media_video_stats": _MEDIA_VIDEO_SQL,
     }

@@ -53,6 +53,16 @@ def sniff_media(data: bytes) -> dict:
         return {"kind": "bmp", "width": int(w), "height": abs(int(h))}
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return {"kind": "wav", "width": None, "height": None}
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI " and len(data) >= 72:
+        # avih main header sits at a fixed offset in our writer's layout;
+        # fall back to dims-unknown for foreign writers
+        try:
+            if data[12:16] == b"LIST" and data[20:24] == b"hdrl" and data[24:28] == b"avih":
+                w, h = struct.unpack("<II", data[64:72])
+                return {"kind": "avi_mjpeg", "width": int(w), "height": int(h)}
+        except struct.error:
+            pass
+        return {"kind": "avi_mjpeg", "width": None, "height": None}
     return {"kind": "unknown", "width": None, "height": None}
 
 
@@ -215,3 +225,94 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     else:
         raise NotImplementedError(f"WAV sample width {width} unsupported")
     return x.reshape(-1, n_ch), rate
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) container with MJPEG frames — video as a sequence of the
+# engine's own baseline JPEGs (functions/jpeg.py). Writer emits the
+# canonical RIFF/hdrl/strl/movi/idx1 layout; reader walks chunks
+# generically, so foreign MJPEG-AVIs with extra chunks still parse.
+
+
+def avi_mjpeg_encode(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Pack JFIF frame byte strings into a minimal standard MJPEG AVI."""
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(four: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", four + payload)
+
+    n = len(frames)
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_bytes * fps,   # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0x10,              # dwFlags: AVIF_HASINDEX
+        n, 0, 1,           # total frames, initial frames, streams
+        max_bytes,         # dwSuggestedBufferSize
+        width, height,
+        0, 0, 0, 0,        # reserved
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0, 0, 0,       # flags, priority, language
+            0,             # initial frames
+            1, fps,        # scale, rate -> fps
+            0, n,          # start, length
+            max_bytes,
+            0xFFFFFFFF,    # quality: default
+            0,             # sample size: varies
+        )
+        + struct.pack("<4h", 0, 0, width, height)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_chunks)
+    # idx1: offsets are relative to the start of the 'movi' four-cc
+    idx_entries = []
+    off = 4
+    for f in frames:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def avi_mjpeg_frames(data: bytes) -> list[bytes]:
+    """Extract the MJPEG frame payloads ('..dc' chunks inside LIST movi)
+    by walking RIFF chunks generically."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int, in_movi: bool) -> None:
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if tag == b"LIST" and size >= 4:
+                four = buf[body_start : body_start + 4]
+                walk(buf, body_start + 4, body_end, in_movi or four == b"movi")
+            elif in_movi and tag[2:4] == b"dc":
+                frames.append(buf[body_start:body_end])
+            pos = body_end + (size % 2)
+
+    walk(data, 12, len(data), False)
+    return frames

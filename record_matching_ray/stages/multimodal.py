@@ -5,16 +5,18 @@ by actor-pool ``map_batches`` stages exactly like the text pipeline.
 
 Codec support is tiered:
 - REAL (stdlib + numpy, functions/media_codecs.py): PNG decode/encode
-  (8-bit gray/RGB/RGBA, all five filters), WAV PCM decode, and header
-  sniffing (PNG/JPEG/GIF/BMP dims). ``DecodeKernel`` featurizes PNG/JPEG
-  payloads from decoded pixels and WAV payloads from segment energies;
-  ``MediaResizer`` really decodes, nearest-neighbor resizes and
-  re-encodes PNGs.
+  (8-bit gray/RGB/RGBA, all five filters), baseline JPEG decode/encode
+  (functions/jpeg.py), MJPEG-AVI video frame extraction
+  (avi_mjpeg_frames — sample_frames emits each sampled frame's own JPEG
+  bytes), WAV PCM decode, and header sniffing (PNG/JPEG/GIF/BMP/AVI
+  dims). ``DecodeKernel`` featurizes PNG/JPEG payloads from decoded
+  pixels and WAV payloads from segment energies; ``MediaResizer``
+  really decodes, nearest-neighbor resizes and re-encodes PNGs.
 - STUBBED: formats needing entropy decoders absent from this container
-  (GIF/BMP pixels, video frames) raise ``NotImplementedError`` at the
-  documented injection point; ``fake=True`` substitutes a deterministic
-  content-hash decoder so schemas/batching/resume are exercised end to
-  end regardless of format.
+  (GIF/BMP pixels, non-MJPEG video) raise ``NotImplementedError`` at
+  the documented injection point; ``fake=True`` substitutes a
+  deterministic content-hash decoder so schemas/batching/resume are
+  exercised end to end regardless of format.
 
 Scale notes (these defaults are the point of the module):
 - media batches are SMALL (``batch_size=16``): a batch is
@@ -273,16 +275,45 @@ def sample_frames(
     concurrency: int | None = None,
 ) -> ray.data.Dataset:
     """Video payloads -> one row per sampled frame (flat_map shape:
-    map_batches emitting more rows than it receives). The fake decoder
-    derives a deterministic frame count from payload length; each frame
-    row carries (media_id, frame_idx, frame_payload)."""
+    map_batches emitting more rows than it receives). REAL path: MJPEG
+    AVI payloads (functions/media_codecs.avi_mjpeg_frames walks the RIFF
+    chunks) — each sampled frame row carries the frame's own JPEG bytes,
+    decodable downstream by DecodeKernel. The fake decoder derives a
+    deterministic frame count from payload length; each frame row
+    carries (media_id, frame_idx, frame_payload)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        if not fake:
-            raise NotImplementedError(
-                "video codecs unavailable in this environment; use fake=True"
-            )
         ids, idxs, frames = [], [], []
+        if not fake:
+            from record_matching_ray.functions.media_codecs import (
+                avi_mjpeg_frames,
+                sniff_media,
+            )
+
+            for mid, payload in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("payload").to_pylist(),
+            ):
+                kind = sniff_media(payload)["kind"]
+                if kind != "avi_mjpeg":
+                    raise NotImplementedError(
+                        f"video container {kind!r} unsupported; MJPEG AVI "
+                        "decodes for real (or use fake=True)"
+                    )
+                all_frames = avi_mjpeg_frames(payload)
+                for k, f in enumerate(range(0, len(all_frames), every_n)):
+                    if k >= max_frames:
+                        break
+                    ids.append(mid)
+                    idxs.append(f)
+                    frames.append(all_frames[f])
+            return pa.table(
+                {
+                    "media_id": pa.array(ids, pa.int64()),
+                    "frame_idx": pa.array(idxs, pa.int64()),
+                    "frame_payload": pa.array(frames, pa.binary()),
+                }
+            )
         for mid, payload in zip(
             batch.column("media_id").to_pylist(),
             batch.column("payload").to_pylist(),

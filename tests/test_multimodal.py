@@ -369,3 +369,65 @@ def test_resize_media_jpeg_payloads():
     for p in out["payload"]:
         img = jpeg_decode(bytes(p))
         assert img.shape == (16, 16)
+
+
+def test_avi_mjpeg_roundtrip_and_sniff():
+    import numpy as np
+
+    from record_matching_ray.functions.jpeg import jpeg_decode, jpeg_encode
+    from record_matching_ray.functions.media_codecs import (
+        avi_mjpeg_encode,
+        avi_mjpeg_frames,
+        sniff_media,
+    )
+
+    frames = []
+    for f in range(4):
+        tiles = ((7 * 37 + f * 29 + np.arange(6) * 17) % 256).astype(np.uint8)
+        img = np.kron(tiles.reshape(2, 3), np.ones((8, 8), np.uint8))
+        frames.append(jpeg_encode(img, quality=100))
+    avi = avi_mjpeg_encode(frames, 24, 16, fps=10)
+    s = sniff_media(avi)
+    assert s["kind"] == "avi_mjpeg" and s["width"] == 24 and s["height"] == 16
+    assert avi_mjpeg_frames(avi) == frames
+    # constant 8x8 tiles at q100 round-trip exactly
+    px = jpeg_decode(frames[2])
+    expect = np.kron(
+        (((7 * 37 + 2 * 29 + np.arange(6) * 17) % 256).astype(np.uint8)).reshape(2, 3),
+        np.ones((8, 8), np.uint8),
+    )
+    assert (px == expect).all()
+
+
+def test_sample_frames_real_avi(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_matching_ray.functions.jpeg import jpeg_encode
+    from record_matching_ray.functions.media_codecs import avi_mjpeg_encode
+    from record_matching_ray.stages.multimodal import sample_frames
+
+    payloads = []
+    for mid in range(3):
+        frames = [
+            jpeg_encode(
+                np.full((16, 16), (mid * 11 + f) % 256, np.uint8), quality=100
+            )
+            for f in range(5)
+        ]
+        payloads.append(avi_mjpeg_encode(frames, 16, 16))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(3), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    out = sample_frames(ds, every_n=2, max_frames=2).to_pandas()
+    # every_n=2 over 5 frames, capped at 2 -> frames 0 and 2 per video
+    assert sorted(out["frame_idx"].unique().tolist()) == [0, 2]
+    assert len(out) == 6
+    assert all(p[:3] == b"\xff\xd8\xff" for p in out["frame_payload"])

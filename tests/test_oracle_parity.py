@@ -89,6 +89,7 @@ def _compare(res, odf):
         "event_trigram_counts",
         "events_chi2",
         "adamic_adar_names",
+        "media_video_stats",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
