@@ -316,3 +316,203 @@ def avi_mjpeg_frames(data: bytes) -> list[bytes]:
 
     walk(data, 12, len(data), False)
     return frames
+
+
+# ---------------------------------------------------------------------------
+# BMP (uncompressed BI_RGB, 8-bit palette / 24-bit) — trivial raster
+
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB -> 24-bit BI_RGB BMP bytes
+    (bottom-up rows, 4-byte row padding, no palette)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = a.shape[:2]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # RGB -> BGR, bottom-up
+    bgr = a[::-1, :, ::-1]
+    body = b"".join(bgr[y].tobytes() + b"\x00" * pad for y in range(h))
+    pixel_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", pixel_off + len(body), 0, 0, pixel_off
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return header + body
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """BI_RGB 24-bit (or 8-bit palette) BMP bytes -> uint8 (h, w, 3)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_off = struct.unpack("<I", data[10:14])[0]
+    size, w, h, _planes, bpp, comp = struct.unpack("<IiiHHI", data[14:34])
+    if comp != 0:
+        raise NotImplementedError(f"BMP compression {comp} unsupported (BI_RGB only)")
+    flip = h > 0
+    h = abs(h)
+    if bpp == 24:
+        row_bytes = w * 3
+        pad = (-row_bytes) % 4
+        out = np.empty((h, w, 3), np.uint8)
+        pos = pixel_off
+        for y in range(h):
+            row = np.frombuffer(data, np.uint8, row_bytes, pos)
+            out[y] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+            pos += row_bytes + pad
+    elif bpp == 8:
+        pal_off = 14 + size
+        n_pal = (pixel_off - pal_off) // 4
+        pal = np.frombuffer(data, np.uint8, n_pal * 4, pal_off).reshape(n_pal, 4)
+        pal_rgb = pal[:, :3][:, ::-1]  # BGRA -> RGB
+        row_bytes = w
+        pad = (-row_bytes) % 4
+        out = np.empty((h, w, 3), np.uint8)
+        pos = pixel_off
+        for y in range(h):
+            idx = np.frombuffer(data, np.uint8, row_bytes, pos)
+            out[y] = pal_rgb[idx]
+            pos += row_bytes + pad
+    else:
+        raise NotImplementedError(f"BMP bpp {bpp} unsupported (8/24 only)")
+    return out[::-1] if flip else out
+
+
+# ---------------------------------------------------------------------------
+# GIF87a/89a — LZW decode (single image, optional interlace unsupported)
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """First image of a GIF -> uint8 (h, w, 3) via pure-Python LZW."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+            pos += 10
+            lct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                lct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            if lct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                stream.extend(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(stream), min_code, w * h)
+            img = lct[np.asarray(idx, np.int64)].reshape(h, w, 3)
+            return img
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image")
+
+
+def _lzw_decode(stream: bytes, min_code: int, n_pixels: int) -> list[int]:
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    bitpos = 0
+    prev: tuple[int, ...] | None = None
+    total_bits = len(stream) * 8
+    while bitpos + code_size <= total_bits and len(out) < n_pixels:
+        byte = bitpos // 8
+        # codes are LSB-first across up to 3 bytes
+        window = int.from_bytes(stream[byte : byte + 3], "little")
+        code = (window >> (bitpos % 8)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        else:  # KwKwK case
+            entry = prev + (prev[0],)
+            table.append(entry)
+        if prev is not None and len(table) >= (1 << code_size) and code_size < 12:
+            code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out[:n_pixels]
+
+
+def gif_encode(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) palette-index array + implicit grayscale palette ->
+    GIF87a bytes (uncompressed-style LZW: emit a clear code before every
+    pixel code so the table never grows — valid LZW, simple writer)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("gif_encode takes a (h, w) palette-index array")
+    h, w = a.shape
+    min_code = 8
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    for v in a.ravel():
+        put(int(v))
+        put(clear)  # keep table minimal; decoder-agnostic
+    put(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+    palette = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # GCT, 256 colors
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    pos = 0
+    data = bytes(bits)
+    while pos < len(data):
+        chunk_ = data[pos : pos + 255]
+        out.append(len(chunk_))
+        out += chunk_
+        pos += 255
+    out += b"\x00\x3b"
+    return bytes(out)

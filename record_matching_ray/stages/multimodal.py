@@ -12,11 +12,12 @@ Codec support is tiered:
   dims). ``DecodeKernel`` featurizes PNG/JPEG payloads from decoded
   pixels and WAV payloads from segment energies; ``MediaResizer``
   really decodes, nearest-neighbor resizes and re-encodes PNGs.
-- STUBBED: formats needing entropy decoders absent from this container
-  (GIF/BMP pixels, non-MJPEG video) raise ``NotImplementedError`` at
-  the documented injection point; ``fake=True`` substitutes a
+- REAL (round 3 closes the tier): BMP (BI_RGB 8/24-bit) and GIF
+  (pure-Python LZW, non-interlaced) decode too — every sniffed format
+  now has a real pixel path. Non-MJPEG video keeps the documented
+  ``NotImplementedError``; ``fake=True`` still substitutes a
   deterministic content-hash decoder so schemas/batching/resume are
-  exercised end to end regardless of format.
+  exercised regardless of format.
 
 Scale notes (these defaults are the point of the module):
 - media batches are SMALL (``batch_size=16``): a batch is
@@ -132,11 +133,20 @@ class DecodeKernel:
         if kind == "wav":
             samples, _rate = wav_decode(payload)
             return self._audio_features(samples)
+        if kind == "bmp":
+            from record_matching_ray.functions.media_codecs import bmp_decode
+
+            return self._image_features(bmp_decode(payload))
+        if kind == "gif":
+            from record_matching_ray.functions.media_codecs import gif_decode
+
+            return self._image_features(gif_decode(payload))
         raise NotImplementedError(
             f"no decoder for {kind!r} payloads in this environment (PNG, "
-            "baseline JPEG and WAV decode are real; GIF/BMP/video need "
-            "absent codec libraries); construct MediaFeaturizer(..., "
-            "fake=True) for the deterministic stand-in decoder"
+            "baseline JPEG, BMP, GIF and WAV decode are real; other "
+            "formats need absent codec libraries); construct "
+            "MediaFeaturizer(..., fake=True) for the deterministic "
+            "stand-in decoder"
         )
 
 

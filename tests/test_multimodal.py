@@ -431,3 +431,31 @@ def test_sample_frames_real_avi(ray_session):
     assert sorted(out["frame_idx"].unique().tolist()) == [0, 2]
     assert len(out) == 6
     assert all(p[:3] == b"\xff\xd8\xff" for p in out["frame_payload"])
+
+
+def test_bmp_gif_roundtrip_and_featurize():
+    import numpy as np
+
+    from record_matching_ray.functions.media_codecs import (
+        bmp_decode,
+        bmp_encode,
+        gif_decode,
+        gif_encode,
+    )
+    from record_matching_ray.stages.multimodal import DecodeKernel
+
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 256, (11, 19, 3)).astype(np.uint8)
+    assert (bmp_decode(bmp_encode(rgb)) == rgb).all()
+    gray = rng.integers(0, 256, (7, 23)).astype(np.uint8)
+    g3 = gif_decode(gif_encode(gray))
+    assert (g3[:, :, 0] == gray).all() and (g3[:, :, 2] == gray).all()
+
+    # real (non-fake) decode path accepts BMP and GIF payloads now
+    k = DecodeKernel(feature_dim=64, fake=False)
+    fb = k.decode_features(bmp_encode(rgb), "image")
+    fg = k.decode_features(gif_encode(gray), "image")
+    assert fb.shape == (64,) and fg.shape == (64,)
+    # features are normalized pooled luma — nonzero and finite
+    assert np.isfinite(fb).all() and np.linalg.norm(fb) > 0.99
+    assert np.isfinite(fg).all() and np.linalg.norm(fg) > 0.99
