@@ -3572,7 +3572,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_chi2": an.events_chi2,
         "adamic_adar_names": _adamic_adar_names,
         "media_video_stats": _media_video_stats,
+        "triple_support_parts": _triple_support_parts,
     }
+
+
+def _triple_support_parts(sf_dir: str):
+    """Apriori level-3 frequent itemsets (stages/basket.triple_support):
+    basket-key shuffle, size-grouped combination expansion, one packed
+    int64 key (3 x 21 bits) for the wide count shuffle."""
+    from record_matching_ray.stages.basket import triple_support
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return triple_support(li, min_support=2)
+
+
+_TRIPLE_SUPPORT_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+SELECT a.p AS x, b2.p AS y, c.p AS z,
+       CAST(count(*) AS BIGINT) AS triple_count
+FROM b a
+JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+JOIN b c ON a.o = c.o AND b2.p < c.p
+GROUP BY 1, 2, 3
+HAVING count(*) >= 2
+"""
 
 
 def _media_video_stats(sf_dir: str):
@@ -5271,4 +5296,5 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "events_chi2": an.EVENTS_CHI2_SQL,
         "adamic_adar_names": _ADAMIC_ADAR_SQL,
         "media_video_stats": _MEDIA_VIDEO_SQL,
+        "triple_support_parts": _TRIPLE_SUPPORT_SQL,
     }

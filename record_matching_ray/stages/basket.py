@@ -236,3 +236,107 @@ def copurchase_lift(
             ]
         ),
     )
+
+
+def triple_support(
+    lineitem: ray.data.Dataset,
+    min_support: int = 2,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Frequent 3-itemsets: (x, y, z, triple_count) for part triples
+    co-ordered in >= min_support orders, x < y < z — the Apriori level-3
+    sweep on top of copurchase_lift's level-2.
+
+    Same scale discipline: basket-key shuffle, per-partition size-grouped
+    combination expansion (no per-basket dispatch), and the wide count
+    shuffle rides ONE int64 key — three part keys packed 21 bits each
+    (asserted; catalogs past 2M parts need the two-column fallback)."""
+    from itertools import combinations
+
+    P = num_partitions or shuffle_partitions()
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    (mix64(o.astype(_U64)) % _U64(P)).astype(np.int64), pa.int64()
+                ),
+                "o": pa.array(o, pa.int64()),
+                "p": t.column("l_partkey"),
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        o = g.column("o").to_numpy(zero_copy_only=False)
+        p = g.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {"key": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+        )
+        if len(o) == 0:
+            return empty
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.concatenate(([True], (o[1:] != o[:-1]) | (p[1:] != p[:-1])))
+        o, p = o[keep], p[keep]
+        starts = np.nonzero(np.concatenate(([True], o[1:] != o[:-1])))[0]
+        sizes = np.diff(np.append(starts, len(o)))
+        keys: list[np.ndarray] = []
+        for k in np.unique(sizes):
+            if k < 3:
+                continue
+            s = starts[sizes == k]
+            combo = np.array(list(combinations(range(int(k)), 3)), np.int64)
+            xi = p[(s[:, None] + combo[None, :, 0]).ravel()]
+            yi = p[(s[:, None] + combo[None, :, 1]).ravel()]
+            zi = p[(s[:, None] + combo[None, :, 2]).ravel()]
+            assert (zi < (1 << 21)).all(), (
+                "triple_support packs three part keys into one int64; keys "
+                "must fit 21 bits (two-column fallback for larger catalogs)"
+            )
+            keys.append((xi << np.int64(42)) | (yi << np.int64(21)) | zi)
+        if not keys:
+            return empty
+        uk, uc = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table(
+            {"key": pa.array(uk, pa.int64()),
+             "c": pa.array(uc.astype(np.int64), pa.int64())}
+        )
+
+    counts = (
+        lineitem.select_columns(["l_orderkey", "l_partkey"])
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(
+            lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow"
+        )
+        .groupby("key")
+        .sum("c")
+    )
+    counts = conformed(
+        counts, pa.schema([("key", pa.int64()), ("sum(c)", pa.int64())])
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        c = t.column("sum(c)").to_numpy(zero_copy_only=False)
+        m = c >= min_support
+        k, c = k[m], c[m]
+        mask21 = np.int64((1 << 21) - 1)
+        return pa.table(
+            {
+                "x": pa.array(k >> np.int64(42), pa.int64()),
+                "y": pa.array((k >> np.int64(21)) & mask21, pa.int64()),
+                "z": pa.array(k & mask21, pa.int64()),
+                "triple_count": pa.array(c, pa.int64()),
+            }
+        )
+
+    out = counts.map_batches(unpack, batch_format="pyarrow")
+    return conformed(
+        out,
+        pa.schema(
+            [("x", pa.int64()), ("y", pa.int64()), ("z", pa.int64()),
+             ("triple_count", pa.int64())]
+        ),
+    )

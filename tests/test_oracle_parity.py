@@ -90,6 +90,7 @@ def _compare(res, odf):
         "events_chi2",
         "adamic_adar_names",
         "media_video_stats",
+        "triple_support_parts",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
