@@ -3573,6 +3573,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar_names": _adamic_adar_names,
         "media_video_stats": _media_video_stats,
         "triple_support_parts": _triple_support_parts,
+        "orders_acf": an.orders_acf,
+        "part_price_moments": an.part_price_moments,
+        "events_mutual_info": an.events_mutual_info,
     }
 
 
@@ -5297,4 +5300,7 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "adamic_adar_names": _ADAMIC_ADAR_SQL,
         "media_video_stats": _MEDIA_VIDEO_SQL,
         "triple_support_parts": _TRIPLE_SUPPORT_SQL,
+        "orders_acf": an.ORDERS_ACF_SQL,
+        "part_price_moments": an.PART_PRICE_MOMENTS_SQL,
+        "events_mutual_info": an.EVENTS_MI_SQL,
     }

@@ -3363,3 +3363,275 @@ SELECT CAST((SELECT t FROM tot) AS BIGINT) AS n,
        round(sum((o - e) * (o - e) / e), 6) AS chi2
 FROM x
 """
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily order-count series
+
+
+def orders_acf(sf_dir: str, max_lag: int = 14) -> ray.data.Dataset:
+    """Pearson autocorrelation of daily order counts at lags 1..max_lag
+    (the series-health diagnostic behind seasonality checks).
+
+    Ray shape: the distributed part is the per-day count (calendar-
+    bounded histogram, one shuffle); each lag's correlation is computed
+    on the driver over the aligned overlap windows with the exact
+    moment formula the SQL oracle uses (corr over (x_t, x_{t+lag})
+    pairs). Gaps: missing days are absent rows on BOTH sides (the
+    lag-join in SQL pairs day d with day d+lag only when both exist —
+    the engine aligns by calendar day the same way)."""
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.util import round6_sql
+
+    orders = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["o_orderdate"], unit="day")
+        di = day.cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        uniq, cnt = np.unique(di, return_counts=True)
+        return pa.table(
+            {"d": pa.array(uniq, pa.int64()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    rows = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()
+    )
+    d = np.array([r["d"] for r in rows], np.int64)
+    n = np.array([r.get("sum(n)", r.get("n")) for r in rows], np.float64)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    pos = {int(x): i for i, x in enumerate(d)}
+    lags, acfs, counts = [], [], []
+    for lag in range(1, max_lag + 1):
+        xi, yi = [], []
+        for i, day in enumerate(d):
+            j = pos.get(int(day) + lag)
+            if j is not None:
+                xi.append(n[i])
+                yi.append(n[j])
+        x = np.asarray(xi)
+        y = np.asarray(yi)
+        m = len(x)
+        if m < 2:
+            continue
+        sx, sy = x.sum(), y.sum()
+        sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+        cov = sxy / m - (sx / m) * (sy / m)
+        vx = sxx / m - (sx / m) ** 2
+        vy = syy / m - (sy / m) ** 2
+        lags.append(lag)
+        acfs.append(float(round6_sql(cov / np.sqrt(vx * vy))))
+        counts.append(m)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "lag": pa.array(lags, pa.int64()),
+                "n_pairs": pa.array(counts, pa.int64()),
+                "acf": pa.array(acfs, pa.float64()),
+            }
+        )
+    )
+
+
+ORDERS_ACF_SQL = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', o_orderdate)) // 86400 AS BIGINT) AS d,
+         count(*) AS n
+  FROM orders GROUP BY 1
+),
+lags AS (SELECT CAST(l AS BIGINT) AS lag FROM range(1, 15) t(l)),
+pairs AS (
+  SELECT lag, a.n AS x, b.n AS y
+  FROM lags JOIN daily a ON TRUE JOIN daily b ON b.d = a.d + lag
+)
+SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(
+         (SUM(x*y)*1.0/count(*) - (SUM(x)*1.0/count(*)) * (SUM(y)*1.0/count(*)))
+         / sqrt(
+             (SUM(x*x)*1.0/count(*) - pow(SUM(x)*1.0/count(*), 2))
+             * (SUM(y*y)*1.0/count(*) - pow(SUM(y)*1.0/count(*), 2))
+           ), 6) AS acf
+FROM pairs GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Higher-moment group stats: skewness / excess kurtosis from raw moments
+
+
+def part_price_moments(sf_dir: str) -> ray.data.Dataset:
+    """Population skewness and excess kurtosis of retail price (cents)
+    per part type, via raw power sums (n, s1..s4) — the mergeable moment
+    layout, one catalog-bounded shuffle. The closed forms share the SQL
+    oracle's exact expression tree (explicit central-moment algebra, NOT
+    the library skewness()/kurtosis(), whose bias corrections vary)."""
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.util import round6_sql
+
+    part = _read(sf_dir, "part", ["p_type", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _cents(t.column("p_retailprice")).astype(np.float64)
+        ty = np.asarray(t.column("p_type").to_pylist(), dtype=object)
+        uniq, inv = np.unique(ty, return_inverse=True)
+        cols = {
+            "n": np.zeros(len(uniq), np.int64),
+            "s1": np.zeros(len(uniq), np.float64),
+            "s2": np.zeros(len(uniq), np.float64),
+            "s3": np.zeros(len(uniq), np.float64),
+            "s4": np.zeros(len(uniq), np.float64),
+        }
+        np.add.at(cols["n"], inv, 1)
+        for k, p in (("s1", 1), ("s2", 2), ("s3", 3), ("s4", 4)):
+            np.add.at(cols[k], inv, v**p)
+        return pa.table(
+            {"p_type": pa.array(uniq, pa.string()),
+             **{k: pa.array(a) for k, a in cols.items()}}
+        )
+
+    agg = (
+        part.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_type")
+        .aggregate(*[Sum(on=k, alias_name=k) for k in ("n", "s1", "s2", "s3", "s4")])
+    )
+
+    OUT = pa.schema(
+        [
+            ("p_type", pa.string()),
+            ("n", pa.int64()),
+            ("skew", pa.float64()),
+            ("kurt", pa.float64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return OUT.empty_table()
+
+        def col(b):
+            nm = b if b in t.column_names else f"sum({b})"
+            return t.column(nm).to_numpy(zero_copy_only=False).astype(np.float64)
+
+        n = col("n")
+        m1 = col("s1") / n
+        m2 = col("s2") / n - m1**2
+        m3 = col("s3") / n - 3 * m1 * (col("s2") / n) + 2 * m1**3
+        m4 = (
+            col("s4") / n
+            - 4 * m1 * (col("s3") / n)
+            + 6 * m1**2 * (col("s2") / n)
+            - 3 * m1**4
+        )
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3.0
+        return pa.table(
+            {
+                "p_type": t.column("p_type"),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "skew": pa.array(round6_sql(skew), pa.float64()),
+                "kurt": pa.array(round6_sql(kurt), pa.float64()),
+            }
+        )
+
+    return conformed(agg.map_batches(finalize, batch_format="pyarrow"), OUT)
+
+
+PART_PRICE_MOMENTS_SQL = """
+WITH m AS (
+  SELECT p_type, count(*) AS n,
+         SUM(c) AS s1, SUM(c*c) AS s2, SUM(c*c*c) AS s3, SUM(c*c*c*c) AS s4
+  FROM (SELECT p_type,
+               CAST(CAST(round(p_retailprice*100) AS BIGINT) AS DOUBLE) AS c
+        FROM part)
+  GROUP BY 1
+),
+c AS (
+  SELECT p_type, n,
+         s1/n AS m1, s2/n - pow(s1/n, 2) AS m2,
+         s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3) AS m3,
+         s4/n - 4*(s1/n)*(s3/n) + 6*pow(s1/n, 2)*(s2/n) - 3*pow(s1/n, 4) AS m4
+  FROM m
+)
+SELECT p_type, CAST(n AS BIGINT) AS n,
+       round(m3 / pow(m2, 1.5), 6) AS skew,
+       round(m4 / pow(m2, 2) - 3.0, 6) AS kurt
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between event type and a value bucket
+
+
+def events_mutual_info(sf_dir: str, value_split: float = 50.0) -> ray.data.Dataset:
+    """Mutual information I(event_type; value>=split) in nats from the
+    exact contingency table — the info-theoretic sibling of events_chi2,
+    same one-pass cell-partial shape. Output: (n, mi round-6)."""
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.util import round6_sql
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        hi = (
+            t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+            >= value_split
+        ).astype(np.int64)
+        key = np.array([f"{a}|{b}" for a, b in zip(ty, hi)], dtype=object)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq, pa.string()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()
+    )
+    ty = [r["cell"].rsplit("|", 1)[0] for r in cells]
+    hi = [int(r["cell"].rsplit("|", 1)[1]) for r in cells]
+    n = np.array([r.get("sum(n)", r.get("n")) for r in cells], np.float64)
+    total = n.sum()
+    row_tot: dict[str, float] = {}
+    col_tot: dict[int, float] = {}
+    for a, b, c in zip(ty, hi, n):
+        row_tot[a] = row_tot.get(a, 0.0) + c
+        col_tot[b] = col_tot.get(b, 0.0) + c
+    mi = 0.0
+    for a, b, c in zip(ty, hi, n):
+        p = c / total
+        mi += p * float(np.log(p / ((row_tot[a] / total) * (col_tot[b] / total))))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([int(total)], pa.int64()),
+                "mi": pa.array([float(round6_sql(mi))], pa.float64()),
+            }
+        )
+    )
+
+
+EVENTS_MI_SQL = """
+WITH f AS (
+  SELECT event_type AS ty,
+         CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS hi
+  FROM events
+),
+cells AS (SELECT ty, hi, count(*) AS o FROM f GROUP BY 1, 2),
+rt AS (SELECT ty, sum(o) AS r FROM cells GROUP BY 1),
+ct AS (SELECT hi, sum(o) AS c FROM cells GROUP BY 1),
+tot AS (SELECT sum(o) AS t FROM cells)
+SELECT CAST((SELECT t FROM tot) AS BIGINT) AS n,
+       round(SUM((o * 1.0 / t) * ln((o * 1.0 / t) / ((r * 1.0 / t) * (c * 1.0 / t)))), 6) AS mi
+FROM cells JOIN rt USING (ty) JOIN ct USING (hi) CROSS JOIN tot
+"""

@@ -91,6 +91,9 @@ def _compare(res, odf):
         "adamic_adar_names",
         "media_video_stats",
         "triple_support_parts",
+        "orders_acf",
+        "part_price_moments",
+        "events_mutual_info",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
