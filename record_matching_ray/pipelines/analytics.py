@@ -3466,88 +3466,85 @@ FROM pairs GROUP BY 1 HAVING count(*) >= 2
 
 def part_price_moments(sf_dir: str) -> ray.data.Dataset:
     """Population skewness and excess kurtosis of retail price (cents)
-    per part type, via raw power sums (n, s1..s4) — the mergeable moment
-    layout, one catalog-bounded shuffle. The closed forms share the SQL
-    oracle's exact expression tree (explicit central-moment algebra, NOT
-    the library skewness()/kurtosis(), whose bias corrections vary)."""
-    from ray.data.aggregate import Sum
-
-    from record_matching_ray.stages.util import round6_sql
-
+    per part type, via raw power sums — folded in EXACT INTEGER
+    arithmetic. Float power sums of cents (c^4 ~ 1e20) sit far beyond
+    float64's 2^53 spacing, so partition-order drift can flip the 6th
+    decimal after the central-moment cancellations (observed: kurt
+    -0.930431 vs -0.930432 across partitionings). Instead the stream is
+    folded to its (type, cents, count) VALUE HISTOGRAM (catalog-bounded,
+    the group_quantiles contract); the driver computes s1..s4 as Python
+    bigints and converts once to double — bit-identical operands to the
+    SQL oracle's HUGEINT sums whatever the partitioning."""
     part = _read(sf_dir, "part", ["p_type", "p_retailprice"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        v = _cents(t.column("p_retailprice")).astype(np.float64)
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = _cents(t.column("p_retailprice"))
         ty = np.asarray(t.column("p_type").to_pylist(), dtype=object)
-        uniq, inv = np.unique(ty, return_inverse=True)
-        cols = {
-            "n": np.zeros(len(uniq), np.int64),
-            "s1": np.zeros(len(uniq), np.float64),
-            "s2": np.zeros(len(uniq), np.float64),
-            "s3": np.zeros(len(uniq), np.float64),
-            "s4": np.zeros(len(uniq), np.float64),
-        }
-        np.add.at(cols["n"], inv, 1)
-        for k, p in (("s1", 1), ("s2", 2), ("s3", 3), ("s4", 4)):
-            np.add.at(cols[k], inv, v**p)
+        key = np.array([f"{a}|{b}" for a, b in zip(ty, v)], dtype=object)
+        uniq, cnt = np.unique(key, return_counts=True)
         return pa.table(
-            {"p_type": pa.array(uniq, pa.string()),
-             **{k: pa.array(a) for k, a in cols.items()}}
+            {"k": pa.array(uniq, pa.string()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
         )
 
-    agg = (
-        part.map_batches(partial, batch_format="pyarrow")
-        .groupby("p_type")
-        .aggregate(*[Sum(on=k, alias_name=k) for k in ("n", "s1", "s2", "s3", "s4")])
+    from ray.data.aggregate import Sum
+
+    rows = (
+        part.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()
     )
+    from record_matching_ray.stages.util import round6_sql
 
-    OUT = pa.schema(
-        [
-            ("p_type", pa.string()),
-            ("n", pa.int64()),
-            ("skew", pa.float64()),
-            ("kurt", pa.float64()),
-        ]
-    )
-
-    def finalize(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return OUT.empty_table()
-
-        def col(b):
-            nm = b if b in t.column_names else f"sum({b})"
-            return t.column(nm).to_numpy(zero_copy_only=False).astype(np.float64)
-
-        n = col("n")
-        m1 = col("s1") / n
-        m2 = col("s2") / n - m1**2
-        m3 = col("s3") / n - 3 * m1 * (col("s2") / n) + 2 * m1**3
+    sums: dict[str, list[int]] = {}
+    for r in rows:
+        ty, c_s = r["k"].rsplit("|", 1)
+        c = int(c_s)
+        n = int(r.get("sum(n)", r.get("n")))
+        acc = sums.setdefault(ty, [0, 0, 0, 0, 0])
+        acc[0] += n
+        acc[1] += n * c
+        acc[2] += n * c * c
+        acc[3] += n * c * c * c
+        acc[4] += n * c * c * c * c
+    types = sorted(sums)
+    out_n, out_skew, out_kurt = [], [], []
+    for ty in types:
+        n, s1, s2, s3, s4 = sums[ty]
+        fn, f1, f2, f3, f4 = float(n), float(s1), float(s2), float(s3), float(s4)
+        m1 = f1 / fn
+        m2 = f2 / fn - m1**2
+        m3 = f3 / fn - 3 * m1 * (f2 / fn) + 2 * m1**3
         m4 = (
-            col("s4") / n
-            - 4 * m1 * (col("s3") / n)
-            + 6 * m1**2 * (col("s2") / n)
-            - 3 * m1**4
+            f4 / fn - 4 * m1 * (f3 / fn) + 6 * m1**2 * (f2 / fn) - 3 * m1**4
         )
-        skew = m3 / m2**1.5
-        kurt = m4 / m2**2 - 3.0
-        return pa.table(
+        out_n.append(n)
+        out_skew.append(float(round6_sql(m3 / m2**1.5)))
+        out_kurt.append(float(round6_sql(m4 / m2**2 - 3.0)))
+    return ray.data.from_arrow(
+        pa.table(
             {
-                "p_type": t.column("p_type"),
-                "n": pa.array(n.astype(np.int64), pa.int64()),
-                "skew": pa.array(round6_sql(skew), pa.float64()),
-                "kurt": pa.array(round6_sql(kurt), pa.float64()),
+                "p_type": pa.array(types, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "skew": pa.array(out_skew, pa.float64()),
+                "kurt": pa.array(out_kurt, pa.float64()),
             }
         )
-
-    return conformed(agg.map_batches(finalize, batch_format="pyarrow"), OUT)
+    )
 
 
 PART_PRICE_MOMENTS_SQL = """
 WITH m AS (
+  -- exact HUGEINT power sums of integer cents (float sums of c^4 ~ 1e20
+  -- are partition-order-unstable past 2^53; the engine folds bigints too)
   SELECT p_type, count(*) AS n,
-         SUM(c) AS s1, SUM(c*c) AS s2, SUM(c*c*c) AS s3, SUM(c*c*c*c) AS s4
+         CAST(SUM(c) AS DOUBLE) AS s1,
+         CAST(SUM(c*c) AS DOUBLE) AS s2,
+         CAST(SUM(c*c*c) AS DOUBLE) AS s3,
+         CAST(SUM(c*c*c*c) AS DOUBLE) AS s4
   FROM (SELECT p_type,
-               CAST(CAST(round(p_retailprice*100) AS BIGINT) AS DOUBLE) AS c
+               CAST(CAST(round(p_retailprice*100) AS BIGINT) AS HUGEINT) AS c
         FROM part)
   GROUP BY 1
 ),
