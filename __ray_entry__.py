@@ -3576,6 +3576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_acf": an.orders_acf,
         "part_price_moments": an.part_price_moments,
         "events_mutual_info": an.events_mutual_info,
+        "user_activity_gini": an.user_activity_gini,
     }
 
 
@@ -5303,4 +5304,5 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "orders_acf": an.ORDERS_ACF_SQL,
         "part_price_moments": an.PART_PRICE_MOMENTS_SQL,
         "events_mutual_info": an.EVENTS_MI_SQL,
+        "user_activity_gini": an.USER_ACTIVITY_GINI_SQL,
     }

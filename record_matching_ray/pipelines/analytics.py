@@ -3632,3 +3632,92 @@ SELECT CAST((SELECT t FROM tot) AS BIGINT) AS n,
        round(SUM((o * 1.0 / t) * ln((o * 1.0 / t) / ((r * 1.0 / t) * (c * 1.0 / t)))), 6) AS mi
 FROM cells JOIN rt USING (ty) JOIN ct USING (hi) CROSS JOIN tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of per-user activity
+
+
+def user_activity_gini(sf_dir: str) -> ray.data.Dataset:
+    """Gini inequality coefficient of events-per-user:
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)), x ascending, i=1..n.
+    Ties share a value, so rank order inside a tie block cannot change
+    sum(i*x_i) — the whole statistic folds from the per-user-count
+    HISTOGRAM with exact integer arithmetic (one user shuffle + one
+    count-histogram shuffle; the driver sees distinct activity levels).
+
+    Output (one row): n_users, total_events, gini (round-6)."""
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.util import round6_sql
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(u, return_counts=True)
+        return pa.table(
+            {"u": pa.array(uniq, pa.int64()),
+             "c": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    counts = (
+        ev.map_batches(per_user, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Sum(on="c", alias_name="c"))
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        name = "c" if "c" in t.column_names else "sum(c)"
+        if t.num_rows == 0 or name not in t.column_names:
+            return pa.table(
+                {"x": pa.array([], pa.int64()), "k": pa.array([], pa.int64())}
+            )
+        c = t.column(name).to_numpy(zero_copy_only=False)
+        vals, k = np.unique(c, return_counts=True)
+        return pa.table(
+            {"x": pa.array(vals.astype(np.int64), pa.int64()),
+             "k": pa.array(k.astype(np.int64), pa.int64())}
+        )
+
+    rows = (
+        counts.map_batches(hist, batch_format="pyarrow")
+        .groupby("x")
+        .aggregate(Sum(on="k", alias_name="k"))
+        .take_all()
+    )
+    x = np.array([r["x"] for r in rows], np.int64)
+    k = np.array([r.get("sum(k)", r.get("k")) for r in rows], np.int64)
+    order = np.argsort(x)
+    x, k = x[order], k[order]
+    # exact integer rank sums: a block of k equal values occupying ranks
+    # (c+1 .. c+k) contributes x * (k*c + k*(k+1)/2) to sum(i * x_i)
+    n = int(k.sum())
+    total = 0
+    six = 0
+    c = 0
+    for xv, kv in zip(x.tolist(), k.tolist()):
+        total += xv * kv
+        six += xv * (kv * c + kv * (kv + 1) // 2)
+        c += kv
+    gini = (2.0 * float(six) - float((n + 1) * total)) / float(n * total)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_users": pa.array([n], pa.int64()),
+                "total_events": pa.array([total], pa.int64()),
+                "gini": pa.array([float(round6_sql(gini))], pa.float64()),
+            }
+        )
+    )
+
+
+USER_ACTIVITY_GINI_SQL = """
+WITH pu AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM pu)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(x) AS BIGINT) AS total_events,
+       round((2.0 * SUM(i * x) - (count(*) + 1) * SUM(x))
+             / (count(*) * SUM(x)), 6) AS gini
+FROM r
+"""

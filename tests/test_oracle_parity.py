@@ -94,6 +94,7 @@ def _compare(res, odf):
         "orders_acf",
         "part_price_moments",
         "events_mutual_info",
+        "user_activity_gini",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
