@@ -3577,6 +3577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_moments": an.part_price_moments,
         "events_mutual_info": an.events_mutual_info,
         "user_activity_gini": an.user_activity_gini,
+        "lineitem_winsorized_mean": an.lineitem_winsorized_mean,
+        "event_type_cosine": an.event_type_cosine,
     }
 
 
@@ -5305,4 +5307,6 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "part_price_moments": an.PART_PRICE_MOMENTS_SQL,
         "events_mutual_info": an.EVENTS_MI_SQL,
         "user_activity_gini": an.USER_ACTIVITY_GINI_SQL,
+        "lineitem_winsorized_mean": an.LINEITEM_WINSORIZED_SQL,
+        "event_type_cosine": an.EVENT_TYPE_COSINE_SQL,
     }

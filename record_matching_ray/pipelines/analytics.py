@@ -3721,3 +3721,180 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
              / (count(*) * SUM(x)), 6) AS gini
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean per group (lower-method quantile clamps)
+
+
+def lineitem_winsorized_mean(
+    sf_dir: str, q_lo: float = 0.1, q_hi: float = 0.9
+) -> ray.data.Dataset:
+    """Winsorized mean of l_quantity per return flag: values clamped at
+    the per-group lower-method quantiles (value at index floor((n-1)*q)
+    of the sorted multiset — the same deterministic rule as
+    stages/quantiles.group_quantiles, chosen because SQL row_number
+    replicates it exactly), then averaged with exact integer sums.
+
+    One (flag, quantity) histogram shuffle; the clamp bounds and the
+    clamped sum both come off the histogram on the driver."""
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.util import round6_sql
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = np.asarray(t.column("l_returnflag").to_pylist(), dtype=object)
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.array([f"{a}|{b}" for a, b in zip(f, q)], dtype=object)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"k": pa.array(uniq, pa.string()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    rows = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()
+    )
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        flag, v = r["k"].rsplit("|", 1)
+        groups.setdefault(flag, []).append(
+            (int(v), int(r.get("sum(n)", r.get("n"))))
+        )
+    flags, out_n, out_mean = [], [], []
+    for flag in sorted(groups):
+        hist = sorted(groups[flag])
+        vals = np.array([h[0] for h in hist], np.int64)
+        cnts = np.array([h[1] for h in hist], np.int64)
+        n = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        lo = int(vals[np.searchsorted(cum, int(np.floor((n - 1) * q_lo)) + 1)])
+        hi = int(vals[np.searchsorted(cum, int(np.floor((n - 1) * q_hi)) + 1)])
+        clamped = np.clip(vals, lo, hi)
+        total = int(np.sum(clamped * cnts))
+        flags.append(flag)
+        out_n.append(n)
+        out_mean.append(float(round6_sql(float(total) / n)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(flags, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "wmean": pa.array(out_mean, pa.float64()),
+            }
+        )
+    )
+
+
+LINEITEM_WINSORIZED_SQL = """
+WITH v AS (
+  SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS i,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+b AS (
+  SELECT f,
+         MAX(CASE WHEN i = CAST(floor((n - 1) * 0.1) AS BIGINT) + 1 THEN q END) AS lo,
+         MAX(CASE WHEN i = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1 THEN q END) AS hi
+  FROM v GROUP BY 1
+)
+SELECT v.f AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(SUM(least(greatest(q, lo), hi)) AS DOUBLE) / count(*), 6) AS wmean
+FROM v JOIN b USING (f)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Item-item cosine between event types over per-user activity vectors
+
+
+def event_type_cosine(sf_dir: str) -> ray.data.Dataset:
+    """Cosine similarity between event types, each represented by its
+    per-user count vector — the item-item collaborative-filtering
+    kernel, type-pair bounded: one user-keyed shuffle, then each user's
+    tiny type-count vector contributes an outer product accumulated
+    into the (types x types) Gram matrix; dot products stay exact
+    integers until the final normalization.
+
+    Output: (a, b, cos round-6), a < b lexicographically."""
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.util import round6_sql
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        key = np.array([f"{a}|{b}" for a, b in zip(u, ty)], dtype=object)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"k": pa.array(uniq, pa.string()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    rows = (
+        ev.map_batches(per_user, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()
+    )
+    # user -> {type: count}; Gram fold in exact ints
+    by_user: dict[str, dict[str, int]] = {}
+    for r in rows:
+        u, ty = r["k"].split("|", 1)
+        by_user.setdefault(u, {})[ty] = int(r.get("sum(n)", r.get("n")))
+    types = sorted({ty for d in by_user.values() for ty in d})
+    tix = {t_: i for i, t_ in enumerate(types)}
+    m = len(types)
+    gram = [[0] * m for _ in range(m)]
+    for d in by_user.values():
+        items = sorted(d.items())
+        for i, (ta, ca) in enumerate(items):
+            for tb, cb in items[i:]:
+                gram[tix[ta]][tix[tb]] += ca * cb
+    out_a, out_b, out_c = [], [], []
+    for i in range(m):
+        for j in range(i + 1, m):
+            cos = float(gram[i][j]) / (
+                np.sqrt(float(gram[i][i])) * np.sqrt(float(gram[j][j]))
+            )
+            out_a.append(types[i])
+            out_b.append(types[j])
+            out_c.append(float(round6_sql(cos)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(out_a, pa.string()),
+                "b": pa.array(out_b, pa.string()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+    )
+
+
+EVENT_TYPE_COSINE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+),
+dots AS (
+  SELECT x.event_type AS a, y.event_type AS b, SUM(x.n * y.n) AS d
+  FROM c x JOIN c y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT event_type, SUM(n * n) AS s FROM c GROUP BY 1
+)
+SELECT a, b,
+       round(CAST(d AS DOUBLE) / (sqrt(CAST(na.s AS DOUBLE)) * sqrt(CAST(nb.s AS DOUBLE))), 6) AS cos
+FROM dots
+JOIN norms na ON na.event_type = a
+JOIN norms nb ON nb.event_type = b
+"""

@@ -95,6 +95,8 @@ def _compare(res, odf):
         "part_price_moments",
         "events_mutual_info",
         "user_activity_gini",
+        "lineitem_winsorized_mean",
+        "event_type_cosine",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
