@@ -550,8 +550,18 @@ def bfs_hops(
         # below the gate the whole edge list is driver-affordable and a
         # local CSR BFS beats max_hops scheduled passes; above it the
         # per-hop distributed scan below takes over
-        t = pa.concat_tables(
-            ray.get(r) for r in edges.to_arrow_refs()
+        parts = [
+            t
+            for t in (ray.get(r) for r in edges.to_arrow_refs())
+            if t.num_rows and t.num_columns  # hash shuffles emit
+            # zero-column empty blocks (stages/util.py:10 failure family)
+        ]
+        t = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
         )
         s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
         d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -730,7 +740,18 @@ def adamic_adar(
             f"{broadcast_gate}; use a distributed anti-join for the "
             "direct-edge removal"
         )
-    et = pa.concat_tables(ray.get(r) for r in edges.to_arrow_refs())
+    eparts = [
+        t
+        for t in (ray.get(r) for r in edges.to_arrow_refs())
+        if t.num_rows and t.num_columns
+    ]
+    et = (
+        pa.concat_tables(eparts)
+        if eparts
+        else pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    )
     es = et.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
     ed = et.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
     lo = np.minimum(es, ed)
