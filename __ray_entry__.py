@@ -3579,6 +3579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_gini": an.user_activity_gini,
         "lineitem_winsorized_mean": an.lineitem_winsorized_mean,
         "event_type_cosine": an.event_type_cosine,
+        "part_initials_block": an.part_initials_block,
     }
 
 
@@ -5309,4 +5310,5 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "user_activity_gini": an.USER_ACTIVITY_GINI_SQL,
         "lineitem_winsorized_mean": an.LINEITEM_WINSORIZED_SQL,
         "event_type_cosine": an.EVENT_TYPE_COSINE_SQL,
+        "part_initials_block": an.PART_INITIALS_SQL,
     }

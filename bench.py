@@ -424,7 +424,10 @@ def main_scaling() -> None:
     # ratio; best-of-N is the standard bench convention (SURVEY.md §7.5:
     # "fixed seeds; report medians") and is declared in the output
     runs_per_leg = int(os.environ.get("RMRAY_SCALING_RUNS", "2"))
-    for cpus in (4, 16):
+    legs = tuple(
+        int(x) for x in os.environ.get("RMRAY_SCALING_LEGS", "4,16").split(",")
+    )
+    for cpus in legs:
         runs = []
         for _ in range(runs_per_leg):
             p = subprocess.run(
@@ -438,22 +441,23 @@ def main_scaling() -> None:
             runs.append(json.loads(line))
         results[cpus] = max(runs, key=lambda r: r["pairs_per_sec"])
         results[cpus]["runs_per_leg"] = runs_per_leg
-    t_lo = results[4]["pairs_per_sec"]
-    t_hi = results[16]["pairs_per_sec"]
-    eff = (t_hi / t_lo) / (16 / 4)
+    lo_c, hi_c = legs[0], legs[-1]
+    t_lo = results[lo_c]["pairs_per_sec"]
+    t_hi = results[hi_c]["pairs_per_sec"]
+    eff = (t_hi / t_lo) / (hi_c / lo_c)
     out = {
-        "metric": "scaling efficiency 4->16 cpus (pairs scored/sec)",
+        "metric": f"scaling efficiency {lo_c}->{hi_c} cpus (pairs scored/sec)",
         "value": round(eff, 4),
         "unit": "efficiency",
         "queries": {
-            "flagship_cpus4_s": results[4]["elapsed_s"],
-            "flagship_cpus16_s": results[16]["elapsed_s"],
+            f"flagship_cpus{lo_c}_s": results[lo_c]["elapsed_s"],
+            f"flagship_cpus{hi_c}_s": results[hi_c]["elapsed_s"],
         },
-        "throughput_4": t_lo,
-        "throughput_16": t_hi,
-        "pairs_scored": results[16]["pairs_scored"],
-        "sf": f"synthetic pages n={results[16]['pages']}",
-        "num_cpus": 16,
+        f"throughput_{lo_c}": t_lo,
+        f"throughput_{hi_c}": t_hi,
+        "pairs_scored": results[hi_c]["pairs_scored"],
+        "sf": f"synthetic pages n={results[hi_c]['pages']}",
+        "num_cpus": hi_c,
         "method": f"best of {runs_per_leg} runs per leg, fresh process each",
     }
     print(json.dumps(out))

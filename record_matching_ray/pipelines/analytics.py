@@ -3898,3 +3898,70 @@ FROM dots
 JOIN norms na ON na.event_type = a
 JOIN norms nb ON nb.event_type = b
 """
+
+
+# ---------------------------------------------------------------------------
+# Initials blocking key (classic ER blocking variant)
+
+
+def part_initials_block(sf_dir: str) -> ray.data.Dataset:
+    """Colliding initials blocking keys over part names: key = the
+    concatenated first character of each whitespace token ("goldenrod
+    lavender spring" -> "gls"). The classic cheap ER blocking key; this
+    audit reports every key binding >= 2 parts with its collision count
+    — the block-size distribution a blocking-scheme designer reads
+    before committing to the key.
+
+    One vocabulary-bounded shuffle: per-batch (key, count) partials."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "part", ["p_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        names = t.column("p_name").to_pylist()
+        keys = np.array(
+            ["".join(tok[0] for tok in n.split() if tok) for n in names],
+            dtype=object,
+        )
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pa.table(
+            {"ikey": pa.array(uniq, pa.string()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    agg = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("ikey")
+        .aggregate(Sum(on="n", alias_name="n"))
+    )
+
+    OUT = pa.schema([("ikey", pa.string()), ("n", pa.int64())])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        name = "n" if "n" in t.column_names else "sum(n)"
+        if t.num_rows == 0 or name not in t.column_names:
+            return OUT.empty_table()
+        n = t.column(name).to_numpy(zero_copy_only=False)
+        keep = n >= 2
+        return pa.table(
+            {
+                "ikey": t.column("ikey").filter(pa.array(keep)),
+                "n": pa.array(n[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return conformed(agg.map_batches(finalize, batch_format="pyarrow"), OUT)
+
+
+PART_INITIALS_SQL = r"""
+WITH k AS (
+  SELECT list_aggregate(
+           list_transform(
+             list_filter(string_split_regex(p_name, '\s+'), x -> x <> ''),
+             x -> substr(x, 1, 1)),
+           'string_agg', '') AS ikey
+  FROM part
+)
+SELECT ikey, CAST(count(*) AS BIGINT) AS n
+FROM k GROUP BY 1 HAVING count(*) >= 2
+"""

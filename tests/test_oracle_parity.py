@@ -97,6 +97,7 @@ def _compare(res, odf):
         "user_activity_gini",
         "lineitem_winsorized_mean",
         "event_type_cosine",
+        "part_initials_block",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
