@@ -388,7 +388,11 @@ from record_matching_ray.state import manifest as mf
 def _fold_registry(out_dir: str) -> list[dict]:
     """folds.json: the append-only log of fold checkpoints chained onto a
     base run_er checkpoint. Each entry: {"n", "key", "features", "edges",
-    "fingerprint"} with stage dirs relative to out_dir."""
+    "fingerprint"} with stage dirs relative to out_dir; folds written by
+    the touched-component path (round 4+) additionally carry an O(increment)
+    cluster DELTA — {"assign": "assign_f<n>", "relabel": {old_cluster_id:
+    new_cluster_id}} — so the next fold's component pass never re-closes
+    the whole corpus edge list."""
     import json
     import os
 
@@ -411,6 +415,283 @@ def _append_fold_registry(out_dir: str, entry: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(folds, f, indent=1)
     os.replace(tmp, path)
+
+
+def _compose_relabel(first: dict[str, str], then: dict[str, str]) -> dict[str, str]:
+    """Composition (apply `first`, then `then`) of two sparse relabel maps
+    (identity outside their keys). Both maps are O(touched components)."""
+    out = {k: then.get(v, v) for k, v in first.items()}
+    for k, v in then.items():
+        if k not in out:
+            out[k] = v
+    return {k: v for k, v in out.items() if k != v}
+
+
+def _apply_relabel(ds: ray.data.Dataset, relabel: dict[str, str]) -> ray.data.Dataset:
+    """Stream (url, cluster_id) through a small broadcast relabel map —
+    one zero-shuffle map pass; rows outside the map pass through."""
+    if not relabel:
+        return ds
+    import pyarrow.compute as pc
+
+    keys = list(relabel.keys())
+    vals = [relabel[k] for k in keys]
+    ref = ray.put((keys, vals))
+
+    def fn(t: pa.Table) -> pa.Table:
+        k, v = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        t = t.combine_chunks()
+        cid = t.column("cluster_id")
+        idx = pc.index_in(cid, value_set=pa.array(k, pa.string()))
+        cand = pc.take(pa.array(v, pa.string()), pc.fill_null(idx, 0))
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "cluster_id": pc.if_else(pc.is_valid(idx), cand, cid),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _cluster_state(old_out_dir: str, folds: list[dict]) -> ray.data.Dataset:
+    """Current full-corpus (url, cluster_id) after the base run and every
+    registered fold delta: base clusters relabeled by R1..RN, union each
+    fold's assign table relabeled by the SUFFIX of later folds' maps.
+    Lazy — one pruned parquet read per stage, zero shuffles."""
+    import os
+
+    # suffix[i] = R_{i+1} ∘ ... ∘ R_N (what must still be applied to rows
+    # materialized at fold i); comp accumulates from the last fold back.
+    comp: dict[str, str] = {}
+    suffix: list[dict[str, str]] = [{} for _ in folds]
+    for i in reversed(range(len(folds))):
+        suffix[i] = dict(comp)
+        comp = _compose_relabel(folds[i].get("relabel", {}), comp)
+    ds = _apply_relabel(
+        mf.read_stage(
+            os.path.join(old_out_dir, "clusters"), columns=["url", "cluster_id"]
+        ),
+        comp,
+    )
+    for i, fe in enumerate(folds):
+        ds = ds.union(
+            _apply_relabel(
+                mf.read_stage(
+                    os.path.join(old_out_dir, fe["assign"]),
+                    columns=["url", "cluster_id"],
+                ),
+                suffix[i],
+            )
+        )
+    return ds
+
+
+def _sorted_lookup(
+    sorted_keys: np.ndarray, query: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(positions, hit_mask) of `query` in `sorted_keys` — vectorized
+    searchsorted membership with explicit bounds + equality checks (no
+    silent neighbor resolution)."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(query), np.int64), np.zeros(len(query), bool)
+    pos = np.searchsorted(sorted_keys, query)
+    safe = np.minimum(pos, len(sorted_keys) - 1)
+    return safe, (pos < len(sorted_keys)) & (sorted_keys[safe] == query)
+
+
+def _fold_touched_components(
+    edges_new: ray.data.Dataset,
+    new_features: ray.data.Dataset,
+    state: ray.data.Dataset,
+    uid_remap: dict | None,
+    max_cc_iters: int,
+) -> tuple[ray.data.Dataset, dict[str, str], pa.Table]:
+    """Touched-component fold clustering — O(increment), never O(corpus
+    edges). Components of the old graph whose members touch no new edge
+    endpoint cannot change under min-label connected components (labels
+    are monotone mins over a superset graph), so:
+
+    1. contract every old endpoint of `edges_new` to its old component's
+       label uid (the cluster_id url's uid — min uid of the component,
+       by _restore_cluster_urls construction), via one pruned zero-shuffle
+       scan of the O(corpus) cluster STATE filtered by a broadcast sorted
+       endpoint array (bounded by the increment's blocking fan-out);
+    2. run connected_components over ONLY the contracted new edges, with
+       nodes = new uids ∪ touched label uids (singleton new pages included);
+    3. since each contracted label IS the min uid of its old component,
+       the small CC's min label equals the full union CC's min label —
+       exact equivalence with the replaced full-edge-list pass
+       (tests/test_incremental.py pins partition equality vs batch run);
+    4. emit (full clusters Dataset = state relabeled by the O(touched)
+       string map ∪ new assignments, the relabel map, the assignment
+       table) — the two latter are the fold's O(increment) delta.
+
+    Replaces the per-fold full-recompute shape of the reference
+    (record_matching/main.py:629-651 DisjointSet over ALL edges)."""
+    # new uid <-> url (the increment is bounded by design)
+    new_urls: list[str] = []
+    for t in new_features.select_columns(["url"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        new_urls.extend(t.column("url").to_pylist())
+    new_uids = blocking.page_uids(new_urls, uid_remap).astype(np.int64)
+    order = np.argsort(new_uids)
+    new_uids_sorted = new_uids[order]
+    new_urls_sorted = np.asarray(new_urls, dtype=object)[order]
+
+    # old endpoints of the new-touching edge set
+    l_parts: list[np.ndarray] = []
+    r_parts: list[np.ndarray] = []
+    for t in edges_new.select_columns(["left", "right"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        l_parts.append(
+            t.column("left").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        r_parts.append(
+            t.column("right").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    ends = (
+        np.unique(np.concatenate(l_parts + r_parts))
+        if l_parts
+        else np.empty(0, np.int64)
+    )
+    _, is_new_end = _sorted_lookup(new_uids_sorted, ends)
+    old_ends = ends[~is_new_end]  # np.unique output: already sorted
+
+    # touched old uids -> (uid, old cluster_id): one streaming scan of the
+    # cluster state, broadcast filter, O(touched) rows back to the driver
+    ends_ref = ray.put(old_ends)
+    remap_local = uid_remap
+
+    def probe(t: pa.Table) -> pa.Table:
+        s = ray.get(ends_ref) if isinstance(ends_ref, ray.ObjectRef) else ends_ref
+        t = t.combine_chunks()
+        uids = blocking.page_uids(t.column("url").to_pylist(), remap_local)
+        pos = np.searchsorted(s, uids)
+        safe = np.minimum(pos, max(len(s) - 1, 0))
+        hit = (
+            (pos < len(s)) & (s[safe] == uids)
+            if len(s)
+            else np.zeros(len(uids), bool)
+        )
+        return pa.table(
+            {
+                "uid": pa.array(uids[hit], pa.int64()),
+                "cid": t.column("cluster_id").filter(pa.array(hit)),
+            }
+        )
+
+    touched = conformed(
+        state.map_batches(probe, batch_format="pyarrow"),
+        pa.schema([("uid", pa.int64()), ("cid", pa.string())]),
+    ).take_all()
+    t_uid = np.asarray([r["uid"] for r in touched], np.int64)
+    t_cid = [r["cid"] for r in touched]
+    if len(t_uid) != len(old_ends):
+        raise ValueError(
+            f"cluster state covers {len(t_uid)} of {len(old_ends)} old edge "
+            "endpoints — checkpointed clusters are inconsistent with the "
+            "features/edges checkpoints (stale or partial state)"
+        )
+    t_order = np.argsort(t_uid)
+    t_uid_sorted = t_uid[t_order]
+    t_lab = blocking.page_uids(t_cid, uid_remap).astype(np.int64)[t_order]
+    t_cid_sorted = np.asarray(t_cid, dtype=object)[t_order]
+
+    # contracted new edges: old endpoint -> its component label uid
+    contract_ref = ray.put((t_uid_sorted, t_lab))
+
+    def contract(t: pa.Table) -> pa.Table:
+        ou, lab = (
+            ray.get(contract_ref)
+            if isinstance(contract_ref, ray.ObjectRef)
+            else contract_ref
+        )
+        out = {}
+        for c in ("left", "right"):
+            u = (
+                t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            if len(ou):
+                pos = np.searchsorted(ou, u)
+                safe = np.minimum(pos, len(ou) - 1)
+                hit = (pos < len(ou)) & (ou[safe] == u)
+                u = np.where(hit, lab[safe], u)
+            out[c] = u
+        keep = out["left"] != out["right"]
+        return pa.table(
+            {
+                "left": pa.array(out["left"][keep], pa.int64()),
+                "right": pa.array(out["right"][keep], pa.int64()),
+            }
+        )
+
+    contracted = edges_new.select_columns(["left", "right"]).map_batches(
+        contract, batch_format="pyarrow"
+    )
+    node_uids = np.unique(np.concatenate([new_uids_sorted, t_lab]))
+    comps = connected_components(
+        contracted,
+        nodes=ray.data.from_arrow(
+            pa.table({"url": pa.array(node_uids, pa.int64())})
+        ),
+        max_iters=max_cc_iters,
+    )  # O(increment + touched components) rows
+    node_parts: list[np.ndarray] = []
+    final_parts: list[np.ndarray] = []
+    for t in comps.iter_batches(batch_format="pyarrow", batch_size=None):
+        node_parts.append(
+            t.column("url").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        final_parts.append(
+            t.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    node = np.concatenate(node_parts) if node_parts else np.empty(0, np.int64)
+    final = np.concatenate(final_parts) if final_parts else np.empty(0, np.int64)
+
+    # label uid -> cluster_id string (old label's url IS its cluster_id;
+    # a new uid's url comes from the increment). Dedup t_lab (many touched
+    # uids share one component).
+    lab_u, lab_first = np.unique(t_lab, return_index=True)
+    lab_str = t_cid_sorted[lab_first]
+
+    pn, hn = _sorted_lookup(new_uids_sorted, final)
+    pl, hl = _sorted_lookup(lab_u, final)
+    if not (hn | hl).all():
+        bad = final[~(hn | hl)][:3]
+        raise ValueError(
+            f"component labels {bad.tolist()} are neither new uids nor "
+            "touched old labels — contraction invariant violated"
+        )
+    # masked assignment (not np.where) — either side's array may be empty
+    fstr = np.empty(len(final), dtype=object)
+    fstr[hn] = new_urls_sorted[pn[hn]]
+    rest = hl & ~hn
+    fstr[rest] = lab_str[pl[rest]]
+
+    is_new_node = _sorted_lookup(new_uids_sorted, node)[1]
+    pn2 = _sorted_lookup(new_uids_sorted, node[is_new_node])[0]
+    assign_tbl = pa.table(
+        {
+            "url": pa.array(new_urls_sorted[pn2].tolist(), pa.string()),
+            "cluster_id": pa.array(fstr[is_new_node].tolist(), pa.string()),
+        }
+    )
+    pl2, hl2 = _sorted_lookup(lab_u, node[~is_new_node])
+    if not hl2.all():
+        raise ValueError("old component node missing from touched-label map")
+    old_strs = lab_str[pl2]
+    new_strs = fstr[~is_new_node]
+    changed = old_strs != new_strs
+    relabel: dict[str, str] = dict(
+        zip(old_strs[changed].tolist(), new_strs[changed].tolist())
+    )
+    clusters = _apply_relabel(state, relabel).union(
+        ray.data.from_arrow(assign_tbl)
+    )
+    return clusters, relabel, assign_tbl
 
 
 def run_er_incremental(
@@ -625,9 +906,9 @@ def run_er_incremental(
             }
         )
 
-    url_union = read_feats(["url"]).union(new_features.select_columns(["url"]))
+    fold_entry: dict | None = None
     if append_checkpoint:
-        # persist THIS fold as an appended partition BEFORE clustering so
+        # persist THIS fold's features/edges BEFORE clustering so
         # edges_new executes once (the components pass reads it back)
         n = len(folds) + 1
         ffold = f"features_f{n}"
@@ -636,26 +917,56 @@ def run_er_incremental(
         mf.write_stage(new_features, os.path.join(old_out_dir, ffold), fold_fp)
         mf.write_stage(edges_new, os.path.join(old_out_dir, efold), fold_fp)
         edges_new = mf.read_stage(os.path.join(old_out_dir, efold))
-        _append_fold_registry(
-            old_out_dir,
-            {
-                "n": n,
-                "key": fold_key,
-                "features": ffold,
-                "edges": efold,
-                "fingerprint": fold_fp,
-            },
+        fold_entry = {
+            "n": n,
+            "key": fold_key,
+            "features": ffold,
+            "edges": efold,
+            "fingerprint": fold_fp,
+        }
+    # S4' — touched-component fast path (O(increment), VERDICT r3 item 1):
+    # requires the base run's `clusters` checkpoint and an O(increment)
+    # cluster delta (assign + relabel) for every prior fold. Falls back to
+    # the full union-edge-list components pass for pre-delta checkpoints.
+    cdir = os.path.join(old_out_dir, "clusters")
+    fast = mf.is_complete(cdir, fp) and all(
+        fe.get("assign")
+        and "relabel" in fe
+        and mf.is_complete(os.path.join(old_out_dir, fe["assign"]), fe["fingerprint"])
+        for fe in folds
+    )
+    if fast:
+        if not append_checkpoint:
+            edges_new = edges_new.materialize()
+        state = _cluster_state(old_out_dir, folds)
+        clusters, relabel, assign_tbl = _fold_touched_components(
+            edges_new, new_features, state, uid_remap, cfg.max_cc_iters
         )
-    uclusters = connected_components(
-        old_edges.select_columns(["left", "right"]).union(
-            edges_new.select_columns(["left", "right"])
-        ),
-        nodes=url_union.map_batches(uid_nodes, batch_format="pyarrow"),
-        max_iters=cfg.max_cc_iters,
-    )
-    clusters = _restore_cluster_urls(
-        uclusters, url_union, num_partitions, uid_remap=uid_remap
-    )
+        if fold_entry is not None:
+            afold = f"assign_f{fold_entry['n']}"
+            mf.write_stage(
+                ray.data.from_arrow(assign_tbl),
+                os.path.join(old_out_dir, afold),
+                fold_entry["fingerprint"],
+            )
+            fold_entry["assign"] = afold
+            fold_entry["relabel"] = relabel
+    else:
+        url_union = read_feats(["url"]).union(
+            new_features.select_columns(["url"])
+        )
+        uclusters = connected_components(
+            old_edges.select_columns(["left", "right"]).union(
+                edges_new.select_columns(["left", "right"])
+            ),
+            nodes=url_union.map_batches(uid_nodes, batch_format="pyarrow"),
+            max_iters=cfg.max_cc_iters,
+        )
+        clusters = _restore_cluster_urls(
+            uclusters, url_union, num_partitions, uid_remap=uid_remap
+        )
+    if fold_entry is not None:
+        _append_fold_registry(old_out_dir, fold_entry)
     return {
         "features_new": new_features,
         "pairs": pairs,

@@ -233,3 +233,64 @@ def test_chained_folds_equal_batch(tmp_path):
     )
     assert len(_fold_registry(ck)) == 2
     assert _partition_ds(final["clusters"]) == _partition_ds(full)
+
+
+def test_fold_fast_path_writes_delta_and_fallback_equal(tmp_path):
+    """Round-4 touched-component fold: (a) an appended fold records the
+    O(increment) cluster delta (assign stage + relabel map) and the fast
+    path is actually taken; (b) forcing the legacy union-edge-list
+    fallback (pre-delta checkpoint shape) yields the IDENTICAL partition —
+    the two clustering plans are exact equivalents."""
+    import json
+    import os
+    import shutil
+
+    d = str(tmp_path / "corpus")
+    write_pages_dir(d, n_pages=400, n_entities=60, seed=7)
+    pages = rd.read_parquet(f"{d}/pages")
+    cfg = PipelineConfig()
+
+    def part_of(mod: int):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as _np
+
+            from record_matching_ray.functions.hashing import hash_strings
+
+            m = hash_strings(t.column("url").to_pylist()) % _np.uint64(3) == mod
+            return t.filter(pa.array(m))
+
+        return fn
+
+    base = pages.map_batches(part_of(0), batch_format="pyarrow")
+    b1 = pages.map_batches(part_of(1), batch_format="pyarrow")
+    b2 = pages.map_batches(part_of(2), batch_format="pyarrow")
+
+    ck = str(tmp_path / "ck")
+    run_er(base, cfg, out_dir=ck, input_key="base")
+    run_er_incremental(b1, cfg, ck, "base", append_checkpoint=True, fold_key="f1")
+    from record_matching_ray.pipelines.incremental import _fold_registry
+
+    folds = _fold_registry(ck)
+    assert len(folds) == 1
+    assert folds[0]["assign"] == "assign_f1" and "relabel" in folds[0]
+    assert os.path.isdir(os.path.join(ck, "assign_f1"))
+
+    fast = run_er_incremental(b2, cfg, ck, "base")
+    part_fast = _partition_ds(fast["clusters"])
+
+    # strip the delta from the registry -> forces the legacy fallback
+    ck2 = str(tmp_path / "ck2")
+    shutil.copytree(ck, ck2)
+    with open(os.path.join(ck2, "folds.json")) as f:
+        legacy = json.load(f)
+    for fe in legacy:
+        fe.pop("assign", None)
+        fe.pop("relabel", None)
+    with open(os.path.join(ck2, "folds.json"), "w") as f:
+        json.dump(legacy, f)
+    slow = run_er_incremental(b2, cfg, ck2, "base")
+    assert _partition_ds(slow["clusters"]) == part_fast
+
+    # and both equal the from-scratch batch run over the full corpus
+    full = run_er(pages, cfg)["clusters"]
+    assert part_fast == _partition_ds(full)
