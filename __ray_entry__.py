@@ -213,7 +213,9 @@ def _simhash_neardup(sf_dir: str):
     pigeonhole blocking's exact-recall claim."""
     from record_matching_ray.stages.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(_docs(sf_dir), token_hash="md5")
+    return simhash_neardup_pairs(_docs(sf_dir), token_hash="md5").select_columns(
+        ["left", "right", "hamming"]
+    )
 
 
 def _ngram_jaccard(sf_dir: str):
@@ -244,7 +246,7 @@ def _embedding_neardup(sf_dir: str):
     # coarser bands (the scale configs) are recall-tested in pytest
     return embedding_neardup_pairs(
         _embs(sf_dir), dim=64, threshold=0.4, n_bits=16, band_bits=2, n_tables=4
-    )
+    ).select_columns(["left", "right", "cos_sim"])
 
 
 def _knn_lsh(sf_dir: str):

@@ -162,6 +162,7 @@ def fold_candidate_pairs(
     value_type: pa.DataType,
     take_max: bool = True,
     n_parts: int | None = None,
+    overflow_col: str | None = None,
 ) -> ray.data.Dataset:
     """Distinct (left, right) pairs with max/min(value_col) — partial fold
     per block, then ONE int-keyed hash shuffle on the packed pair hash
@@ -172,56 +173,80 @@ def fold_candidate_pairs(
     on the engine's own blocking data (blocking.py:dedup_pairs, 79 s vs
     <5 s for 3.6M rows) — at 100-TB near-dup scale candidate pairs are
     billions of rows, so the pair dedup must move 24B/row through one
-    integer shuffle, not composite-key aggregate state."""
+    integer shuffle, not composite-key aggregate state.
+
+    overflow_col: when set, input rows with left < 0 are sentinel
+    accounting rows (one per overflowing bucket, see _append_sentinel);
+    their overflow values are summed forward through both fold stages and
+    the output carries the column (real pairs overflow=0, plus at most
+    one global left=-1 row totalling every dropped pair). This closes
+    ADVICE r3 item 1: the cap count is no longer discarded by the fold."""
     from record_matching_ray.stages.util import coarse_groupby_partitions
 
     if n_parts is None:
         n_parts = coarse_groupby_partitions()
     P = n_parts
+    cols = ["left", "right", value_col] + ([overflow_col] if overflow_col else [])
 
-    def local(t: pa.Table) -> pa.Table:
+    def _split(t: pa.Table):
         l = t.column("left").to_numpy(zero_copy_only=False)
         r = t.column("right").to_numpy(zero_copy_only=False)
         v = t.column(value_col).to_numpy(zero_copy_only=False)
+        ov_total = 0
+        if overflow_col is not None:
+            ov = t.column(overflow_col).to_numpy(zero_copy_only=False)
+            sent = l < 0
+            ov_total = int(ov[sent].sum())
+            if sent.any():
+                keep = ~sent
+                l, r, v = l[keep], r[keep], v[keep]
+        return l, r, v, ov_total
+
+    def _emit(l, r, v, ov_total, with_ph: bool) -> pa.Table:
+        if overflow_col is not None and ov_total:
+            l = np.append(l, np.int64(-1))
+            r = np.append(r, np.int64(-1))
+            v = np.append(v, np.asarray(v).dtype.type(0) if len(v) else 0)
+        cols_out = {
+            "left": pa.array(l, pa.int64()),
+            "right": pa.array(r, pa.int64()),
+            value_col: pa.array(v, value_type),
+        }
+        if overflow_col is not None:
+            ovs = np.zeros(len(l), np.int64)
+            if ov_total:
+                ovs[-1] = ov_total
+            cols_out[overflow_col] = pa.array(ovs, pa.int64())
+        if with_ph:
+            lu, ru = np.asarray(l).astype(_U64), np.asarray(r).astype(_U64)
+            ph = (
+                mix64(lu * _U64(0x9E3779B97F4A7C15) ^ mix64(ru)) % _U64(P)
+            ).astype(np.int64)
+            if overflow_col is not None and ov_total:
+                ph[-1] = 0  # route every sentinel to one partition
+            cols_out["ph"] = pa.array(ph, pa.int64())
+        return pa.table(cols_out)
+
+    def local(t: pa.Table) -> pa.Table:
+        l, r, v, ov_total = _split(t)
         l, r, v = _fold_pair_values(l, r, v, take_max)
-        lu, ru = l.astype(_U64), r.astype(_U64)
-        ph = (
-            mix64(lu * _U64(0x9E3779B97F4A7C15) ^ mix64(ru)) % _U64(P)
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "left": pa.array(l, pa.int64()),
-                "right": pa.array(r, pa.int64()),
-                value_col: pa.array(v, value_type),
-                "ph": pa.array(ph, pa.int64()),
-            }
-        )
+        return _emit(l, r, v, ov_total, with_ph=True)
 
     def final(g: pa.Table) -> pa.Table:
-        l = g.column("left").to_numpy(zero_copy_only=False)
-        r = g.column("right").to_numpy(zero_copy_only=False)
-        v = g.column(value_col).to_numpy(zero_copy_only=False)
+        l, r, v, ov_total = _split(g)
         l, r, v = _fold_pair_values(l, r, v, take_max)
-        return pa.table(
-            {
-                "left": pa.array(l, pa.int64()),
-                "right": pa.array(r, pa.int64()),
-                value_col: pa.array(v, value_type),
-            }
-        )
+        return _emit(l, r, v, ov_total, with_ph=False)
 
     out = (
-        cand.select_columns(["left", "right", value_col])
+        cand.select_columns(cols)
         .map_batches(local, batch_format="pyarrow")
         .groupby("ph")
         .map_groups(final, batch_format="pyarrow")
     )
-    return conformed(
-        out,
-        pa.schema(
-            [("left", pa.int64()), ("right", pa.int64()), (value_col, value_type)]
-        ),
-    )
+    fields = [("left", pa.int64()), ("right", pa.int64()), (value_col, value_type)]
+    if overflow_col is not None:
+        fields.append((overflow_col, pa.int64()))
+    return conformed(out, pa.schema(fields))
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +261,47 @@ def _bucket_overflow(n_members: int, max_bucket: int) -> int:
     if n_members <= max_bucket:
         return 0
     return n_members * (n_members - 1) // 2 - max_bucket * (max_bucket - 1) // 2
+
+
+def _check_overflow(
+    over: int, n_members: int, max_bucket: int, on_overflow: str
+) -> None:
+    """Bucket-cap policy gate (ADVICE r3 item 1: caps must never be
+    silent). on_overflow="raise" fails loudly in the worker — the same
+    contract as the counted broadcast gates; "count" lets the emitter
+    append a sentinel accounting row instead."""
+    if on_overflow not in ("raise", "count"):
+        raise ValueError(f"on_overflow must be 'raise' or 'count', got {on_overflow!r}")
+    if over and on_overflow == "raise":
+        raise ValueError(
+            f"near-dup bucket of {n_members} members exceeds max_bucket="
+            f"{max_bucket}: {over} candidate pairs would be silently dropped. "
+            "Raise max_bucket, or pass on_overflow='count' to cap observably "
+            "(output then carries one left=-1 accounting row whose `overflow` "
+            "column totals the dropped pairs)."
+        )
+
+
+def _append_sentinel(
+    lefts: np.ndarray,
+    rights: np.ndarray,
+    vals: np.ndarray,
+    over: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Attach the overflow accounting to the emitted rows: real pairs get
+    overflow=0; a positive bucket overflow adds ONE sentinel row
+    (left=right=-1, value=0, overflow=N). Unlike the previous per-pair
+    counter this survives buckets whose every candidate fails the verify
+    filter (nk=0 used to lose the count entirely) AND survives
+    fold_candidate_pairs (which summed-forward sentinels, see
+    overflow_col)."""
+    ovs = np.zeros(len(lefts), np.int64)
+    if over:
+        lefts = np.append(lefts, np.int64(-1))
+        rights = np.append(rights, np.int64(-1))
+        vals = np.append(vals, vals.dtype.type(0))
+        ovs = np.append(ovs, np.int64(over))
+    return lefts, rights, vals, ovs
 
 
 def _pairs_from_groups(
@@ -267,10 +333,14 @@ def minhash_neardup_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 2048,
+    on_overflow: str = "count",
 ) -> ray.data.Dataset:
     """Candidate pairs from LSH band buckets, verified by estimated
     Jaccard (fraction of agreeing minhash components >= threshold).
-    Output: (left, right, est_jaccard), left < right, deduped."""
+    Output: (left, right, est_jaccard, overflow), left < right, deduped;
+    overflow=0 on real pairs, plus at most one left=-1 accounting row
+    totalling pairs dropped by the bucket cap (on_overflow="raise"
+    fails loudly instead — see _check_overflow)."""
     sk = docs.map_batches(
         sketch_docs,
         fn_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
@@ -307,9 +377,10 @@ def minhash_neardup_pairs(
                 }
             )
         # observable cap (blocking.py pattern — never silent): dropped
-        # member pairs are counted in the `overflow` column, same value
-        # on every emitted row of the bucket
+        # member pairs total into a left=-1 sentinel accounting row that
+        # survives the fold (or raise, per on_overflow)
         over = _bucket_overflow(len(uniq), max_bucket)
+        _check_overflow(over, len(uniq), max_bucket, on_overflow)
         if len(uniq) > max_bucket:
             idx = idx[:max_bucket]
             uniq = uniq[:max_bucket]
@@ -317,13 +388,15 @@ def minhash_neardup_pairs(
         a, b = np.triu_indices(len(uniq), k=1)
         est = (sigs[a] == sigs[b]).mean(axis=1)
         keep = est >= threshold
-        nk = int(keep.sum())
+        lefts, rights, vals, ovs = _append_sentinel(
+            uniq[a[keep]], uniq[b[keep]], est[keep], over
+        )
         return pa.table(
             {
-                "left": pa.array(uniq[a[keep]], pa.int64()),
-                "right": pa.array(uniq[b[keep]], pa.int64()),
-                "est_jaccard": pa.array(est[keep], pa.float64()),
-                "overflow": pa.array(np.full(nk, over, np.int64), pa.int64()),
+                "left": pa.array(lefts, pa.int64()),
+                "right": pa.array(rights, pa.int64()),
+                "est_jaccard": pa.array(vals, pa.float64()),
+                "overflow": pa.array(ovs, pa.int64()),
             }
         )
 
@@ -334,7 +407,9 @@ def minhash_neardup_pairs(
     )
     # pair dedup (same pair found in several bands), keep max estimate:
     # int-keyed pair-hash shuffle, never composite-key groupby
-    return fold_candidate_pairs(cand, "est_jaccard", pa.float64(), take_max=True)
+    return fold_candidate_pairs(
+        cand, "est_jaccard", pa.float64(), take_max=True, overflow_col="overflow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -346,11 +421,14 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     max_bucket: int = 4096,
     token_hash: str = "blake",
+    on_overflow: str = "count",
 ) -> ray.data.Dataset:
     """Pairs of docs whose 64-bit SimHashes differ in <= max_hamming bits.
     Blocking: 4 16-bit bands — any pair within Hamming distance 3 shares
     at least one exact band (pigeonhole), so recall is exact for d<=3.
-    Output: (left, right, hamming).
+    Output: (left, right, hamming, overflow) — overflow=0 on real pairs
+    plus at most one left=-1 accounting row when a bucket cap dropped
+    pairs (on_overflow="raise" fails loudly instead).
 
     token_hash="md5" makes the simhash DuckDB-reproducible
     (md5_number_lower token hashes), so a SQL oracle can brute-force the
@@ -386,19 +464,22 @@ def simhash_neardup_pairs(
         if len(uniq) < 2:
             return empty
         over = _bucket_overflow(len(uniq), max_bucket)  # observable cap
+        _check_overflow(over, len(uniq), max_bucket, on_overflow)
         if len(uniq) > max_bucket:
             idx, uniq = idx[:max_bucket], uniq[:max_bucket]
         sh = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)[idx]
         a, b = np.triu_indices(len(uniq), k=1)
         ham = hamming64(sh[a], sh[b])
         keep = ham <= max_hamming
-        nk = int(keep.sum())
+        lefts, rights, vals, ovs = _append_sentinel(
+            uniq[a[keep]], uniq[b[keep]], ham[keep], over
+        )
         return pa.table(
             {
-                "left": pa.array(uniq[a[keep]], pa.int64()),
-                "right": pa.array(uniq[b[keep]], pa.int64()),
-                "hamming": pa.array(ham[keep], pa.int64()),
-                "overflow": pa.array(np.full(nk, over, np.int64), pa.int64()),
+                "left": pa.array(lefts, pa.int64()),
+                "right": pa.array(rights, pa.int64()),
+                "hamming": pa.array(vals, pa.int64()),
+                "overflow": pa.array(ovs, pa.int64()),
             }
         )
 
@@ -412,7 +493,9 @@ def simhash_neardup_pairs(
     )
     # int-keyed pair-hash dedup, keep min hamming (values are identical
     # across buckets anyway — hamming is a pair property)
-    return fold_candidate_pairs(cand, "hamming", pa.int64(), take_max=False)
+    return fold_candidate_pairs(
+        cand, "hamming", pa.int64(), take_max=False, overflow_col="overflow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -425,15 +508,26 @@ def ngram_jaccard_pairs(
     lsh_threshold: float = 0.35,
     threshold: float = 0.5,
     num_partitions: int | None = None,
+    on_overflow: str = "count",
 ) -> ray.data.Dataset:
     """MinHash-LSH candidates re-verified with EXACT token n-gram Jaccard.
     Two-stage: cheap sketch recall, exact verify only on candidates.
-    Output: (left, right, jaccard) with jaccard >= threshold."""
+    Output: (left, right, jaccard) with jaccard >= threshold.
+
+    Bucket-cap accounting: with on_overflow="count" the candidate stage's
+    left=-1 sentinel rows are filtered here (they carry no doc ids to
+    verify) — the observable surface for the cap is minhash_neardup_pairs
+    itself; pass on_overflow="raise" to fail loudly instead."""
     from record_matching_ray.stages.util import compact_nonempty, shuffle_partitions
 
-    cand = minhash_neardup_pairs(
-        docs, shingle_k=shingle_k, threshold=lsh_threshold
-    ).select_columns(["left", "right"])
+    cand = (
+        minhash_neardup_pairs(
+            docs, shingle_k=shingle_k, threshold=lsh_threshold,
+            on_overflow=on_overflow,
+        )
+        .filter(expr="left >= 0")
+        .select_columns(["left", "right"])
+    )
     # The LSH candidate set is bounded (pairs only inside capped buckets,
     # ~O(corpus) rows of 2 int64s) — compact it so no join input block is
     # empty, and size the join fan-out to the actual candidate count: a
@@ -523,6 +617,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     max_bucket: int = 4096,
+    on_overflow: str = "count",
 ) -> ray.data.Dataset:
     """Near-duplicate vector pairs with cosine >= threshold.
 
@@ -585,6 +680,7 @@ def embedding_neardup_pairs(
         if len(uniq) < 2:
             return empty
         over = _bucket_overflow(len(uniq), max_bucket)  # observable cap
+        _check_overflow(over, len(uniq), max_bucket, on_overflow)
         if len(uniq) > max_bucket:
             idx, uniq = idx[:max_bucket], uniq[:max_bucket]
         col = g.column("emb")
@@ -602,13 +698,15 @@ def embedding_neardup_pairs(
         a, b = np.triu_indices(len(uniq), k=1)
         cs = np.round(sim[a, b], 6)
         keep = cs >= threshold
-        nk = int(keep.sum())
+        lefts, rights, vals, ovs = _append_sentinel(
+            uniq[a[keep]], uniq[b[keep]], cs[keep], over
+        )
         return pa.table(
             {
-                "left": pa.array(uniq[a[keep]], pa.int64()),
-                "right": pa.array(uniq[b[keep]], pa.int64()),
-                "cos_sim": pa.array(cs[keep], pa.float64()),
-                "overflow": pa.array(np.full(nk, over, np.int64), pa.int64()),
+                "left": pa.array(lefts, pa.int64()),
+                "right": pa.array(rights, pa.int64()),
+                "cos_sim": pa.array(vals, pa.float64()),
+                "overflow": pa.array(ovs, pa.int64()),
             }
         )
 
@@ -618,7 +716,9 @@ def embedding_neardup_pairs(
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     # int-keyed pair-hash dedup, keep max cosine
-    return fold_candidate_pairs(cand, "cos_sim", pa.float64(), take_max=True)
+    return fold_candidate_pairs(
+        cand, "cos_sim", pa.float64(), take_max=True, overflow_col="overflow"
+    )
 
 
 def weighted_jaccard_pairs(

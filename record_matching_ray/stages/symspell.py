@@ -17,9 +17,11 @@ dedup where LSH recall is probabilistic.
 
 Scale: emission blow-up is O(L) keys per row (L = string length), keys
 are 64-bit hashes shuffled once; bucket sizes are bounded by the
-deletion-variant fan-in (alphabet-sized, not corpus-sized) and capped
-OBSERVABLY via the engine's `overflow` counter column (blocking.py
-principle: caps must never be silent). Pair dedup (the same pair found
+deletion-variant fan-in (alphabet-sized, not corpus-sized). A bucket
+over max_bucket RAISES by default (capping would break the exact-join
+contract); opt-in on_overflow="count" caps with a sentinel accounting
+row that survives the pair fold (blocking.py principle: caps must
+never be silent). Pair dedup (the same pair found
 via several shared variants) goes through the int-keyed packed
 pair-hash fold (stages/dedup.py:fold_candidate_pairs), never a
 composite-key groupby. Verification is the Myers bit-parallel
@@ -35,7 +37,12 @@ import ray.data
 
 from record_matching_ray.functions.hashing import hash_strings
 from record_matching_ray.functions.strsim import _codepoint_matrix, levenshtein_vec
-from record_matching_ray.stages.dedup import fold_candidate_pairs
+from record_matching_ray.stages.dedup import (
+    _append_sentinel,
+    _bucket_overflow,
+    _check_overflow,
+    fold_candidate_pairs,
+)
 from record_matching_ray.stages.util import conformed
 
 
@@ -76,12 +83,24 @@ def deletion_join(
     id_col: str,
     name_col: str,
     max_bucket: int = 512,
+    on_overflow: str = "raise",
 ) -> ray.data.Dataset:
     """Self-join: all (left, right, dist) id pairs with
     ``levenshtein(name_left, name_right) <= 1``, left < right, deduped.
 
     ``ds`` must carry one row per id (distinct ids); duplicate names on
-    distinct ids match at distance 0."""
+    distinct ids match at distance 0.
+
+    Bucket-cap policy (ADVICE r3 item 1 — the cap must never silently
+    drop true edit-distance pairs): on_overflow="raise" (default) fails
+    loudly in the worker the moment any deletion-variant bucket exceeds
+    max_bucket, because a capped bucket breaks this operator's EXACT-join
+    contract. on_overflow="count" caps observably instead: the output
+    gains an `overflow` int64 column (0 on real pairs) plus at most one
+    left=-1 accounting row totalling every dropped candidate pair —
+    summed forward through fold_candidate_pairs, so the count survives
+    even when a capped bucket's surviving candidates all fail the
+    Levenshtein verify."""
 
     def emit_keys(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -128,7 +147,8 @@ def deletion_join(
         multi = np.flatnonzero(ends - starts >= 2)
         if len(multi) == 0:
             return EMPTY
-        ia_all, ib_all, over_all = [], [], []
+        ia_all, ib_all = [], []
+        total_over = 0
         for si in multi:
             s, e = starts[si], ends[si]
             # same id can hit one bucket via two deletions of its own
@@ -139,37 +159,44 @@ def deletion_join(
             m = len(idx)
             if m < 2:
                 continue
-            over = np.int64(0)
+            over = _bucket_overflow(m, max_bucket)
+            # loud by default: a capped bucket breaks the exact-join
+            # contract (ADVICE r3 item 1); "count" totals drops into the
+            # partition sentinel below
+            _check_overflow(over, m, max_bucket, on_overflow)
             if m > max_bucket:
-                # observable cap (blocking.py principle): count drops
-                over = np.int64(
-                    m * (m - 1) // 2 - max_bucket * (max_bucket - 1) // 2
-                )
+                total_over += over
                 idx = idx[:max_bucket]
                 m = max_bucket
             a, b = np.triu_indices(m, k=1)
             ia_all.append(idx[a])
             ib_all.append(idx[b])
-            over_all.append(np.full(len(a), over, np.int64))
-        if not ia_all:
+        if not ia_all and not total_over:
             return EMPTY
-        ia = np.concatenate(ia_all)
-        ib = np.concatenate(ib_all)
-        over = np.concatenate(over_all)
-        d = levenshtein_vec(names[ia], names[ib])
-        keep = d <= 1
-        if not keep.any():
+        if ia_all:
+            ia = np.concatenate(ia_all)
+            ib = np.concatenate(ib_all)
+            d = levenshtein_vec(names[ia], names[ib])
+            keep = d <= 1
+            left = ids[ia[keep]]
+            right = ids[ib[keep]]
+            lo = np.minimum(left, right)
+            hi = np.maximum(left, right)
+            dk = d[keep]
+        else:
+            lo = hi = np.zeros(0, np.int64)
+            dk = np.zeros(0, np.int64)
+        # one sentinel accounting row per partition totals the dropped
+        # pairs — survives the fold and empty-verify buckets alike
+        lo, hi, dk, ovs = _append_sentinel(lo, hi, dk, total_over)
+        if len(lo) == 0:
             return EMPTY
-        left = ids[ia[keep]]
-        right = ids[ib[keep]]
-        lo = np.minimum(left, right)
-        hi = np.maximum(left, right)
         return pa.table(
             {
                 "left": pa.array(lo, pa.int64()),
                 "right": pa.array(hi, pa.int64()),
-                "dist": pa.array(d[keep], pa.int64()),
-                "overflow": pa.array(over[keep], pa.int64()),
+                "dist": pa.array(dk, pa.int64()),
+                "overflow": pa.array(ovs, pa.int64()),
             }
         )
 
@@ -189,10 +216,13 @@ def deletion_join(
         .groupby("pk")
         .map_groups(verify_partition, batch_format="pyarrow")
     )
-    out = fold_candidate_pairs(cand, "dist", pa.int64(), take_max=False)
-    return conformed(
-        out,
-        pa.schema(
-            [("left", pa.int64()), ("right", pa.int64()), ("dist", pa.int64())]
-        ),
+    # raise mode never emits sentinels -> keep the pinned 3-column schema;
+    # count mode carries the overflow column through the fold
+    ov_col = "overflow" if on_overflow == "count" else None
+    out = fold_candidate_pairs(
+        cand, "dist", pa.int64(), take_max=False, overflow_col=ov_col
     )
+    fields = [("left", pa.int64()), ("right", pa.int64()), ("dist", pa.int64())]
+    if ov_col:
+        fields.append(("overflow", pa.int64()))
+    return conformed(out, pa.schema(fields))

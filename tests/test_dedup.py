@@ -117,14 +117,27 @@ def test_bucket_caps_are_observable_not_silent():
         pa.table({"doc_id": pa.array(range(8), pa.int64()),
                   "text": pa.array(texts, pa.string())})
     )
-    # reach into the pre-dedup candidate stream via a tiny max_bucket
+    # force the cap with a tiny max_bucket: count mode keeps the capped
+    # pairs AND totals every dropped pair into one left=-1 sentinel row
+    # that survives fold_candidate_pairs (ADVICE r3 item 1)
     out = dedup.minhash_neardup_pairs(docs, threshold=0.0, max_bucket=3)
-    got = out.to_pandas()
+    got = out.to_pandas().sort_values("left").reset_index(drop=True)
+    sent = got[got["left"] < 0]
+    real = got[got["left"] >= 0]
     # capped to 3 members -> C(3,2) = 3 surviving distinct pairs
-    assert len(got) == 3
-    # overflow column is observable pre-dedup (fold drops it from the
-    # pinned output schema, like blocking.dedup_pairs)
-    assert "overflow" not in got.columns
+    assert len(real) == 3
+    assert (real["overflow"] == 0).all()
+    # 8 identical docs -> every band bucket holds all 8, capped to 3:
+    # C(8,2)-C(3,2) = 25 dropped per bucket, summed over the 16 bands
+    assert len(sent) == 1
+    assert sent.iloc[0]["overflow"] == 16 * 25
+    # raise mode fails loudly instead of capping
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_bucket"):
+        dedup.minhash_neardup_pairs(
+            docs, threshold=0.0, max_bucket=3, on_overflow="raise"
+        ).materialize()
 
 
 def test_fold_candidate_pairs_max_min():

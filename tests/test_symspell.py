@@ -58,10 +58,9 @@ def test_deletion_join_finds_all_edit1_pair_kinds():
     assert (1, 2, 1) not in got  # transposition is distance 2
 
 
-def test_deletion_join_observable_cap():
-    # one shared variant bucket larger than max_bucket: names 'a0'..'a39'
-    # all share the deletion variant 'a'? no — build names that share a
-    # full-key collision instead: identical names on distinct ids
+def test_deletion_join_overflow_raises_by_default():
+    """ADVICE r3 item 1: a capped bucket breaks the exact-join contract,
+    so the default policy fails loudly (like the broadcast gates)."""
     rows = [(i, "samekey") for i in range(40)]
     ds = ray.data.from_arrow(
         pa.table(
@@ -71,7 +70,33 @@ def test_deletion_join_observable_cap():
             }
         )
     )
-    out = deletion_join(ds, id_col="id", name_col="name", max_bucket=10).to_pandas()
-    # capped: at most C(10,2) distinct pairs survive, never the full C(40,2)
-    assert 0 < len(out) <= 45
-    assert (out["dist"] == 0).all()
+    with pytest.raises(Exception, match="max_bucket"):
+        deletion_join(ds, id_col="id", name_col="name", max_bucket=10).materialize()
+
+
+def test_deletion_join_observable_cap_count_mode():
+    """on_overflow='count': capped pairs survive, and ONE left=-1 sentinel
+    row totals every dropped candidate pair — the count survives the
+    int-keyed pair fold instead of being select_columns'd away."""
+    rows = [(i, "samekey") for i in range(40)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([r[0] for r in rows], pa.int64()),
+                "name": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = deletion_join(
+        ds, id_col="id", name_col="name", max_bucket=10, on_overflow="count"
+    ).to_pandas()
+    sent = out[out["left"] < 0]
+    real = out[out["left"] >= 0]
+    # every bucket keeps its 10 smallest ids -> C(10,2) distinct pairs
+    assert len(real) == 45
+    assert (real["dist"] == 0).all()
+    assert (real["overflow"] == 0).all()
+    # 8 buckets ('samekey' + its 7 deletion variants), each 40 members
+    # capped to 10: 8 * (C(40,2) - C(10,2)) dropped candidates
+    assert len(sent) == 1
+    assert sent.iloc[0]["overflow"] == 8 * (780 - 45)
