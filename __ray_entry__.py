@@ -3816,7 +3816,10 @@ def _events_value_auc(sf_dir: str):
         import numpy as _np
 
         v = t.column("value").to_numpy(zero_copy_only=False)
-        cents = _np.rint(_np.asarray(v, dtype=_np.float64) * 100).astype(_np.int64)
+        # half-away-from-zero like DuckDB round() (ADVICE r3 item 4):
+        # np.rint is half-even and diverges on exact .5 cent values
+        c = _np.asarray(v, dtype=_np.float64) * 100
+        cents = _np.copysign(_np.floor(_np.abs(c) + 0.5), c).astype(_np.int64)
         y = _pc.cast(
             _pc.equal(t.column("event_type"), "purchase"), _pa.int64()
         )
@@ -3867,7 +3870,10 @@ def _events_value_calibration(sf_dir: str):
         import numpy as _np
 
         v = t.column("value").to_numpy(zero_copy_only=False)
-        cents = _np.rint(_np.asarray(v, dtype=_np.float64) * 100).astype(_np.int64)
+        # half-away-from-zero like DuckDB round() (ADVICE r3 item 4):
+        # np.rint is half-even and diverges on exact .5 cent values
+        c = _np.asarray(v, dtype=_np.float64) * 100
+        cents = _np.copysign(_np.floor(_np.abs(c) + 0.5), c).astype(_np.int64)
         y = _pc.cast(
             _pc.equal(t.column("event_type"), "purchase"), _pa.int64()
         )

@@ -177,6 +177,27 @@ def _restore_cluster_urls(
             cids = t.column("cluster_id").to_numpy(zero_copy_only=False)
             pu = np.searchsorted(uids_sorted, uids)
             pc_ = np.searchsorted(uids_sorted, cids)
+            # vectorized presence check (ADVICE r3 item 2): a uid absent
+            # from the features map must fail loudly, not resolve to a
+            # neighboring entry's url / IndexError past the end
+            nmap = len(uids_sorted)
+            if nmap == 0 and (len(uids) or len(cids)):
+                raise KeyError("cluster uid restore: empty features map")
+            pu_c = np.clip(pu, 0, max(nmap - 1, 0))
+            pc_c = np.clip(pc_, 0, max(nmap - 1, 0))
+            if not (
+                np.array_equal(uids_sorted[pu_c], uids)
+                and np.array_equal(uids_sorted[pc_c], cids)
+            ):
+                missing = np.unique(
+                    np.concatenate(
+                        [uids[uids_sorted[pu_c] != uids], cids[uids_sorted[pc_c] != cids]]
+                    )
+                )[:5]
+                raise KeyError(
+                    f"cluster uid restore: {missing.tolist()} not in features map"
+                )
+            pu, pc_ = pu_c, pc_c
             return pa.table(
                 {
                     "url": urls_sorted.take(pa.array(pu, pa.int64())),

@@ -699,6 +699,15 @@ def adamic_adar(
         nb = g.column("nb").to_numpy(zero_copy_only=False)
         order = np.lexsort((nb, z))
         z, nb = z[order], nb[order]
+        # enforce the undirected-simple-graph contract instead of assuming
+        # it (ADVICE r3 item 3): duplicate / bidirectional input rows and
+        # self-loops would inflate deg(z), double-count pair weights, and
+        # pack left==right pairs. pk = z mod P co-locates every row of a
+        # center, so consecutive-dedup here is a global per-center dedup.
+        if len(z):
+            keep = np.r_[True, (z[1:] != z[:-1]) | (nb[1:] != nb[:-1])]
+            keep &= nb != z
+            z, nb = z[keep], nb[keep]
         starts = np.flatnonzero(np.r_[True, z[1:] != z[:-1]])
         ends = np.r_[starts[1:], len(z)]
         keys_out, w_out = [], []

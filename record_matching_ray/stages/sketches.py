@@ -77,10 +77,18 @@ def _alpha(m: int) -> float:
 def hll_estimate(registers: np.ndarray) -> float:
     """HLL estimate from a uint8 register array (linear-counting branch
     below 2.5m when empty registers remain; no 64-bit-hash large-range
-    correction needed)."""
+    correction needed).
+
+    The harmonic sum is computed as an EXACT integer scaled by 2^64
+    (rho <= 64 always), then correctly rounded once by the final int/int
+    division — order-independent regardless of the rho spread, so the
+    bit-for-bit oracle claim holds at any cardinality (ADVICE r3 item 5:
+    float64 termwise sums go order-dependent once terms span > 53 bits;
+    the SQL oracle sums the same HUGEINT expression)."""
     m = len(registers)
-    # sum of exact powers of two; float64-exact termwise
-    harm = float(np.sum(np.ldexp(1.0, -registers.astype(np.int64))))
+    counts = np.bincount(registers.astype(np.int64), minlength=1)
+    s_int = sum(int(c) << (64 - r) for r, c in enumerate(counts.tolist()) if c)
+    harm = s_int / (1 << 64)
     e = _alpha(m) * m * m / harm
     zeros = int(np.count_nonzero(registers == 0))
     if e <= 2.5 * m and zeros > 0:
@@ -191,9 +199,13 @@ reg AS (
   FROM h GROUP BY 1, 2
 ),
 agg AS (
+  -- exact HUGEINT harmonic sum scaled by 2^64 (order-independent; one
+  -- correctly-rounded CAST at the end) — mirrors hll_estimate exactly
   SELECT grp,
          count(*) AS used,
-         SUM(pow(2.0, -rho)) + ({m} - count(*)) AS harm
+         CAST(SUM(CAST(1 AS HUGEINT) << (64 - rho))
+              + ({m} - count(*)) * (CAST(1 AS HUGEINT) << 64)
+              AS DOUBLE) / pow(2.0, 64) AS harm
   FROM reg GROUP BY 1
 )
 SELECT grp AS {group_expr.split('.')[-1]},

@@ -176,3 +176,39 @@ def test_error_pairs_on_labeled_exports_fp_and_fn():
     )
     out2 = error_pairs_on_labeled(labeled_fp, clusters).to_pandas()
     assert len(out2) == 1 and out2.iloc[0]["error"] == "fp"
+
+
+def test_restore_cluster_urls_missing_uid_fails_loudly(ray_session):
+    """ADVICE r3 item 2: a uid absent from the features map must raise
+    (KeyError), not resolve silently to a neighboring entry's url via
+    the unclamped searchsorted position."""
+    from record_matching_ray.pipelines.er import _restore_cluster_urls
+    from record_matching_ray.stages import blocking as _b
+
+    urls = [f"https://ex.com/p{i}" for i in range(4)]
+    feats = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    uids = _b.page_uids(urls)
+    good = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(uids, pa.int64()),
+                "cluster_id": pa.array([uids[0]] * 4, pa.int64()),
+            }
+        )
+    )
+    out = _restore_cluster_urls(good, feats, num_partitions=2).to_pandas()
+    assert sorted(out["url"]) == sorted(urls)
+    assert (out["cluster_id"] == urls[0]).all() or set(out["cluster_id"]) == {
+        urls[int(np.argmin(uids))]
+    }
+
+    bogus = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([int(uids[0]), 12345], pa.int64()),
+                "cluster_id": pa.array([int(uids[0])] * 2, pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="features map"):
+        _restore_cluster_urls(bogus, feats, num_partitions=2).materialize()

@@ -57,3 +57,33 @@ def test_pagerank_matches_reference_and_paths_agree():
     assert abs(got_b[6] - 0.15 / 7) < 1e-9
     # triangle interiors outrank the bridge-adjacent isolated structure
     assert got_b[1] > got_b[6]
+
+
+def test_adamic_adar_enforces_simple_undirected_input(ray_session):
+    """ADVICE r3 item 3: duplicate rows, bidirectional (a,b)/(b,a) rows
+    and self-loops must not inflate deg(z) or double-count pair weights —
+    the per-center dedup makes messy input score identically to clean."""
+    from record_matching_ray.stages.graph import adamic_adar
+
+    clean = [(0, 2), (1, 2), (2, 3), (0, 4), (1, 4)]
+    messy = clean + [(2, 0), (1, 2), (3, 2), (4, 4), (4, 0), (0, 2)]
+
+    def _run(edges):
+        t = pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+        df = adamic_adar(rd.from_arrow(t)).to_pandas()
+        return sorted(map(tuple, df[["left", "right", "aa"]].values.tolist()))
+
+    got_clean = _run(clean)
+    got_messy = _run(messy)
+    assert got_clean == got_messy
+    # no self-pairs, no direct edges in the output
+    assert all(l < r for l, r, _ in got_clean)
+    # 0 and 1 share centers 2 (deg 3) and 4 (deg 2)
+    want_01 = round(1 / np.log(3.0) + 1 / np.log(2.0), 6)
+    assert any((l, r) == (0, 1) and abs(aa - want_01) < 1e-9
+               for l, r, aa in got_clean)

@@ -104,3 +104,28 @@ def test_distributed_auc_matches_local_rank_auc(ray_session):
     auc = (ranks[yy == 1].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
     assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
     assert abs(got["auc"] - round(auc, 6)) < 1e-9
+
+
+def test_estimate_harmonic_sum_order_independent_extreme_rho():
+    """ADVICE r3 item 5: once register terms span > 53 bits the float64
+    termwise sum went order-dependent. The exact-integer path must give
+    the identical estimate for any permutation of a register array that
+    mixes rho=0 (empty), rho=1 and the max rho=52 (p=12)."""
+    rng = np.random.RandomState(7)
+    m = 1 << 12
+    regs = np.zeros(m, dtype=np.uint8)
+    regs[:1000] = 1
+    regs[1000:1010] = 52  # extreme leading-zero runs (trillion-key scale)
+    base = hll_estimate(regs)
+    for _ in range(5):
+        assert hll_estimate(rng.permutation(regs)) == base
+    # exact value: harm = (m-1010)*2^0 + 1000*2^-1 + 10*2^-52, summed as
+    # scaled integers -> one correctly-rounded division
+    s = (m - 1010) * (1 << 64) + 1000 * (1 << 63) + 10 * (1 << 12)
+    from record_matching_ray.stages.sketches import _alpha
+
+    want = _alpha(m) * m * m / (s / (1 << 64))
+    zeros = int((regs == 0).sum())
+    if want <= 2.5 * m and zeros > 0:
+        want = m * float(np.log(m / float(zeros)))
+    assert base == want
