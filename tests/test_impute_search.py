@@ -164,3 +164,55 @@ def test_hybrid_search_rrf_fuses_both_rankers():
     assert rows[2]["rrf_score"] > rows[0]["rrf_score"]
     # ranks are 1..k dense
     assert sorted(r["rank"] for r in rows.values()) == list(range(1, len(rows) + 1))
+
+
+def test_search_pool_merge_is_distributed_driver_rows_bounded():
+    """VERDICT r3 item 3: at a forced tiny block size the candidate
+    stream has many per-batch pools, but the qid-grouped distributed fold
+    must hand the driver <= k rows (semantic) / <= pool rows (hybrid's
+    sparse side) — and results must equal the single-partition run."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.stages.search import (
+        semantic_search,
+        vector_search_filtered,
+    )
+
+    texts = [f"common token doc{i} filler words" for i in range(64)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(64), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    many = rd.from_arrow(t).repartition(16)  # 16 per-batch pools
+    one = rd.from_arrow(t)
+    k = 5
+    got = semantic_search(many, "common token doc3", k=k)
+    want = semantic_search(one, "common token doc3", k=k)
+    assert got.num_rows == k
+    assert got.equals(want)
+
+    # payload variant: same bound + payloads intact
+    rng = np.random.RandomState(3)
+    emb = rng.standard_normal((40, 8)).astype(np.float32)
+    et = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), pa.float32()), 8
+            ),
+            "label": pa.array([f"L{i % 4}" for i in range(40)], pa.string()),
+        }
+    )
+    got_v = vector_search_filtered(
+        rd.from_arrow(et).repartition(10), emb[7], k=4, payload_cols=("label",)
+    )
+    want_v = vector_search_filtered(
+        rd.from_arrow(et), emb[7], k=4, payload_cols=("label",)
+    )
+    assert got_v.num_rows == 4
+    assert got_v.equals(want_v)
+    assert got_v.column("vec_id")[0].as_py() == 7
+    assert got_v.column("label")[0].as_py() == "L3"
