@@ -459,3 +459,52 @@ def test_bmp_gif_roundtrip_and_featurize():
     # features are normalized pooled luma — nonzero and finite
     assert np.isfinite(fb).all() and np.linalg.norm(fb) > 0.99
     assert np.isfinite(fg).all() and np.linalg.norm(fg) > 0.99
+
+
+def test_sample_frames_pluggable_decoder_protocol(ray_session):
+    """VERDICT r3 task 8: a user-registered decoder drives sample_frames
+    for a container the built-ins don't cover, without touching the
+    stage; unregistered containers still fail loudly naming the hook."""
+    import ray.data as rd
+
+    from record_matching_ray.functions.decoder import default_decoders
+    from record_matching_ray.stages.multimodal import sample_frames
+
+    # payload with an unknown container signature
+    payloads = [b"FAKE" + bytes(range(64)) * 4, b"FAKE" + b"\x07" * 100]
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+
+    class FakeContainerDecoder:
+        """Deterministic frames: one per 32 payload bytes."""
+
+        def decode_frames(self, payload: bytes) -> list:
+            return [
+                payload[i : i + 32] for i in range(0, len(payload), 32)
+            ]
+
+    out = sample_frames(
+        media,
+        every_n=2,
+        max_frames=3,
+        decoder_factory=lambda: {
+            **default_decoders(),
+            "unknown": FakeContainerDecoder(),
+        },
+    ).to_pandas()
+    # media 1: 260 bytes -> 9 frames -> sampled idx 0,2,4; media 2:
+    # 104 bytes -> 4 frames -> idx 0,2
+    got = sorted(zip(out["media_id"], out["frame_idx"]))
+    assert got == [(1, 0), (1, 2), (1, 4), (2, 0), (2, 2)]
+    row0 = out[(out["media_id"] == 1) & (out["frame_idx"] == 2)]
+    assert bytes(row0["frame_payload"].iloc[0]) == payloads[0][64:96]
+
+    # without the registration the same input fails loudly
+    with pytest.raises(Exception, match="no registered decoder"):
+        sample_frames(media, fake=False).materialize()
