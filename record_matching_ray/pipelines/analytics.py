@@ -40,6 +40,61 @@ def _cents(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return np.rint(x * 100.0).astype(np.int64)
 
 
+def partial_agg(
+    ds: ray.data.Dataset,
+    keys: list,
+    values: list,
+    prep=None,
+    count_as: str | None = None,
+) -> ray.data.Dataset:
+    """The engine's canonical two-level aggregate (VERDICT r3 task 7 —
+    this scaffold was hand-repeated ~40x in this file): per-batch Arrow
+    groupby PARTIAL (bounds shuffle rows to |groups| x batches) -> ONE
+    Ray groupby(keys) re-aggregation with matching Sum/Min/Max -> pinned
+    output schema.
+
+    keys:   [(key_col, pa_type), ...] — key columns present after prep.
+    values: [(out_name, src, agg, pa_type), ...] — src is a column name
+            or a callable(pa.Table) -> pa.Array evaluated per batch;
+            agg in {"sum", "min", "max"}.
+    prep:   optional callable(pa.Table) -> pa.Table applied per batch
+            before key/value extraction (filters, derived key columns).
+    count_as: adds a COUNT(*) column of this name (partials summed).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    key_names = [k for k, _ in keys]
+    _RAY = {"sum": Sum, "min": Min, "max": Max}
+
+    def partial(t: pa.Table) -> pa.Table:
+        if prep is not None:
+            t = prep(t)
+        data = {k: t.column(k) for k in key_names}
+        for out, src, _agg, _tp in values:
+            data[out] = t.column(src) if isinstance(src, str) else src(t)
+        spec = [(out, agg) for out, _s, agg, _tp in values]
+        if count_as:
+            spec.append(([], "count_all"))
+        g = pa.TableGroupBy(pa.table(data), key_names).aggregate(spec)
+        names = key_names + [v[0] for v in values] + (
+            [count_as] if count_as else []
+        )
+        return g.rename_columns(names)
+
+    aggs = [_RAY[agg](on=out, alias_name=out) for out, _s, agg, _tp in values]
+    if count_as:
+        aggs.append(Sum(on=count_as, alias_name=count_as))
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_names if len(key_names) > 1 else key_names[0])
+        .aggregate(*aggs)
+    )
+    fields = list(keys) + [(v[0], v[3]) for v in values]
+    if count_as:
+        fields.append((count_as, pa.int64()))
+    return conformed(out, pa.schema(fields))
+
+
 # ---------------------------------------------------------------------------
 # §2.5 aggregation with partial combine — TPC-H Q1 flavor
 
@@ -51,35 +106,18 @@ def q1_lineitem(sf_dir: str) -> ray.data.Dataset:
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def partial(t: pa.Table) -> pa.Table:
-        prep = pa.table(
-            {
-                "l_returnflag": t.column("l_returnflag"),
-                "l_linestatus": t.column("l_linestatus"),
-                "sum_qty_c": pa.array(_cents(t.column("l_quantity")), pa.int64()),
-                "sum_price_c": pa.array(_cents(t.column("l_extendedprice")), pa.int64()),
-                "sum_disc_c": pa.array(_cents(t.column("l_discount")), pa.int64()),
-            }
-        )
-        g = pa.TableGroupBy(prep, ["l_returnflag", "l_linestatus"]).aggregate(
-            [("sum_qty_c", "sum"), ("sum_price_c", "sum"), ("sum_disc_c", "sum"),
-             ([], "count_all")]
-        )
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_price_c", "sum_disc_c", "cnt"]
-        )
+    def _c(col):
+        return lambda t: pa.array(_cents(t.column(col)), pa.int64())
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum(on="sum_qty_c", alias_name="sum_qty_c"),
-            Sum(on="sum_price_c", alias_name="sum_price_c"),
-            Sum(on="sum_disc_c", alias_name="sum_disc_c"),
-            Sum(on="cnt", alias_name="cnt"),
-        )
+    out = partial_agg(
+        ds,
+        keys=[("l_returnflag", pa.string()), ("l_linestatus", pa.string())],
+        values=[
+            ("sum_qty_c", _c("l_quantity"), "sum", pa.int64()),
+            ("sum_price_c", _c("l_extendedprice"), "sum", pa.int64()),
+            ("sum_disc_c", _c("l_discount"), "sum", pa.int64()),
+        ],
+        count_as="cnt",
     )
 
     def derive(t: pa.Table) -> pa.Table:
@@ -90,17 +128,7 @@ def q1_lineitem(sf_dir: str) -> ray.data.Dataset:
         avg = np.round(sq / 100.0 / n, 6)
         return t.append_column("avg_qty", pa.array(avg, pa.float64()))
 
-    schema = pa.schema(
-        [
-            ("l_returnflag", pa.string()),
-            ("l_linestatus", pa.string()),
-            ("sum_qty_c", pa.int64()),
-            ("sum_price_c", pa.int64()),
-            ("sum_disc_c", pa.int64()),
-            ("cnt", pa.int64()),
-        ]
-    )
-    return conformed(out, schema).map_batches(derive, batch_format="pyarrow")
+    return out.map_batches(derive, batch_format="pyarrow")
 
 
 Q1_SQL = """
@@ -123,33 +151,18 @@ def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        prep = pa.table(
-            {
-                "o_custkey": t.column("o_custkey"),
-                "revenue_c": pa.array(_cents(t.column("o_totalprice")), pa.int64()),
-            }
-        )
-        g = pa.TableGroupBy(prep, "o_custkey").aggregate(
-            [("revenue_c", "sum"), ([], "count_all")]
-        )
-        return g.rename_columns(["o_custkey", "revenue_c", "n_orders"])
-
-    from ray.data.aggregate import Sum
-
-    per_cust = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Sum(on="revenue_c", alias_name="revenue_c"),
-            Sum(on="n_orders", alias_name="n_orders"),
-        )
-    )
-    per_cust = conformed(
-        per_cust,
-        pa.schema(
-            [("o_custkey", pa.int64()), ("revenue_c", pa.int64()), ("n_orders", pa.int64())]
-        ),
+    per_cust = partial_agg(
+        orders,
+        keys=[("o_custkey", pa.int64())],
+        values=[
+            (
+                "revenue_c",
+                lambda t: pa.array(_cents(t.column("o_totalprice")), pa.int64()),
+                "sum",
+                pa.int64(),
+            )
+        ],
+        count_as="n_orders",
     )
     joined = per_cust.join(
         customer, join_type="inner", num_partitions=min(8, __import__("record_matching_ray.stages.util", fromlist=["u"]).shuffle_partitions()),
@@ -196,41 +209,34 @@ def nation_rollup(sf_dir: str) -> ray.data.Dataset:
     r2name = dict(zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()))
     lookup_ref = ray.put((n2name, n2reg, r2name))
 
-    def partial(t: pa.Table) -> pa.Table:
-        n2n, n2r, r2n = ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
+    def prep(t: pa.Table) -> pa.Table:
+        n2n, n2r, r2n = (
+            ray.get(lookup_ref)
+            if isinstance(lookup_ref, ray.ObjectRef)
+            else lookup_ref
+        )
         nk = t.column("c_nationkey").to_pylist()
-        prep = pa.table(
+        return pa.table(
             {
                 "r_name": pa.array([r2n[n2r[x]] for x in nk], pa.string()),
                 "n_name": pa.array([n2n[x] for x in nk], pa.string()),
-                "acctbal_c": pa.array(_cents(t.column("c_acctbal")), pa.int64()),
+                "c_acctbal": t.column("c_acctbal"),
             }
         )
-        g = pa.TableGroupBy(prep, ["r_name", "n_name"]).aggregate(
-            [("acctbal_c", "sum"), ([], "count_all")]
-        )
-        return g.rename_columns(["r_name", "n_name", "acctbal_c", "n_customers"])
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        customer.map_batches(partial, batch_format="pyarrow")
-        .groupby(["r_name", "n_name"])
-        .aggregate(
-            Sum(on="acctbal_c", alias_name="acctbal_c"),
-            Sum(on="n_customers", alias_name="n_customers"),
-        )
-    )
-    return conformed(
-        out,
-        pa.schema(
-            [
-                ("r_name", pa.string()),
-                ("n_name", pa.string()),
-                ("acctbal_c", pa.int64()),
-                ("n_customers", pa.int64()),
-            ]
-        ),
+    return partial_agg(
+        customer,
+        keys=[("r_name", pa.string()), ("n_name", pa.string())],
+        values=[
+            (
+                "acctbal_c",
+                lambda t: pa.array(_cents(t.column("c_acctbal")), pa.int64()),
+                "sum",
+                pa.int64(),
+            )
+        ],
+        prep=prep,
+        count_as="n_customers",
     )
 
 
@@ -257,25 +263,19 @@ def customers_no_orders(sf_dir: str, min_price: float = 400_000.0) -> ray.data.D
     customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["o_totalprice"], min_price)).select(["o_custkey"])
-        g = pa.TableGroupBy(t, "o_custkey").aggregate([([], "count_all")])
-        return g.rename_columns(["o_custkey", "cnt"])
-
-    buyers = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .sum("cnt")
-    )
-    buyers = conformed(
-        buyers, pa.schema([("o_custkey", pa.int64()), ("sum(cnt)", pa.int64())])
+    buyers = partial_agg(
+        orders,
+        keys=[("o_custkey", pa.int64())],
+        values=[],
+        prep=lambda t: t.filter(pc.greater(t["o_totalprice"], min_price)),
+        count_as="cnt",
     )
     left = customer.join(
         buyers, join_type="left_outer", num_partitions=min(8, __import__("record_matching_ray.stages.util", fromlist=["u"]).shuffle_partitions()),
         on=("c_custkey",), right_on=("o_custkey",),
     )
     return left.map_batches(
-        lambda t: t.filter(pc.is_null(t["sum(cnt)"])).select(["c_custkey", "c_name"]),
+        lambda t: t.filter(pc.is_null(t["cnt"])).select(["c_custkey", "c_name"]),
         batch_format="pyarrow",
     )
 
@@ -293,56 +293,37 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000
 def events_by_type(sf_dir: str) -> ray.data.Dataset:
     events = _read(sf_dir, "events", ["event_type", "user_id", "ts"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t.select(["event_type", "ts"]), "event_type").aggregate(
-            [([], "count_all"), ("ts", "min"), ("ts", "max")]
-        )
-        return g.rename_columns(["event_type", "cnt", "min_ts", "max_ts"])
-
-    from ray.data.aggregate import Max, Min, Sum
-
-    base = (
-        events.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(
-            Sum(on="cnt", alias_name="cnt"),
-            Min(on="min_ts", alias_name="min_ts"),
-            Max(on="max_ts", alias_name="max_ts"),
-        )
+    base = partial_agg(
+        events,
+        keys=[("event_type", pa.string())],
+        values=[
+            ("min_ts", "ts", "min", pa.timestamp("us")),
+            ("max_ts", "ts", "max", pa.timestamp("us")),
+        ],
+        count_as="cnt",
+    ).map_batches(
+        lambda t: t.select(["event_type", "cnt", "min_ts", "max_ts"]),
+        batch_format="pyarrow",
     )
 
     # COUNT(DISTINCT user_id): two-level groupby — dedup (event_type,
     # user_id) first (partial per batch, then shuffle on the pair), then
     # count per event_type.
-    def pair_partial(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t.select(["event_type", "user_id"]), ["event_type", "user_id"]).aggregate([([], "count_all")])
-        return g.rename_columns(["event_type", "user_id", "c"])
-
-    pairs = (
-        events.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
-        .sum("c")
+    pairs = partial_agg(
+        events,
+        keys=[("event_type", pa.string()), ("user_id", pa.int64())],
+        values=[],
+        count_as="c",
     )
-    pairs = conformed(
+    nusers = partial_agg(
         pairs,
-        pa.schema([("event_type", pa.string()), ("user_id", pa.int64()), ("sum(c)", pa.int64())]),
-    )
-
-    def one_per_user(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t.select(["event_type"]), "event_type").aggregate([([], "count_all")])
-        return g.rename_columns(["event_type", "n_users"])
-
-    nusers = (
-        pairs.map_batches(one_per_user, batch_format="pyarrow")
-        .groupby("event_type")
-        .sum("n_users")
-    )
-    nusers = conformed(
-        nusers, pa.schema([("event_type", pa.string()), ("sum(n_users)", pa.int64())])
+        keys=[("event_type", pa.string())],
+        values=[],
+        count_as="n_users",
     )
     out = base.join(
         nusers, join_type="inner", num_partitions=min(4, __import__("record_matching_ray.stages.util", fromlist=["u"]).shuffle_partitions()), on=("event_type",),
-    ).rename_columns({"sum(n_users)": "n_users"})
+    )
     return conformed(
         out,
         pa.schema(
@@ -371,36 +352,25 @@ FROM events GROUP BY event_type
 def orders_by_month(sf_dir: str, min_price: float = 100_000.0) -> ray.data.Dataset:
     orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        keep = pc.greater(t["o_totalprice"], min_price)
-        t = t.filter(keep)
-        month = pc.floor_temporal(t["o_orderdate"], unit="month")
-        prep = pa.table(
-            {
-                "month": month,
-                "revenue_c": pa.array(_cents(t.column("o_totalprice")), pa.int64()),
-            }
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], min_price))
+        return t.append_column(
+            "month", pc.floor_temporal(t["o_orderdate"], unit="month")
         )
-        g = pa.TableGroupBy(prep, "month").aggregate(
-            [("revenue_c", "sum"), ([], "count_all")]
-        )
-        return g.rename_columns(["month", "revenue_c", "cnt"])
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("month")
-        .aggregate(
-            Sum(on="revenue_c", alias_name="revenue_c"),
-            Sum(on="cnt", alias_name="cnt"),
-        )
-    )
-    return conformed(
-        out,
-        pa.schema(
-            [("month", pa.timestamp("us")), ("revenue_c", pa.int64()), ("cnt", pa.int64())]
-        ),
+    return partial_agg(
+        orders,
+        keys=[("month", pa.timestamp("us"))],
+        values=[
+            (
+                "revenue_c",
+                lambda t: pa.array(_cents(t.column("o_totalprice")), pa.int64()),
+                "sum",
+                pa.int64(),
+            )
+        ],
+        prep=prep,
+        count_as="cnt",
     )
 
 
@@ -420,36 +390,23 @@ GROUP BY 1
 def part_type_stats(sf_dir: str) -> ray.data.Dataset:
     part = _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, "p_type").aggregate(
-            [([], "count_all"), ("p_retailprice", "min"), ("p_retailprice", "max"),
-             ("p_size", "max")]
-        )
-        return g.rename_columns(["p_type", "cnt", "min_price", "max_price", "max_size"])
-
-    from ray.data.aggregate import Max, Min, Sum
-
-    out = (
-        part.map_batches(partial, batch_format="pyarrow")
-        .groupby("p_type")
-        .aggregate(
-            Sum(on="cnt", alias_name="cnt"),
-            Min(on="min_price", alias_name="min_price"),
-            Max(on="max_price", alias_name="max_price"),
-            Max(on="max_size", alias_name="max_size"),
-        )
+    out = partial_agg(
+        part,
+        keys=[("p_type", pa.string())],
+        values=[
+            ("min_price", "p_retailprice", "min", pa.float64()),
+            ("max_price", "p_retailprice", "max", pa.float64()),
+            ("max_size", "p_size", "max", pa.int32()),
+        ],
+        count_as="cnt",
     )
-    return conformed(
-        out,
-        pa.schema(
-            [
-                ("p_type", pa.string()),
-                ("cnt", pa.int64()),
-                ("min_price", pa.float64()),
-                ("max_price", pa.float64()),
-                ("max_size", pa.int32()),
-            ]
+    # pinned column order predates the helper: cnt sits FIRST among the
+    # aggregates in the oracle-hashed schema
+    return out.map_batches(
+        lambda t: t.select(
+            ["p_type", "cnt", "min_price", "max_price", "max_size"]
         ),
+        batch_format="pyarrow",
     )
 
 
@@ -466,20 +423,11 @@ FROM part GROUP BY p_type
 def distinct_part_types(sf_dir: str) -> ray.data.Dataset:
     part = _read(sf_dir, "part", ["p_type", "p_brand"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, ["p_type", "p_brand"]).aggregate([([], "count_all")])
-        return g.rename_columns(["p_type", "p_brand", "c"])
-
-    out = (
-        part.map_batches(partial, batch_format="pyarrow")
-        .groupby(["p_type", "p_brand"])
-        .sum("c")
-    )
-    return conformed(
-        out,
-        pa.schema(
-            [("p_type", pa.string()), ("p_brand", pa.string()), ("sum(c)", pa.int64())]
-        ),
+    return partial_agg(
+        part,
+        keys=[("p_type", pa.string()), ("p_brand", pa.string())],
+        values=[],
+        count_as="c",
     ).map_batches(lambda t: t.select(["p_type", "p_brand"]), batch_format="pyarrow")
 
 
@@ -533,33 +481,18 @@ SELECT s_name AS name, 'supplier' AS kind, CAST(ROUND(s_acctbal*100) AS BIGINT) 
 def user_activity(sf_dir: str) -> ray.data.Dataset:
     events = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, "user_id").aggregate(
-            [([], "count_all"), ("ts", "min"), ("ts", "max")]
-        )
-        return g.rename_columns(["user_id", "cnt", "first_ts", "last_ts"])
-
-    from ray.data.aggregate import Max, Min, Sum
-
-    out = (
-        events.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            Sum(on="cnt", alias_name="cnt"),
-            Min(on="first_ts", alias_name="first_ts"),
-            Max(on="last_ts", alias_name="last_ts"),
-        )
+    out = partial_agg(
+        events,
+        keys=[("user_id", pa.int64())],
+        values=[
+            ("first_ts", "ts", "min", pa.timestamp("us")),
+            ("last_ts", "ts", "max", pa.timestamp("us")),
+        ],
+        count_as="cnt",
     )
-    return conformed(
-        out,
-        pa.schema(
-            [
-                ("user_id", pa.int64()),
-                ("cnt", pa.int64()),
-                ("first_ts", pa.timestamp("us")),
-                ("last_ts", pa.timestamp("us")),
-            ]
-        ),
+    return out.map_batches(
+        lambda t: t.select(["user_id", "cnt", "first_ts", "last_ts"]),
+        batch_format="pyarrow",
     )
 
 
@@ -786,29 +719,17 @@ def orders_priority_pivot(sf_dir: str) -> ray.data.Dataset:
     orders = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
     cols = [f"p{i+1}" for i in range(len(ORDER_PRIORITIES))]
 
-    def partial(t: pa.Table) -> pa.Table:
-        ts = t.column("o_orderdate").to_numpy(zero_copy_only=False)
-        month = ts.astype("datetime64[M]")
-        prio = np.asarray(t.column("o_orderpriority").to_pylist(), dtype=object)
-        um, inv = np.unique(month, return_inverse=True)
-        data = {"month": pa.array(um.astype("datetime64[us]"), pa.timestamp("us"))}
+    def prep(t: pa.Table) -> pa.Table:
+        data = {"month": pc.floor_temporal(t["o_orderdate"], unit="month")}
         for c, p in zip(cols, ORDER_PRIORITIES):
-            data[c] = pa.array(
-                np.bincount(inv, weights=(prio == p).astype(np.float64), minlength=len(um)).astype(np.int64),
-                pa.int64(),
-            )
+            data[c] = pc.cast(pc.equal(t["o_orderpriority"], p), pa.int64())
         return pa.table(data)
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("month")
-        .aggregate(*[Sum(on=c, alias_name=c) for c in cols])
-    )
-    return conformed(
-        out,
-        pa.schema([("month", pa.timestamp("us"))] + [(c, pa.int64()) for c in cols]),
+    return partial_agg(
+        orders,
+        keys=[("month", pa.timestamp("us"))],
+        values=[(c, c, "sum", pa.int64()) for c in cols],
+        prep=prep,
     )
 
 
