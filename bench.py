@@ -38,12 +38,19 @@ def _init_ray(num_cpus: int):
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+        addr = os.environ.get("RMRAY_CLUSTER_ADDRESS")
+        if addr:
+            # connect to the multi-process cluster stood up by --cluster
+            # (num_cpus is the cluster's, not this driver's, to size)
+            ray.init(address=addr, include_dashboard=False,
+                     logging_level="ERROR")
+        else:
+            ray.init(
+                address="local",
+                num_cpus=num_cpus,
+                include_dashboard=False,
+                logging_level="ERROR",
+            )
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -463,9 +470,81 @@ def main_scaling() -> None:
     print(json.dumps(out))
 
 
+def main_cluster() -> None:
+    """Multi-node execution smoke (VERDICT r3 task 4): stand up a local
+    multi-PROCESS Ray cluster (`ray start --head` + N-1 workers on this
+    box — separate raylets, separate object stores, real cross-node
+    object transfer and shuffle), run the flagship over it, and report
+    wall time + the determinism counters. The counts must be
+    bit-identical to every single-process run of the same corpus; this
+    is the cheapest honest evidence that the engine's plans survive
+    object-store locality and cross-node exchange."""
+    nodes = int(os.environ.get("RMRAY_CLUSTER_NODES", "3"))
+    cpus_per = max(1, NUM_CPUS // nodes)
+    subprocess.run(["ray", "stop", "--force"], capture_output=True)
+    head = subprocess.run(
+        [
+            "ray", "start", "--head", f"--num-cpus={cpus_per}",
+            "--port=6380", "--include-dashboard=false",
+            "--disable-usage-stats", "--object-store-memory=8000000000",
+        ],
+        capture_output=True, text=True,
+    )
+    if head.returncode != 0:
+        print(json.dumps({"error": "ray start --head failed",
+                          "stderr": head.stderr[-2000:]}))
+        sys.exit(1)
+    addr = "127.0.0.1:6380"
+    try:
+        for _ in range(nodes - 1):
+            subprocess.run(
+                [
+                    "ray", "start", f"--address={addr}",
+                    f"--num-cpus={cpus_per}", "--disable-usage-stats",
+                    "--object-store-memory=8000000000",
+                ],
+                check=True, capture_output=True, text=True,
+            )
+        env = dict(
+            os.environ,
+            RMRAY_CLUSTER_ADDRESS=addr,
+            RMRAY_BENCH_PAGES=os.environ.get("RMRAY_BENCH_PAGES", "384000"),
+        )
+        env.pop("RAY_ADDRESS", None)
+        env.pop("RMRAY_BENCH_NO_CKPT", None)  # checkpointed run (real shape)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(NUM_CPUS)],
+            env=env, capture_output=True, text=True, timeout=5400,
+        )
+        lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            print(json.dumps({"error": "cluster worker produced no result",
+                              "stderr": p.stderr[-2000:]}))
+            sys.exit(1)
+        r = json.loads(lines[-1])
+    finally:
+        subprocess.run(["ray", "stop", "--force"], capture_output=True)
+    out = {
+        "metric": f"multi-node smoke: flagship on {nodes}-node local "
+                  f"cluster ({cpus_per} cpus/node)",
+        "value": r["elapsed_s"],
+        "unit": "sec",
+        "queries": {"er_pages_flagship_cluster": r["elapsed_s"]},
+        "sf": f"synthetic pages n={r['pages']}",
+        "num_cpus": nodes * cpus_per,
+        "nodes": nodes,
+        "cpus_per_node": cpus_per,
+        "flagship": r,
+    }
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
+    elif "--cluster" in sys.argv:
+        main_cluster()
     elif "--worker" in sys.argv:
         main_worker(int(sys.argv[sys.argv.index("--worker") + 1]))
     else:
