@@ -3564,6 +3564,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_daily_ewma": an.orders_daily_ewma,
         "supplier_full_coverage": an.supplier_full_coverage,
         "nation_priority_mode": an.nation_priority_mode,
+        "q6_forecast_revenue": an.q6_forecast_revenue,
+        "q4_order_priority": an.q4_order_priority,
+        "q12_returnflag_priority": an.q12_returnflag_priority,
+        "q14_promo_revenue": an.q14_promo_revenue,
+        "q19_discounted_revenue": an.q19_discounted_revenue,
+        "q7_nation_volume": an.q7_nation_volume,
         "zipf_slope_docs": _zipf_slope_docs,
         "bfs_name_graph": _bfs_name_graph,
         "events_value_auc": _events_value_auc,
@@ -5301,6 +5307,12 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "orders_daily_ewma": an.ORDERS_DAILY_EWMA_SQL,
         "supplier_full_coverage": an.SUPPLIER_FULL_COVERAGE_SQL,
         "nation_priority_mode": an.NATION_PRIORITY_MODE_SQL,
+        "q6_forecast_revenue": an.Q6_SQL,
+        "q4_order_priority": an.Q4_SQL,
+        "q12_returnflag_priority": an.Q12_SQL,
+        "q14_promo_revenue": an.Q14_SQL,
+        "q19_discounted_revenue": an.Q19_SQL,
+        "q7_nation_volume": an.Q7_SQL,
         "zipf_slope_docs": _zipf_sql(),
         "bfs_name_graph": _BFS_NAME_GRAPH_SQL,
         "events_value_auc": _EVENTS_VALUE_AUC_SQL,

@@ -3970,3 +3970,414 @@ WITH k AS (
 SELECT ikey, CAST(count(*) AS BIGINT) AS n
 FROM k GROUP BY 1 HAVING count(*) >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic suite (adapted to the testdata's column set): Q4 / Q6 /
+# Q7 / Q12 / Q14 / Q19 analogs. All money math is exact integer cents
+# (or cents^2) with the identical expression tree in the SQL oracle; all
+# plans are hash-join facts + partial_agg combiners + broadcast dims.
+
+
+def _one_row(ds: ray.data.Dataset, fields: list) -> ray.data.Dataset:
+    """Global-scalar finalizer: the aggregate upstream yields <= 1 row
+    (it grouped on a literal key); emit EXACTLY one row — NULLs when no
+    input rows matched, mirroring SQL's SUM-over-empty = one NULL row.
+    Driver materialization is bounded at one row by construction."""
+    rows = ds.take_all()
+    vals = rows[0] if rows else {}
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                name: pa.array([vals.get(name)], tp)
+                for name, tp in fields
+            }
+        )
+    )
+
+
+def q6_forecast_revenue(sf_dir: str, year: int = 1996) -> ray.data.Dataset:
+    """TPC-H Q6: predicate-filtered revenue scan — no join, one exact
+    integer sum (price_c * disc_c, cents^2). The pure-scan leg: reader
+    column pruning + per-batch partial is the whole plan."""
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(pc.year(t["l_shipdate"]), year),
+            pc.less(t["l_quantity"], 24.0),
+        )
+        t = t.filter(keep)
+        disc_c = _cents(t.column("l_discount"))
+        price_c = _cents(t.column("l_extendedprice"))
+        m = (disc_c >= 5) & (disc_c <= 7)
+        return pa.table(
+            {
+                "k": pa.array(np.ones(int(m.sum()), np.int64), pa.int64()),
+                "rev_c2": pa.array(price_c[m] * disc_c[m], pa.int64()),
+            }
+        )
+
+    out = partial_agg(
+        li,
+        keys=[("k", pa.int64())],
+        values=[("revenue_c2", "rev_c2", "sum", pa.int64())],
+        prep=prep,
+    )
+    return _one_row(out, [("revenue_c2", pa.int64())])
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT)
+         AS revenue_c2
+FROM lineitem
+WHERE year(l_shipdate) = 1996 AND l_quantity < 24
+  AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+"""
+
+
+def q4_order_priority(sf_dir: str, lag_days: int = 30) -> ray.data.Dataset:
+    """TPC-H Q4 analog (no commit/receipt dates in this schema): orders
+    counted per priority when ANY lineitem shipped more than lag_days
+    after the order date. EXISTS(shipdate > X) == max(shipdate) > X, so
+    the semi-join is a partial_agg MAX per orderkey + one hash join —
+    never a per-order subquery."""
+    from record_matching_ray.stages.util import shuffle_partitions
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    max_ship = partial_agg(
+        li,
+        keys=[("l_orderkey", pa.int64())],
+        values=[("max_ship", "l_shipdate", "max", pa.timestamp("us"))],
+    )
+    joined = orders.join(
+        max_ship, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        ms = t.column("max_ship").to_numpy(zero_copy_only=False)
+        keep = ms > od + np.timedelta64(lag_days, "D")
+        return pa.table(
+            {"o_orderpriority": t.column("o_orderpriority").filter(pa.array(keep))}
+        )
+
+    return partial_agg(
+        joined,
+        keys=[("o_orderpriority", pa.string())],
+        values=[],
+        prep=prep,
+        count_as="order_count",
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+"""
+
+
+def q12_returnflag_priority(sf_dir: str, year: int = 1997) -> ray.data.Dataset:
+    """TPC-H Q12 analog (returnflag stands in for shipmode, which this
+    schema lacks): per returnflag, counts of high- vs low-priority
+    orders among lineitems shipped in `year`. One hash join lineitem x
+    orders, then conditional partial counts."""
+    from record_matching_ray.stages.util import shuffle_partitions
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.year(t["l_shipdate"]), year))
+        hi = pc.is_in(
+            t["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "high_cnt": pc.cast(hi, pa.int64()),
+                "low_cnt": pc.cast(pc.invert(hi), pa.int64()),
+            }
+        )
+
+    return partial_agg(
+        joined,
+        keys=[("l_returnflag", pa.string())],
+        values=[
+            ("high_line_count", "high_cnt", "sum", pa.int64()),
+            ("low_line_count", "low_cnt", "sum", pa.int64()),
+        ],
+        prep=prep,
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) = 1997
+GROUP BY 1
+"""
+
+
+def q14_promo_revenue(sf_dir: str, year: int = 1997) -> ray.data.Dataset:
+    """TPC-H Q14: promo revenue share. One hash join lineitem x part,
+    two exact integer sums (revenue = price_c * (100 - disc_c), scale
+    10^4), ratio derived once from the exact totals with the oracle's
+    own expression (round(100 * promo / total, 6))."""
+    from record_matching_ray.stages.util import shuffle_partitions
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = li.join(
+        part, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.year(t["l_shipdate"]), year))
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_c = _cents(t.column("l_discount"))
+        rev = price_c * (100 - disc_c)
+        promo = (
+            pc.equal(t["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "promo_c2": pa.array(np.where(promo, rev, 0), pa.int64()),
+                "total_c2": pa.array(rev, pa.int64()),
+            }
+        )
+
+    out = partial_agg(
+        joined,
+        keys=[("k", pa.int64())],
+        values=[
+            ("promo_revenue_c2", "promo_c2", "sum", pa.int64()),
+            ("total_revenue_c2", "total_c2", "sum", pa.int64()),
+        ],
+        prep=prep,
+    )
+
+    one = _one_row(
+        out,
+        [("promo_revenue_c2", pa.int64()), ("total_revenue_c2", pa.int64())],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        p = t.column("promo_revenue_c2").to_numpy(zero_copy_only=False)
+        tot = t.column("total_revenue_c2").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pct = np.round(100.0 * p.astype(np.float64) / tot, 6)
+        return pa.table(
+            {
+                "promo_revenue_c2": t.column("promo_revenue_c2"),
+                "total_revenue_c2": t.column("total_revenue_c2"),
+                "promo_pct": pa.array(pct, pa.float64()),
+            }
+        )
+
+    return one.map_batches(derive, batch_format="pyarrow")
+
+
+Q14_SQL = """
+WITH s AS (
+  SELECT
+    SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+             ELSE 0 END) AS promo_revenue_c2,
+    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS total_revenue_c2
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1997
+)
+SELECT CAST(promo_revenue_c2 AS BIGINT) AS promo_revenue_c2,
+       CAST(total_revenue_c2 AS BIGINT) AS total_revenue_c2,
+       round(100.0 * promo_revenue_c2 / total_revenue_c2, 6) AS promo_pct
+FROM s
+"""
+
+
+def q19_discounted_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q19: disjunctive brand/size/quantity predicates over the
+    lineitem x part join, one exact integer revenue sum. The OR-of-ANDs
+    evaluates vectorized per batch after the join."""
+    from record_matching_ray.stages.util import shuffle_partitions
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    joined = li.join(
+        part, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        size = t.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        brand = np.asarray(t.column("p_brand").to_pylist(), dtype=object)
+        keep = (
+            ((brand == "Brand#12") & (size <= 5) & (qty >= 1) & (qty <= 11))
+            | ((brand == "Brand#23") & (size <= 10) & (qty >= 10) & (qty <= 20))
+            | ((brand == "Brand#34") & (size <= 15) & (qty >= 20) & (qty <= 30))
+        )
+        t = t.filter(pa.array(keep))
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_c = _cents(t.column("l_discount"))
+        return pa.table(
+            {
+                "k": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "rev_c2": pa.array(price_c * (100 - disc_c), pa.int64()),
+            }
+        )
+
+    out = partial_agg(
+        joined,
+        keys=[("k", pa.int64())],
+        values=[("revenue_c2", "rev_c2", "sum", pa.int64())],
+        prep=prep,
+    )
+    return _one_row(out, [("revenue_c2", pa.int64())])
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_c2
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size <= 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size <= 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size <= 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q7_nation_volume(
+    sf_dir: str, broadcast_max_rows: int = 2_000_000
+) -> ray.data.Dataset:
+    """TPC-H Q7: shipping volume between nations by year. Plan: the two
+    FACT tables (lineitem, orders) meet in ONE hash join on orderkey;
+    the supplier and customer DIMENSIONS attach via count-gated sorted-
+    array broadcasts (the nation_priority_mode pattern — raises past the
+    gate rather than silently materializing; at true TPC-H-100TB scale
+    customer crosses the gate and this query's fallback is a second
+    hash join, same as nation_priority_mode's); nation (25 rows) is
+    always broadcast. Revenue exact: price_c * (100 - disc_c)."""
+    from record_matching_ray.stages.util import shuffle_partitions
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    for name, ds in (("supplier", supp), ("customer", cust_ds)):
+        n = ds.count()
+        if n > broadcast_max_rows:
+            raise RuntimeError(
+                f"q7 {name} dimension {n} rows > broadcast gate "
+                f"{broadcast_max_rows}; switch this side to the "
+                "nation_priority_mode hash-join fallback"
+            )
+    sp = supp.to_pandas()
+    cp = cust_ds.to_pandas()
+    sk = sp["s_suppkey"].to_numpy().astype(np.int64)
+    sn = sp["s_nationkey"].to_numpy().astype(np.int64)
+    so = np.argsort(sk)
+    ck = cp["c_custkey"].to_numpy().astype(np.int64)
+    cn = cp["c_nationkey"].to_numpy().astype(np.int64)
+    co = np.argsort(ck)
+    ref = ray.put((sk[so], sn[so], ck[co], cn[co], nname))
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        skk, snn, ckk, cnn, n2n = (
+            ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        )
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ps = np.clip(np.searchsorted(skk, s), 0, len(skk) - 1)
+        pc_i = np.clip(np.searchsorted(ckk, c), 0, len(ckk) - 1)
+        if not (np.array_equal(skk[ps], s) and np.array_equal(ckk[pc_i], c)):
+            raise KeyError("q7: fact row references a missing dimension key")
+        s_nat = snn[ps]
+        c_nat = cnn[pc_i]
+        keep = s_nat != c_nat
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_c = _cents(t.column("l_discount"))
+        yr = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [n2n[int(x)] for x in s_nat[keep]], pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [n2n[int(x)] for x in c_nat[keep]], pa.string()
+                ),
+                "l_year": pa.array(yr[keep].astype(np.int64), pa.int64()),
+                "rev_c2": pa.array(
+                    (price_c * (100 - disc_c))[keep], pa.int64()
+                ),
+            }
+        )
+
+    return partial_agg(
+        joined,
+        keys=[
+            ("supp_nation", pa.string()),
+            ("cust_nation", pa.string()),
+            ("l_year", pa.int64()),
+        ],
+        values=[("revenue_c2", "rev_c2", "sum", pa.int64())],
+        prep=prep,
+    )
+
+
+Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_c2
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_nationkey <> cn.n_nationkey
+GROUP BY 1, 2, 3
+"""

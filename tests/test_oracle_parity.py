@@ -98,6 +98,12 @@ def _compare(res, odf):
         "lineitem_winsorized_mean",
         "event_type_cosine",
         "part_initials_block",
+        "q6_forecast_revenue",
+        "q4_order_priority",
+        "q12_returnflag_priority",
+        "q14_promo_revenue",
+        "q19_discounted_revenue",
+        "q7_nation_volume",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
