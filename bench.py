@@ -146,7 +146,8 @@ def run_flagship_nockpt(num_cpus: int, scorer: str = "fused") -> dict:
     }
 
 
-def run_flagship_incremental(num_cpus: int) -> dict:
+def run_flagship_incremental(num_cpus: int, split_k: int = 8,
+                             time_batch: bool = False) -> dict:
     """Incremental-fold leg: batch-ER 7/8 of the corpus into a checkpoint
     (untimed prep), then TIME folding the remaining 1/8 in via
     run_er_incremental — the nightly-crawl-increment shape. Reported
@@ -170,7 +171,9 @@ def run_flagship_incremental(num_cpus: int) -> dict:
 
             from record_matching_ray.functions.hashing import hash_strings
 
-            m = hash_strings(t.column("url").to_pylist()) % np.uint64(8) == 0
+            m = hash_strings(t.column("url").to_pylist()) % np.uint64(
+                split_k
+            ) == 0
             return t.filter(pa.array(m if new_side else ~m))
 
         return fn
@@ -178,9 +181,11 @@ def run_flagship_incremental(num_cpus: int) -> dict:
     old_pages = pages.map_batches(keep(False), batch_format="pyarrow")
     new_pages = pages.map_batches(keep(True), batch_format="pyarrow")
     n_new = new_pages.count()
-    ckpt = os.path.join(BENCH_TMP, f"ckpt_inc_{num_cpus}")
+    ckpt = os.path.join(BENCH_TMP, f"ckpt_inc_{num_cpus}_{split_k}")
     shutil.rmtree(ckpt, ignore_errors=True)
+    t_b = time.time()
     run_er(old_pages, cfg, out_dir=ckpt, input_key=f"bench:inc{PAGES_N}")
+    batch_elapsed = round(time.time() - t_b, 3)
     t0 = time.time()
     res = run_er_incremental(new_pages, cfg, ckpt, f"bench:inc{PAGES_N}")
     clusters = res["clusters"].materialize()
@@ -195,7 +200,7 @@ def run_flagship_incremental(num_cpus: int) -> dict:
     from record_matching_ray.state import manifest as _mf
 
     pairs_batch = _mf.read_manifest(os.path.join(ckpt, "pairs"))["rows"]
-    return {
+    out = {
         "elapsed_s": round(elapsed, 3),
         "pages_new": n_new,
         "pages_total": PAGES_N,
@@ -205,7 +210,11 @@ def run_flagship_incremental(num_cpus: int) -> dict:
         "clusters": int(n_clusters),
         "new_pages_per_sec": round(n_new / elapsed, 1),
         "num_cpus": num_cpus,
+        "split_k": split_k,
     }
+    if time_batch:
+        out["batch_elapsed_s"] = batch_elapsed
+    return out
 
 
 def run_flagship(num_cpus: int) -> dict:
@@ -540,9 +549,69 @@ def main_cluster() -> None:
     print(json.dumps(out))
 
 
+def main_fold_scaling() -> None:
+    """Fold-wall-time-vs-corpus-size evidence (VERDICT r3 tasks 1 + 5):
+    the SAME absolute increment (~RMRAY_FOLD_INC pages, hash-split) is
+    folded into checkpoints of increasingly large corpora. Under the
+    touched-component fold (pipelines/incremental.py) the fold cost must
+    track the INCREMENT, not the corpus; the per-size batch-prep wall is
+    reported too, extending the data-scaling table. Fresh process per
+    size (corpus + checkpoints are disk-cached per size)."""
+    sizes = [
+        int(x)
+        for x in os.environ.get("RMRAY_FOLD_SIZES", "384000,1536000").split(",")
+    ]
+    inc = int(os.environ.get("RMRAY_FOLD_INC", "48000"))
+    results = {}
+    for n in sizes:
+        env = dict(
+            os.environ, RMRAY_BENCH_PAGES=str(n), RMRAY_FOLD_INC=str(inc)
+        )
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--fold-worker",
+             str(NUM_CPUS)],
+            env=env, capture_output=True, text=True, timeout=7200,
+        )
+        lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            print(json.dumps({"error": f"fold worker n={n} failed",
+                              "stderr": p.stderr[-2000:]}))
+            sys.exit(1)
+        results[n] = json.loads(lines[-1])
+    lo, hi = sizes[0], sizes[-1]
+    out = {
+        "metric": f"incremental fold wall-time at {lo} vs {hi} pages "
+                  f"(same ~{inc}-page increment)",
+        "value": round(results[hi]["elapsed_s"] / results[lo]["elapsed_s"], 3),
+        "unit": "fold-time ratio (corpus grew "
+                f"{round(hi / lo, 1)}x)",
+        "queries": {
+            f"fold_into_{n}_s": results[n]["elapsed_s"] for n in sizes
+        },
+        "sf": f"synthetic pages, increment ~{inc}",
+        "num_cpus": NUM_CPUS,
+        "legs": results,
+    }
+    print(json.dumps(out))
+
+
+def main_fold_worker(num_cpus: int) -> None:
+    inc = int(os.environ.get("RMRAY_FOLD_INC", "48000"))
+    split_k = max(2, PAGES_N // inc)
+    r = run_flagship_incremental(num_cpus, split_k=split_k, time_batch=True)
+    print(json.dumps(r))
+    import ray
+
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
+    elif "--fold-scaling" in sys.argv:
+        main_fold_scaling()
+    elif "--fold-worker" in sys.argv:
+        main_fold_worker(int(sys.argv[sys.argv.index("--fold-worker") + 1]))
     elif "--cluster" in sys.argv:
         main_cluster()
     elif "--worker" in sys.argv:

@@ -358,8 +358,17 @@ def run_er(
     # stage emits shuffle_partitions() blocks, which under-subscribes a
     # 32-actor scorer pool (narrow repartition: left/right only).
     scored = None
+    # Fused-plan gate: the broadcast scorer state costs ~200B/feature in
+    # plasma (SQ8 embedding 64B + byte-packed minhash 64B + name/url
+    # object arrays) plus a per-actor uid index — measured ~300MB at
+    # 1.45M features, comfortably inside a 128GB node at 4M. The r3 gate
+    # of 1M pushed a 1.45M-page corpus onto the join plan, whose 16
+    # CPU-scaled partitions each held ~7GB of wide pairs and OOM'd the
+    # hash-join aggregators (round-4 1.5M-page leg); the join plan is
+    # the right plan only at true 100TB counts, and now scales its
+    # partition count with the pair volume (attach_pair_payload).
     if (
-        url_feats.count() <= 1_000_000
+        url_feats.count() <= 4_000_000
         and not cfg.keep_scored
         and not cfg.emit_features
         and not registry

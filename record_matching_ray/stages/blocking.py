@@ -718,6 +718,17 @@ def attach_pair_payload(
         return _attach_payload_broadcast(
             pairs, features, cfg, restore_urls, uid_remap, extra_payload
         )
+    # Join plan: scale the partition count with the PAIR VOLUME, not the
+    # CPU count. A wide pair row is ~500B (2x SQ8 embedding + packed
+    # minhash + name + url); Ray's hash-join aggregator actors hold a
+    # full partition in heap, so CPU/2 partitions of a 285M-pair table
+    # were ~7GB each and OOM'd (round-4 1.5M-page leg). Target ~256MB of
+    # wide rows per partition; the count is counted, never guessed.
+    WIDE_ROW_BYTES = 512
+    TARGET_PARTITION_BYTES = 256 << 20
+    n_pairs = pairs.count()
+    data_parts = max(1, -(-n_pairs * WIDE_ROW_BYTES // TARGET_PARTITION_BYTES))
+    num_partitions = max(num_partitions, min(int(data_parts), 4096))
     return _attach_payload_join(
         pairs, features, cfg, num_partitions, restore_urls, uid_remap,
         extra_payload,
