@@ -2099,6 +2099,20 @@ def _er_error_pairs_docs(sf_dir: str):
     return error_pairs_on_labeled(labeled, clusters)
 
 
+def _neardup_canonical_docs(sf_dir: str):
+    """Survivor selection per near-dup component (stages/dedup.
+    neardup_canonical): exact n-gram Jaccard >= 0.5 pairs -> connected
+    components (the flagship's contraction CC) -> keep min doc_id, count
+    members and the character volume the dedup removes. Oracle: the
+    same recursive-CTE component query as er_clusters_documents plus a
+    per-component length rollup."""
+    from record_matching_ray.stages.dedup import neardup_canonical, ngram_jaccard_pairs
+
+    docs = _docs(sf_dir)
+    pairs = ngram_jaccard_pairs(docs)
+    return neardup_canonical(pairs, docs)
+
+
 _ER_CLUSTERS_SQL = (
     "WITH RECURSIVE "
     + _SHINGLE_CTE
@@ -2116,6 +2130,37 @@ _ER_CLUSTERS_SQL = (
     SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY n
 """
 )
+
+_NEARDUP_CANONICAL_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + """,
+    und AS (
+      SELECT l AS a, r AS b FROM jac WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT r AS a, l AS b FROM jac WHERE jaccard >= 0.5
+    ),
+    reach(n, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT und.a, reach.lbl FROM und JOIN reach ON reach.n = und.b
+    ),
+    comp AS (SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY n),
+    agg AS (
+      SELECT c.cluster_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             MIN(c.doc_id) AS keep_doc_id,
+             SUM(length(d.text)) AS total_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+      GROUP BY 1
+    )
+    SELECT a.cluster_id, a.n_docs, a.keep_doc_id,
+           CAST(a.total_chars - length(k.text) AS BIGINT) AS dup_bytes
+    FROM agg a JOIN documents k ON k.doc_id = a.keep_doc_id
+    WHERE a.n_docs >= 2
+"""
+)
+
 
 _ER_ERROR_PAIRS_SQL = (
     "WITH RECURSIVE "
@@ -3570,6 +3615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": an.q14_promo_revenue,
         "q19_discounted_revenue": an.q19_discounted_revenue,
         "q7_nation_volume": an.q7_nation_volume,
+        "nation_price_slope": an.nation_price_slope,
+        "neardup_canonical_docs": _neardup_canonical_docs,
         "zipf_slope_docs": _zipf_slope_docs,
         "bfs_name_graph": _bfs_name_graph,
         "events_value_auc": _events_value_auc,
@@ -5313,6 +5360,8 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "q14_promo_revenue": an.Q14_SQL,
         "q19_discounted_revenue": an.Q19_SQL,
         "q7_nation_volume": an.Q7_SQL,
+        "nation_price_slope": an.NATION_PRICE_SLOPE_SQL,
+        "neardup_canonical_docs": _NEARDUP_CANONICAL_SQL,
         "zipf_slope_docs": _zipf_sql(),
         "bfs_name_graph": _BFS_NAME_GRAPH_SQL,
         "events_value_auc": _EVENTS_VALUE_AUC_SQL,

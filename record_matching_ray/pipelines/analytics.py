@@ -4381,3 +4381,118 @@ JOIN nation cn ON c_nationkey = cn.n_nationkey
 WHERE sn.n_nationkey <> cn.n_nationkey
 GROUP BY 1, 2, 3
 """
+
+
+def nation_price_slope(
+    sf_dir: str, broadcast_max_rows: int = 2_000_000
+) -> ray.data.Dataset:
+    """Per customer nation: OLS slope of order price (cents) over order
+    date (days since epoch) — grouped linear regression, the classic
+    "trend per segment" sweep.
+
+    Exactness: the five sufficient statistics (n, sum_x, sum_y, sum_xy,
+    sum_x2) are EXACT int64 sums (x <= ~12k days, y <= ~10^9 cents;
+    xy per row < 2^54, partial sums < 2^63 up to ~10^9 rows/group);
+    slope = (n*sxy - sx*sy) / (n*sx2 - sx^2) is derived ONCE from the
+    exact sums with the identical float64 expression in the SQL oracle
+    (numerator/denominator cast to DOUBLE first — n*sxy overflows int64
+    at TPC-H row counts, so both sides promote the same way). The
+    customer dimension attaches via the count-gated broadcast (the
+    nation_priority_mode pattern)."""
+    from record_matching_ray.stages.util import shuffle_partitions
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    n_cust = cust_ds.count()
+    if n_cust > broadcast_max_rows:
+        raise RuntimeError(
+            f"nation_price_slope: customer {n_cust} rows > broadcast gate; "
+            "switch to the nation_priority_mode hash-join fallback"
+        )
+    cust = cust_ds.to_pandas()
+    ckeys = cust["c_custkey"].to_numpy().astype(np.int64)
+    cnats = cust["c_nationkey"].to_numpy().astype(np.int64)
+    o0 = np.argsort(ckeys)
+    ref = ray.put((ckeys[o0], cnats[o0], nname))
+
+    def prep(t: pa.Table) -> pa.Table:
+        keys, nats, n2n = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        if not np.array_equal(keys[pos], ck):
+            raise KeyError("nation_price_slope: order references missing customer")
+        nat = nats[pos]
+        x = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        y = _cents(t.column("o_totalprice"))
+        return pa.table(
+            {
+                "n_name": pa.array([n2n[int(v)] for v in nat], pa.string()),
+                "sx": pa.array(x, pa.int64()),
+                "sy": pa.array(y, pa.int64()),
+                "sxy": pa.array(x * y, pa.int64()),
+                "sx2": pa.array(x * x, pa.int64()),
+            }
+        )
+
+    sums = partial_agg(
+        orders,
+        keys=[("n_name", pa.string())],
+        values=[
+            ("sx", "sx", "sum", pa.int64()),
+            ("sy", "sy", "sum", pa.int64()),
+            ("sxy", "sxy", "sum", pa.int64()),
+            ("sx2", "sx2", "sum", pa.int64()),
+        ],
+        prep=prep,
+        count_as="n",
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx2 = t.column("sx2").to_numpy(zero_copy_only=False).astype(np.float64)
+        slope = np.round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6)
+        return pa.table(
+            {
+                "n_name": t.column("n_name"),
+                "n": t.column("n"),
+                "slope_c_per_day": pa.array(slope, pa.float64()),
+            }
+        )
+
+    return sums.map_batches(derive, batch_format="pyarrow")
+
+
+NATION_PRICE_SLOPE_SQL = """
+WITH s AS (
+  SELECT n_name,
+         count(*) AS n,
+         SUM(datediff('day', DATE '1970-01-01', o_orderdate)) AS sx,
+         SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sy,
+         SUM(datediff('day', DATE '1970-01-01', o_orderdate)
+             * CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sxy,
+         SUM(CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+             * datediff('day', DATE '1970-01-01', o_orderdate)) AS sx2
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT n_name, CAST(n AS BIGINT) AS n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS slope_c_per_day
+FROM s
+"""

@@ -33,12 +33,19 @@ def docs_to_pages(docs: ray.data.Dataset) -> ray.data.Dataset:
     (url, text, lang). url is a stable function of (source, doc_id)."""
 
     def shape(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        srcs = t.column("source").to_pylist()
-        urls = [f"doc://{s}/{i:010d}" for s, i in zip(srcs, ids)]
+        import pyarrow.compute as pc
+
+        # vectorized f"doc://{source}/{doc_id:010d}" (VERDICT r3 watch
+        # item: no per-row Python f-strings on the docs adapter)
+        padded = pc.utf8_lpad(
+            pc.cast(t.column("doc_id"), pa.string()), 10, "0"
+        )
+        urls = pc.binary_join_element_wise(
+            "doc://", t.column("source"), "/", padded, ""
+        )
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
+                "url": pc.cast(urls, pa.string()),
                 "text": t.column("text"),
                 "lang": t.column("lang"),
             }

@@ -848,3 +848,126 @@ def weighted_jaccard_pairs(
         .map_groups(verify_partition, batch_format="pyarrow")
     )
     return conformed(out, OUT)
+
+
+# ---------------------------------------------------------------------------
+# near-dup canonical survivor selection (pairs -> components -> keeper)
+
+
+def neardup_canonical(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_cluster: int = 2,
+) -> ray.data.Dataset:
+    """The step after near-dup pair discovery in a corpus-dedup pipeline:
+    close the pair graph into components, keep ONE survivor per
+    component (min id — deterministic), and account the bytes the dedup
+    removes. Output: (cluster_id, n_docs, keep_doc_id, dup_bytes) for
+    components of >= min_cluster docs; dup_bytes = total character count
+    of the non-survivors.
+
+    Plan: connected_components over the (left, right) id pairs (the
+    engine's contraction + counted-hybrid CC), one hash join to attach
+    per-doc lengths, per-cluster partial_agg-style fold, then a second
+    tiny join to subtract the survivor's own length. No step holds the
+    corpus on the driver; the component pass is the same machinery the
+    flagship ER uses.
+
+    Reference analog: dedup_records keeps the first record per exact
+    hash (record_matching/main.py:89-93); this is its near-dup
+    generalization (survivor per SIMILARITY component, not per equal
+    hash)."""
+    import pyarrow.compute as pc
+
+    from record_matching_ray.stages.clustering import connected_components
+    from record_matching_ray.stages.util import shuffle_partitions
+
+    edges = pairs.select_columns(["left", "right"]).filter(expr="left >= 0")
+    comp = connected_components(
+        edges, nodes=docs.select_columns([id_col]).rename_columns({id_col: "url"})
+    )  # (url=doc_id, cluster_id=min doc_id of component)
+
+    def lengths(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ldoc": t.column(id_col).cast(pa.int64()),
+                "nchar": pc.cast(
+                    pc.utf8_length(t.column(text_col)), pa.int64()
+                ),
+            }
+        )
+
+    lens = docs.map_batches(lengths, batch_format="pyarrow")
+    wide = comp.join(
+        lens, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("url",), right_on=("ldoc",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "cluster_id": t.column("cluster_id"),
+                    "doc_id": t.column("url"),
+                    "nchar": t.column("nchar"),
+                }
+            ),
+            "cluster_id",
+        ).aggregate([("doc_id", "min"), ("nchar", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            ["cluster_id", "keep_doc_id", "total_chars", "n_docs"]
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    folded = (
+        wide.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(
+            Min(on="keep_doc_id", alias_name="keep_doc_id"),
+            Sum(on="total_chars", alias_name="total_chars"),
+            Sum(on="n_docs", alias_name="n_docs"),
+        )
+    )
+    folded = conformed(
+        folded,
+        pa.schema(
+            [
+                ("cluster_id", pa.int64()),
+                ("keep_doc_id", pa.int64()),
+                ("total_chars", pa.int64()),
+                ("n_docs", pa.int64()),
+            ]
+        ),
+    )
+    kept = folded.join(
+        lens, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("keep_doc_id",), right_on=("ldoc",),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["n_docs"], min_cluster)
+        t = t.filter(keep)
+        dup = pc.subtract(t["total_chars"], t["nchar"])
+        return pa.table(
+            {
+                "cluster_id": t.column("cluster_id"),
+                "n_docs": t.column("n_docs"),
+                "keep_doc_id": t.column("keep_doc_id"),
+                "dup_bytes": pc.cast(dup, pa.int64()),
+            }
+        )
+
+    return conformed(
+        kept.map_batches(finalize, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("cluster_id", pa.int64()),
+                ("n_docs", pa.int64()),
+                ("keep_doc_id", pa.int64()),
+                ("dup_bytes", pa.int64()),
+            ]
+        ),
+    )

@@ -104,6 +104,8 @@ def _compare(res, odf):
         "q14_promo_revenue",
         "q19_discounted_revenue",
         "q7_nation_volume",
+        "nation_price_slope",
+        "neardup_canonical_docs",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
