@@ -2113,6 +2113,50 @@ def _neardup_canonical_docs(sf_dir: str):
     return neardup_canonical(pairs, docs)
 
 
+def _doc_token_entropy(sf_dir: str):
+    """Per-doc token Shannon entropy (stages/textstats.doc_token_entropy)
+    — degenerate-repetition quality signal; exact-count expression tree
+    shared with the oracle, round6 half-away."""
+    from record_matching_ray.stages.textstats import doc_token_entropy
+
+    return doc_token_entropy(_docs(sf_dir))
+
+
+def _source_hapax_ratio(sf_dir: str):
+    """Per-source hapax-legomena ratio (stages/textstats.
+    source_hapax_ratio): token-pk shuffle + per-partition sweep, never a
+    composite-key native aggregate."""
+    from record_matching_ray.stages.textstats import source_hapax_ratio
+
+    return source_hapax_ratio(_docs_with_source(sf_dir))
+
+
+def _docs_with_source(sf_dir: str):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+
+def _leakage_safe_split_docs(sf_dir: str):
+    """Near-dup-component-keyed train/eval split (stages/dedup.
+    leakage_safe_split): every member of a Jaccard>=0.5 component lands
+    in the same split via md5(cluster_id) % 5 — the oracle recomputes
+    components (recursive CTE) and the identical md5_number_lower hash."""
+    from record_matching_ray.stages.dedup import (
+        leakage_safe_split,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(sf_dir)
+    return leakage_safe_split(ngram_jaccard_pairs(docs), docs)
+
+
+from record_matching_ray.stages.textstats import (  # noqa: E402
+    DOC_TOKEN_ENTROPY_SQL as _DOC_TOKEN_ENTROPY_SQL_REF,
+    SOURCE_HAPAX_SQL as _SOURCE_HAPAX_SQL_REF,
+)
+
+
 _ER_CLUSTERS_SQL = (
     "WITH RECURSIVE "
     + _SHINGLE_CTE
@@ -2159,6 +2203,31 @@ _NEARDUP_CANONICAL_SQL = (
     FROM agg a JOIN documents k ON k.doc_id = a.keep_doc_id
     WHERE a.n_docs >= 2
 """
+)
+
+
+
+_LEAKAGE_SPLIT_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + '''\
+,
+    und AS (
+      SELECT l AS a, r AS b FROM jac WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT r AS a, l AS b FROM jac WHERE jaccard >= 0.5
+    ),
+    reach(n, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT und.a, reach.lbl FROM und JOIN reach ON reach.n = und.b
+    ),
+    comp AS (SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY n)
+    SELECT doc_id, cluster_id,
+           CAST(md5_number_lower(CAST(cluster_id AS VARCHAR)) % 5 AS BIGINT)
+             AS split
+    FROM comp
+'''
 )
 
 
@@ -3617,6 +3686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_volume": an.q7_nation_volume,
         "nation_price_slope": an.nation_price_slope,
         "neardup_canonical_docs": _neardup_canonical_docs,
+        "doc_token_entropy": _doc_token_entropy,
+        "source_hapax_ratio": _source_hapax_ratio,
+        "leakage_safe_split_docs": _leakage_safe_split_docs,
         "zipf_slope_docs": _zipf_slope_docs,
         "bfs_name_graph": _bfs_name_graph,
         "events_value_auc": _events_value_auc,
@@ -5362,6 +5434,9 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "q7_nation_volume": an.Q7_SQL,
         "nation_price_slope": an.NATION_PRICE_SLOPE_SQL,
         "neardup_canonical_docs": _NEARDUP_CANONICAL_SQL,
+        "doc_token_entropy": _DOC_TOKEN_ENTROPY_SQL_REF,
+        "source_hapax_ratio": _SOURCE_HAPAX_SQL_REF,
+        "leakage_safe_split_docs": _LEAKAGE_SPLIT_SQL,
         "zipf_slope_docs": _zipf_sql(),
         "bfs_name_graph": _BFS_NAME_GRAPH_SQL,
         "events_value_auc": _EVENTS_VALUE_AUC_SQL,

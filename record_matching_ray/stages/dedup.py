@@ -971,3 +971,58 @@ def neardup_canonical(
             ]
         ),
     )
+
+
+def leakage_safe_split(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    n_splits: int = 5,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Train/eval split assignment that can never leak near-duplicates
+    across splits: the unit of assignment is the near-dup COMPONENT, not
+    the document. split = md5_lower64(str(cluster_id)) % n_splits, so
+    every member of a component (cluster_id = min doc_id, the engine's
+    CC label) lands in the same split and the hash is reproducible by a
+    SQL oracle via md5_number_lower.
+
+    This is the split-hygiene step eval decontamination pipelines need
+    (splitting by raw doc hash leaks paraphrases: a near-dup pair
+    straddling train/eval inflates eval scores). Output:
+    (doc_id, cluster_id, split)."""
+    from record_matching_ray.functions.hashing import md5_lower64
+    from record_matching_ray.stages.clustering import connected_components
+
+    edges = pairs.select_columns(["left", "right"]).filter(expr="left >= 0")
+    comp = connected_components(
+        edges,
+        nodes=docs.select_columns([id_col]).rename_columns({id_col: "url"}),
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        cids = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (md5_lower64(str(int(c))) for c in cids),
+            dtype=np.uint64,
+            count=len(cids),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("url").cast(pa.int64()),
+                "cluster_id": t.column("cluster_id").cast(pa.int64()),
+                "split": pa.array(
+                    (h % np.uint64(n_splits)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return conformed(
+        comp.map_batches(assign, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("cluster_id", pa.int64()),
+                ("split", pa.int64()),
+            ]
+        ),
+    )

@@ -1547,3 +1547,200 @@ SELECT CAST(count(*) AS BIGINT) AS n_vocab,
        round(regr_intercept(ln(c), ln(rk)), 6) AS intercept
 FROM r
 """
+
+
+def doc_token_entropy(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc Shannon entropy (nats) of the token frequency distribution
+    — the classic "is this doc degenerate repetition or diverse text"
+    quality signal next to the Gopher repetition stats. Stateless
+    per-batch pass; entropy = ln(n) - (1/n) * sum_tok c*ln(c) from exact
+    integer counts, rounded half-away-from-zero at 6 decimals (the SQL
+    oracle computes the identical expression from its own GROUP BY
+    counts)."""
+    import pyarrow as pa
+
+    from record_matching_ray.stages.util import conformed, round6_sql
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ent = np.empty(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            toks = t.lower().split()
+            n = len(toks)
+            if n == 0:
+                ent[i] = 0.0
+                continue
+            _, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            c = counts.astype(np.float64)
+            ent[i] = np.log(n) - float(np.sum(c * np.log(c))) / n
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col),
+                "entropy": pa.array(round6_sql(ent), pa.float64()),
+            }
+        )
+
+    return conformed(
+        docs.map_batches(stats, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("entropy", pa.float64())]),
+    )
+
+
+DOC_TOKEN_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+n AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1)
+SELECT d.doc_id,
+       round(CASE WHEN n.n IS NULL OR n.n = 0 THEN 0.0
+                  ELSE ln(n.n) - (SELECT SUM(c * ln(c)) FROM cnt
+                                  WHERE cnt.doc_id = d.doc_id) / n.n END,
+             6) AS entropy
+FROM documents d LEFT JOIN n ON n.doc_id = d.doc_id
+"""
+
+
+def source_hapax_ratio(docs, text_col: str = "text", source_col: str = "source"):
+    """Per source: vocabulary size, hapax-legomena count (tokens seen
+    exactly once across the source's docs) and their ratio — the
+    long-tail vocabulary health check corpus curators run per domain.
+
+    Shape: the source_token_kl layout — per-batch (source, token)
+    vocabulary partials carrying pk = hash(token) % P, ONE pk shuffle
+    co-locates every row of a token, and a vectorized per-partition
+    sweep finishes the (source, token) counts and emits per-source
+    (hapax, vocab) partials (rows = sources x partitions) for a tiny
+    final groupby — never a composite-key native aggregate (the
+    measured ~100x slow path). Ratio rounded 6, same expression as the
+    oracle."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.functions.hashing import _U64, hash_strings, mix64
+    from record_matching_ray.stages.util import (
+        coarse_groupby_partitions,
+        conformed,
+        round6_sql,
+    )
+
+    P = coarse_groupby_partitions()
+    PART = pa.schema(
+        [
+            ("pk", pa.int64()),
+            ("source", pa.string()),
+            ("tok", pa.string()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs_in = batch.column(source_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        groups, toks = [], []
+        for s, t in zip(srcs_in, texts):
+            ts = t.lower().split()
+            toks.extend(ts)
+            groups.extend([s] * len(ts))
+        if not toks:
+            return PART.empty_table()
+        fused = np.asarray(
+            [g + "\x1f" + tk for g, tk in zip(groups, toks)], dtype=object
+        )
+        codes, uniq = pd.factorize(fused, sort=False)
+        cnts = np.bincount(codes, minlength=len(uniq))
+        gs, tks = zip(*(u.split("\x1f", 1) for u in uniq))
+        pk = (mix64(hash_strings(list(tks))) % _U64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(pk, pa.int64()),
+                "source": pa.array(list(gs), pa.string()),
+                "tok": pa.array(list(tks), pa.string()),
+                "c": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    parts = conformed(docs.map_batches(partial, batch_format="pyarrow"), PART)
+
+    def sweep(g: pa.Table) -> pa.Table:
+        gs = np.asarray(g.column("source").to_pylist(), dtype=object)
+        tks = np.asarray(g.column("tok").to_pylist(), dtype=object)
+        cs = g.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((gs, tks))
+        g_s, t_s, c_s = gs[order], tks[order], cs[order]
+        new_pair = np.concatenate(
+            ([True], (t_s[1:] != t_s[:-1]) | (g_s[1:] != g_s[:-1]))
+        )
+        seg = np.cumsum(new_pair) - 1
+        totals = np.bincount(seg, weights=c_s.astype(np.float64)).astype(
+            np.int64
+        )
+        pair_src = g_s[new_pair]
+        out = pa.TableGroupBy(
+            pa.table(
+                {
+                    "source": pa.array(pair_src, pa.string()),
+                    "hapax": pa.array(
+                        (totals == 1).astype(np.int64), pa.int64()
+                    ),
+                }
+            ),
+            "source",
+        ).aggregate([("hapax", "sum"), ([], "count_all")])
+        return out.rename_columns(["source", "hapax", "vocab"])
+
+    folded = (
+        parts.groupby("pk")
+        .map_groups(sweep, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum(on="hapax", alias_name="hapax"),
+            Sum(on="vocab", alias_name="vocab"),
+        )
+    )
+
+    def ratio(t: pa.Table) -> pa.Table:
+        h = t.column("hapax").to_numpy(zero_copy_only=False).astype(np.float64)
+        v = t.column("vocab").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "vocab": t.column("vocab"),
+                "hapax": t.column("hapax"),
+                "hapax_ratio": pa.array(round6_sql(h / v), pa.float64()),
+            }
+        )
+
+    return conformed(
+        folded.map_batches(ratio, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("source", pa.string()),
+                ("vocab", pa.int64()),
+                ("hapax", pa.int64()),
+                ("hapax_ratio", pa.float64()),
+            ]
+        ),
+    )
+
+
+SOURCE_HAPAX_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+cnt AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_ratio
+FROM cnt GROUP BY 1
+"""

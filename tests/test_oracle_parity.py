@@ -106,6 +106,9 @@ def _compare(res, odf):
         "q7_nation_volume",
         "nation_price_slope",
         "neardup_canonical_docs",
+        "doc_token_entropy",
+        "source_hapax_ratio",
+        "leakage_safe_split_docs",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
