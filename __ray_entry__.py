@@ -2157,6 +2157,47 @@ from record_matching_ray.stages.textstats import (  # noqa: E402
 )
 
 
+def _name_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient over the edit-distance<=1 customer
+    name graph (stages/graph.local_clustering_coefficient): the
+    node-iterator triangle sweep + a degree partial fold, one node-keyed
+    join; cc = 2T/(deg*(deg-1)) round-6."""
+    from record_matching_ray.stages.graph import local_clustering_coefficient
+    from record_matching_ray.stages.symspell import deletion_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    edges = (
+        deletion_join(cust, id_col="c_custkey", name_col="c_name")
+        .select_columns(["left", "right"])
+        .rename_columns({"left": "a", "right": "b"})
+    )
+    return local_clustering_coefficient(edges)
+
+
+_NAME_CLUSTERING_SQL = """
+WITH nm AS (SELECT c_custkey AS k, c_name AS n FROM customer),
+e AS (
+  SELECT a.k AS s, b.k AS d
+  FROM nm a JOIN nm b ON a.k < b.k AND levenshtein(a.n, b.n) <= 1
+),
+und AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e),
+deg AS (SELECT s AS node, count(*) AS dg FROM und GROUP BY 1),
+tri AS (
+  SELECT x.s AS node, count(*) AS t
+  FROM und x JOIN und y ON x.s = y.s AND x.d < y.d
+  JOIN e z ON z.s = x.d AND z.d = y.d
+  GROUP BY 1
+)
+SELECT deg.node, CAST(dg AS BIGINT) AS degree,
+       CAST(COALESCE(t, 0) AS BIGINT) AS triangles,
+       round(2.0 * COALESCE(t, 0) / (dg * (dg - 1.0)), 6) AS cc
+FROM deg LEFT JOIN tri USING (node)
+WHERE dg >= 2
+"""
+
+
 _ER_CLUSTERS_SQL = (
     "WITH RECURSIVE "
     + _SHINGLE_CTE
@@ -3689,6 +3730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_entropy": _doc_token_entropy,
         "source_hapax_ratio": _source_hapax_ratio,
         "leakage_safe_split_docs": _leakage_safe_split_docs,
+        "name_clustering_coeff": _name_clustering_coeff,
         "zipf_slope_docs": _zipf_slope_docs,
         "bfs_name_graph": _bfs_name_graph,
         "events_value_auc": _events_value_auc,
@@ -5437,6 +5479,7 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "doc_token_entropy": _DOC_TOKEN_ENTROPY_SQL_REF,
         "source_hapax_ratio": _SOURCE_HAPAX_SQL_REF,
         "leakage_safe_split_docs": _LEAKAGE_SPLIT_SQL,
+        "name_clustering_coeff": _NAME_CLUSTERING_SQL,
         "zipf_slope_docs": _zipf_sql(),
         "bfs_name_graph": _BFS_NAME_GRAPH_SQL,
         "events_value_auc": _EVENTS_VALUE_AUC_SQL,

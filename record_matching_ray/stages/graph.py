@@ -797,3 +797,85 @@ def adamic_adar(
         )
 
     return conformed(sums.map_batches(finalize, batch_format="pyarrow"), OUT)
+
+
+def local_clustering_coefficient(
+    edges: ray.data.Dataset,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-node local clustering coefficient of an undirected simple
+    graph (Watts & Strogatz 1998): cc(v) = 2*T(v) / (deg(v)*(deg(v)-1))
+    for deg(v) >= 2, where T(v) = triangles through v.
+
+    Composition of the engine's existing distributed pieces: the
+    node-iterator triangle sweep (triangle_counts — one pk shuffle +
+    tagged-union closing-edge pass) and a degree partial fold, met by
+    one small join keyed on node id. Nodes with deg >= 2 and zero
+    triangles report cc = 0 (left join + fill), matching the oracle.
+
+    ``edges``: canonical (a, b) int64, a < b, distinct. Output:
+    (node, degree, triangles, cc round-6)."""
+    from ray.data.aggregate import Sum
+
+    from record_matching_ray.stages.util import (
+        conformed,
+        round6_sql,
+        shuffle_partitions,
+    )
+
+    P = num_partitions or shuffle_partitions()
+    tri = triangle_counts(edges, num_partitions=P)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        nodes, counts = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "degree": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    deg = conformed(
+        edges.select_columns(["a", "b"])
+        .map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum(on="degree", alias_name="degree")),
+        pa.schema([("node", pa.int64()), ("degree", pa.int64())]),
+    )
+    wide = deg.join(
+        tri.rename_columns({"node": "tnode"}),
+        join_type="left_outer",
+        num_partitions=P,
+        on=("node",),
+        right_on=("tnode",),
+    )
+
+    OUT = pa.schema(
+        [
+            ("node", pa.int64()),
+            ("degree", pa.int64()),
+            ("triangles", pa.int64()),
+            ("cc", pa.float64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        d = t.column("degree").to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = t.column("triangles").to_pylist()
+        tri_f = np.array([0 if x is None else int(x) for x in tr], np.int64)
+        keep = d >= 2
+        d, tri_f = d[keep], tri_f[keep]
+        nodes = t.column("node").to_numpy(zero_copy_only=False)[keep]
+        cc = round6_sql(2.0 * tri_f / (d * (d - 1.0)))
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "degree": pa.array(d, pa.int64()),
+                "triangles": pa.array(tri_f, pa.int64()),
+                "cc": pa.array(cc, pa.float64()),
+            }
+        )
+
+    return conformed(wide.map_batches(finalize, batch_format="pyarrow"), OUT)

@@ -109,6 +109,7 @@ def _compare(res, odf):
         "doc_token_entropy",
         "source_hapax_ratio",
         "leakage_safe_split_docs",
+        "name_clustering_coeff",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
