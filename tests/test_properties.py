@@ -156,3 +156,73 @@ def test_tfidf_cosine_bounds_and_self_similarity(a, b):
     assert -1e-9 <= c <= 1.0 + 1e-9
     if a.strip():
         assert abs(cos(a, a) - 1.0) < 1e-6
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=100),
+        ),
+        max_size=60,
+    ),
+    st.lists(st.integers(min_value=1, max_value=1000), max_size=5),
+)
+def test_fold_candidate_pairs_overflow_property(rows, overflows):
+    """fold_candidate_pairs with overflow_col: real pairs fold to distinct
+    (min,max) keeping the max value, and the output's single sentinel row
+    totals EVERY input sentinel regardless of partitioning."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matching_ray.stages.dedup import fold_candidate_pairs
+
+    lefts, rights, vals, ovs = [], [], [], []
+    for a, b, v in rows:
+        if a == b:
+            continue
+        lefts.append(min(a, b))
+        rights.append(max(a, b))
+        vals.append(float(v))
+        ovs.append(0)
+    for o in overflows:
+        lefts.append(-1)
+        rights.append(-1)
+        vals.append(0.0)
+        ovs.append(o)
+    t = pa.table(
+        {
+            "left": pa.array(lefts, pa.int64()),
+            "right": pa.array(rights, pa.int64()),
+            "v": pa.array(vals, pa.float64()),
+            "overflow": pa.array(ovs, pa.int64()),
+        }
+    )
+    out = fold_candidate_pairs(
+        rd.from_arrow(t).repartition(3), "v", pa.float64(),
+        take_max=True, overflow_col="overflow",
+    ).to_pandas()
+    if t.num_rows == 0:
+        # empty Dataset loses its schema through to_pandas (Ray quirk,
+        # cf. customers_no_orders docstring) — nothing to fold
+        assert len(out) == 0
+        return
+    sent = out[out["left"] < 0]
+    real = out[out["left"] >= 0]
+    # brute force
+    want: dict = {}
+    for a, b, v in rows:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        want[k] = max(want.get(k, -1.0), float(v))
+    got = {(r["left"], r["right"]): r["v"] for _, r in real.iterrows()}
+    assert got == want
+    assert (real["overflow"] == 0).all()
+    total = sum(overflows)
+    if total:
+        assert len(sent) == 1 and sent.iloc[0]["overflow"] == total
+    else:
+        assert len(sent) == 0
