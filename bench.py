@@ -182,7 +182,8 @@ def run_flagship_incremental(num_cpus: int, split_k: int = 8,
     new_pages = pages.map_batches(keep(True), batch_format="pyarrow")
     n_new = new_pages.count()
     ckpt = os.path.join(BENCH_TMP, f"ckpt_inc_{num_cpus}_{split_k}")
-    shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.environ.get("RMRAY_FOLD_KEEP_CKPT"):
+        shutil.rmtree(ckpt, ignore_errors=True)
     t_b = time.time()
     run_er(old_pages, cfg, out_dir=ckpt, input_key=f"bench:inc{PAGES_N}")
     batch_elapsed = round(time.time() - t_b, 3)

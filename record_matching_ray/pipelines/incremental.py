@@ -241,7 +241,7 @@ def incremental_assign(
     cfg: PipelineConfig | None = None,
     weights: tuple[float, np.ndarray] | None = None,
     broadcast_max_rows: int = 2_000_000,
-    fused_max_rows: int = 1_000_000,
+    fused_max_rows: int = 4_000_000,
 ) -> dict:
     """Assign new pages to existing clusters (see module docstring).
 
@@ -879,7 +879,10 @@ def run_er_incremental(
         new_features.select_columns(["url"] + blocking.PAIR_PAYLOAD)
     )
     n_union = payload_union.count()
-    if n_union <= 1_000_000 and not cfg.keep_scored and not cfg.emit_features:
+    # 4M fused gate, same as run_er (round 4: the old 1M gate pushed a
+    # 1.5M-page fold onto the double-hash-join plan — a 300MB broadcast
+    # replaced a 67M-wide-row shuffle)
+    if n_union <= 4_000_000 and not cfg.keep_scored and not cfg.emit_features:
         edges_new = scoring.score_pairs_fused(
             pairs, payload_union, cfg, weights, uid_remap=uid_remap
         )
