@@ -358,10 +358,11 @@ def run_er(
     # stage emits shuffle_partitions() blocks, which under-subscribes a
     # 32-actor scorer pool (narrow repartition: left/right only).
     scored = None
-    # Fused-plan gate: the broadcast scorer state costs ~200B/feature in
-    # plasma (SQ8 embedding 64B + byte-packed minhash 64B + name/url
-    # object arrays) plus a per-actor uid index — measured ~300MB at
-    # 1.45M features, comfortably inside a 128GB node at 4M. The r3 gate
+    # Fused-plan gate: the broadcast scorer state is ~230MB of numpy
+    # (SQ8 embedding + packed minhash + uids/years) shared zero-copy via
+    # plasma per node, plus ~160B/feature of PRIVATE per-actor heap for
+    # the url/name object arrays (~240MB/actor at 1.5M; ~20GB across a
+    # 32-actor pool at the 4M gate on a 128GB node). The r3 gate
     # of 1M pushed a 1.45M-page corpus onto the join plan, whose 16
     # CPU-scaled partitions each held ~7GB of wide pairs and OOM'd the
     # hash-join aggregators (round-4 1.5M-page leg); the join plan is
