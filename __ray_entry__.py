@@ -2198,6 +2198,46 @@ WHERE dg >= 2
 """
 
 
+def _cross_source_dup_matrix(sf_dir: str):
+    """Which sources duplicate which: exact-Jaccard>=0.5 near-dup pairs
+    rolled up by unordered (source, source) — the provenance diagnostic
+    behind "who copies from whom" in a crawl mixture. Two small hash
+    joins attach each side's source, then a partial_agg count on the
+    canonical (min,max) source pair."""
+    import pyarrow.compute as pc
+
+    from record_matching_ray.pipelines.analytics import partial_agg
+    from record_matching_ray.stages.dedup import ngram_jaccard_pairs
+    from record_matching_ray.stages.util import shuffle_partitions
+
+    docs = _docs_with_source(sf_dir)
+    pairs = ngram_jaccard_pairs(_docs(sf_dir)).select_columns(["left", "right"])
+    src = docs.select_columns(["doc_id", "source"])
+    wide = pairs.join(
+        src, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("left",), right_on=("doc_id",),
+    ).rename_columns({"source": "src_l"})
+    wide = wide.join(
+        src, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("right",), right_on=("doc_id",),
+    ).rename_columns({"source": "src_r"})
+
+    import pyarrow as pa
+
+    def prep(t):
+        lo = pc.min_element_wise(t["src_l"], t["src_r"])
+        hi = pc.max_element_wise(t["src_l"], t["src_r"])
+        return pa.table({"source_a": lo, "source_b": hi})
+
+    return partial_agg(
+        wide,
+        keys=[("source_a", pa.string()), ("source_b", pa.string())],
+        values=[],
+        prep=prep,
+        count_as="n_pairs",
+    )
+
+
 _ER_CLUSTERS_SQL = (
     "WITH RECURSIVE "
     + _SHINGLE_CTE
@@ -2269,6 +2309,22 @@ _LEAKAGE_SPLIT_SQL = (
              AS split
     FROM comp
 '''
+)
+
+
+_CROSS_SOURCE_DUP_SQL = (
+    "WITH "
+    + _SHINGLE_CTE
+    + """
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM jac
+    JOIN documents da ON da.doc_id = jac.l
+    JOIN documents db ON db.doc_id = jac.r
+    WHERE jaccard >= 0.5
+    GROUP BY 1, 2
+"""
 )
 
 
@@ -3731,6 +3787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_hapax_ratio": _source_hapax_ratio,
         "leakage_safe_split_docs": _leakage_safe_split_docs,
         "name_clustering_coeff": _name_clustering_coeff,
+        "cross_source_dup_matrix": _cross_source_dup_matrix,
         "zipf_slope_docs": _zipf_slope_docs,
         "bfs_name_graph": _bfs_name_graph,
         "events_value_auc": _events_value_auc,
@@ -5480,6 +5537,7 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "source_hapax_ratio": _SOURCE_HAPAX_SQL_REF,
         "leakage_safe_split_docs": _LEAKAGE_SPLIT_SQL,
         "name_clustering_coeff": _NAME_CLUSTERING_SQL,
+        "cross_source_dup_matrix": _CROSS_SOURCE_DUP_SQL,
         "zipf_slope_docs": _zipf_sql(),
         "bfs_name_graph": _BFS_NAME_GRAPH_SQL,
         "events_value_auc": _EVENTS_VALUE_AUC_SQL,

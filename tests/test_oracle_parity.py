@@ -110,6 +110,7 @@ def _compare(res, odf):
         "source_hapax_ratio",
         "leakage_safe_split_docs",
         "name_clustering_coeff",
+        "cross_source_dup_matrix",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
