@@ -3788,6 +3788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split_docs": _leakage_safe_split_docs,
         "name_clustering_coeff": _name_clustering_coeff,
         "cross_source_dup_matrix": _cross_source_dup_matrix,
+        "user_interarrival_cv": lambda sf: __import__("record_matching_ray.pipelines.analytics", fromlist=["a"]).user_interarrival_cv(sf),
         "zipf_slope_docs": _zipf_slope_docs,
         "bfs_name_graph": _bfs_name_graph,
         "events_value_auc": _events_value_auc,
@@ -5538,6 +5539,7 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "leakage_safe_split_docs": _LEAKAGE_SPLIT_SQL,
         "name_clustering_coeff": _NAME_CLUSTERING_SQL,
         "cross_source_dup_matrix": _CROSS_SOURCE_DUP_SQL,
+        "user_interarrival_cv": an.USER_INTERARRIVAL_CV_SQL,
         "zipf_slope_docs": _zipf_sql(),
         "bfs_name_graph": _BFS_NAME_GRAPH_SQL,
         "events_value_auc": _EVENTS_VALUE_AUC_SQL,

@@ -4496,3 +4496,131 @@ SELECT n_name, CAST(n AS BIGINT) AS n,
          AS slope_c_per_day
 FROM s
 """
+
+
+def user_interarrival_cv(sf_dir: str) -> ray.data.Dataset:
+    """Per-user burstiness: coefficient of variation of inter-event gaps
+    (seconds) — cv >> 1 marks bursty bot-like accounts, cv ~ 0 marks
+    metronomic ones. Users with >= 2 gaps and positive total gap.
+
+    Ray shape: ONE user-pk shuffle; each partition lexsorts (user, ts,
+    event_id) and reads gaps off shifted epoch-second arrays; per-user
+    exact int64 sums (n, sum g, sum g^2 — gaps are epoch-second diffs,
+    g^2 sums stay < 2^63 at any realistic horizon) fold per partition,
+    and cv derives ONCE from the exact sums with the oracle's float64
+    expression."""
+    from record_matching_ray.stages.util import coarse_groupby_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    P = coarse_groupby_partitions()
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        from record_matching_ray.functions.hashing import mix64
+
+        return t.append_column(
+            "pk", pa.array((mix64(u) % np.uint64(P)).astype(np.int64), pa.int64())
+        )
+
+    AGG = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_gaps", pa.int64()),
+            ("s1", pa.int64()),
+            ("s2", pa.int64()),
+        ]
+    )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        us = ts.astype(np.int64)
+        order = np.lexsort((eid, us, u))
+        u, us = u[order], us[order]
+        sec = us // 1_000_000  # exact epoch seconds (same floor as oracle)
+        same_user = np.r_[False, u[1:] == u[:-1]]
+        gaps = np.where(same_user, sec - np.r_[np.int64(0), sec[:-1]], 0)
+        # per-user segment sums over gap rows (same_user positions)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        gm = gaps[same_user]
+        sm = seg[same_user]
+        n = np.bincount(sm, minlength=len(starts))
+        # exact int64 accumulation (float-weighted bincount would round
+        # g^2 terms past 2^53)
+        s1 = np.zeros(len(starts), np.int64)
+        s2 = np.zeros(len(starts), np.int64)
+        np.add.at(s1, sm, gm)
+        np.add.at(s2, sm, gm * gm)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "n_gaps": pa.array(n.astype(np.int64), pa.int64()),
+                "s1": pa.array(s1, pa.int64()),
+                "s2": pa.array(s2, pa.int64()),
+            }
+        )
+
+    folded = conformed(
+        ev.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(
+            lambda g: sweep(g.drop_columns(["pk"])), batch_format="pyarrow"
+        ),
+        AGG,
+    )
+
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_gaps", pa.int64()),
+            ("mean_gap_s", pa.float64()),
+            ("cv", pa.float64()),
+        ]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        n = t.column("n_gaps").to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t.column("s1").to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = (n >= 2) & (s1 > 0)
+        n, s1, s2 = n[keep], s1[keep], s2[keep]
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)[keep]
+        mean = s1 / n
+        var = np.maximum(s2 / n - mean * mean, 0.0)
+        cv = np.sqrt(var) / mean
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "n_gaps": pa.array(n.astype(np.int64), pa.int64()),
+                "mean_gap_s": pa.array(np.round(mean, 6), pa.float64()),
+                "cv": pa.array(np.round(cv, 6), pa.float64()),
+            }
+        )
+
+    return conformed(folded.map_batches(derive, batch_format="pyarrow"), OUT)
+
+
+USER_INTERARRIVAL_CV_SQL = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS s, ts, event_id FROM events
+),
+g AS (
+  SELECT user_id,
+         s - lag(s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS gap
+  FROM o
+),
+a AS (
+  SELECT user_id, count(gap) AS n, SUM(gap) AS s1, SUM(gap * gap) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       round(CAST(s1 AS DOUBLE) / n, 6) AS mean_gap_s,
+       round(sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n)
+                             * (CAST(s1 AS DOUBLE) / n), 0))
+             / (CAST(s1 AS DOUBLE) / n), 6) AS cv
+FROM a WHERE n >= 2 AND s1 > 0
+"""

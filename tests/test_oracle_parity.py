@@ -111,6 +111,7 @@ def _compare(res, odf):
         "leakage_safe_split_docs",
         "name_clustering_coeff",
         "cross_source_dup_matrix",
+        "user_interarrival_cv",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
