@@ -202,7 +202,14 @@ def _minhash_neardup(sf_dir: str):
     threshold: near-dups sit at >= 0.9, everything else far below)."""
     from record_matching_ray.stages.dedup import minhash_neardup_pairs
 
-    return minhash_neardup_pairs(_docs(sf_dir)).select_columns(["left", "right"])
+    return (
+        minhash_neardup_pairs(_docs(sf_dir))
+        # drop left=-1 bucket-overflow sentinel accounting rows (never hit
+        # at the default caps on this corpus, but the checked output must
+        # stay pure pairs either way — same handling as ngram_jaccard)
+        .filter(expr="left >= 0")
+        .select_columns(["left", "right"])
+    )
 
 
 def _simhash_neardup(sf_dir: str):
@@ -213,8 +220,10 @@ def _simhash_neardup(sf_dir: str):
     pigeonhole blocking's exact-recall claim."""
     from record_matching_ray.stages.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(_docs(sf_dir), token_hash="md5").select_columns(
-        ["left", "right", "hamming"]
+    return (
+        simhash_neardup_pairs(_docs(sf_dir), token_hash="md5")
+        .filter(expr="left >= 0")  # drop bucket-overflow sentinels
+        .select_columns(["left", "right", "hamming"])
     )
 
 
@@ -244,9 +253,13 @@ def _embedding_neardup(sf_dir: str):
     # them) push per-pair collision to ~1-1e-7 at the 0.4 threshold
     # angle, so the SQL cross-join oracle's pair set is fully recovered;
     # coarser bands (the scale configs) are recall-tested in pytest
-    return embedding_neardup_pairs(
-        _embs(sf_dir), dim=64, threshold=0.4, n_bits=16, band_bits=2, n_tables=4
-    ).select_columns(["left", "right", "cos_sim"])
+    return (
+        embedding_neardup_pairs(
+            _embs(sf_dir), dim=64, threshold=0.4, n_bits=16, band_bits=2, n_tables=4
+        )
+        .filter(expr="left >= 0")  # drop bucket-overflow sentinels
+        .select_columns(["left", "right", "cos_sim"])
+    )
 
 
 def _knn_lsh(sf_dir: str):

@@ -76,10 +76,25 @@ def partial_agg(
         if count_as:
             spec.append(([], "count_all"))
         g = pa.TableGroupBy(pa.table(data), key_names).aggregate(spec)
-        names = key_names + [v[0] for v in values] + (
+        # Rename by GENERATED name, not position: pyarrow's group-by
+        # output order has flipped between releases (keys-first on 16.1,
+        # keys-last on others) — a positional rename would silently
+        # mislabel every aggregate on the other ordering.
+        rename = {f"{out}_{agg}": out for out, _s, agg, _tp in values}
+        if count_as:
+            rename["count_all"] = count_as
+        missing = [n for n in rename if n not in g.schema.names]
+        if missing:
+            raise RuntimeError(
+                f"partial_agg: expected pyarrow group-by columns {missing} "
+                f"absent from {g.schema.names}; the generated-name "
+                "convention changed — update the rename map"
+            )
+        g = g.rename_columns([rename.get(n, n) for n in g.schema.names])
+        order = key_names + [v[0] for v in values] + (
             [count_as] if count_as else []
         )
-        return g.rename_columns(names)
+        return g.select(order)
 
     aggs = [_RAY[agg](on=out, alias_name=out) for out, _s, agg, _tp in values]
     if count_as:
@@ -4283,11 +4298,12 @@ def q7_nation_volume(
     """TPC-H Q7: shipping volume between nations by year. Plan: the two
     FACT tables (lineitem, orders) meet in ONE hash join on orderkey;
     the supplier and customer DIMENSIONS attach via count-gated sorted-
-    array broadcasts (the nation_priority_mode pattern — raises past the
-    gate rather than silently materializing; at true TPC-H-100TB scale
-    customer crosses the gate and this query's fallback is a second
-    hash join, same as nation_priority_mode's); nation (25 rows) is
-    always broadcast. Revenue exact: price_c * (100 - disc_c)."""
+    array broadcasts, with a distributed hash-join fallback past the
+    gate (the nation_priority_mode dual plan — at true TPC-H-100TB
+    scale customer is ~15B rows and takes the join path); nation
+    (25 rows) is always broadcast. Unmatched fact rows DROP, matching
+    the SQL oracle's inner-join semantics on inputs without referential
+    integrity. Revenue exact: price_c * (100 - disc_c)."""
     from record_matching_ray.stages.util import shuffle_partitions
 
     li = _read(
@@ -4300,41 +4316,69 @@ def q7_nation_volume(
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
 
-    for name, ds in (("supplier", supp), ("customer", cust_ds)):
-        n = ds.count()
-        if n > broadcast_max_rows:
-            raise RuntimeError(
-                f"q7 {name} dimension {n} rows > broadcast gate "
-                f"{broadcast_max_rows}; switch this side to the "
-                "nation_priority_mode hash-join fallback"
-            )
-    sp = supp.to_pandas()
-    cp = cust_ds.to_pandas()
-    sk = sp["s_suppkey"].to_numpy().astype(np.int64)
-    sn = sp["s_nationkey"].to_numpy().astype(np.int64)
-    so = np.argsort(sk)
-    ck = cp["c_custkey"].to_numpy().astype(np.int64)
-    cn = cp["c_nationkey"].to_numpy().astype(np.int64)
-    co = np.argsort(ck)
-    ref = ray.put((sk[so], sn[so], ck[co], cn[co], nname))
-
     joined = li.join(
         orders, join_type="inner", num_partitions=shuffle_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
-    def prep(t: pa.Table) -> pa.Table:
-        skk, snn, ckk, cnn, n2n = (
-            ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    n_supp = supp.count()
+    n_cust = cust_ds.count()
+    if max(n_supp, n_cust) <= broadcast_max_rows:
+        sp = supp.to_pandas()
+        cp = cust_ds.to_pandas()
+        sk = sp["s_suppkey"].to_numpy().astype(np.int64)
+        sn = sp["s_nationkey"].to_numpy().astype(np.int64)
+        so = np.argsort(sk)
+        ck = cp["c_custkey"].to_numpy().astype(np.int64)
+        cn = cp["c_nationkey"].to_numpy().astype(np.int64)
+        co = np.argsort(ck)
+        ref = ray.put((sk[so], sn[so], ck[co], cn[co]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            skk, snn, ckk, cnn = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+            s = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            c = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            ps = np.clip(np.searchsorted(skk, s), 0, len(skk) - 1)
+            pc_i = np.clip(np.searchsorted(ckk, c), 0, len(ckk) - 1)
+            # inner-join semantics: rows referencing a missing dimension
+            # key DROP (matching the SQL oracle) rather than raise
+            keep = (skk[ps] == s) & (ckk[pc_i] == c)
+            t2 = t.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "s_nationkey": pa.array(snn[ps[keep]], pa.int64()),
+                    "c_nationkey": pa.array(cnn[pc_i[keep]], pa.int64()),
+                    "l_shipdate": t2.column("l_shipdate"),
+                    "l_extendedprice": t2.column("l_extendedprice"),
+                    "l_discount": t2.column("l_discount"),
+                }
+            )
+
+        enriched = joined.map_batches(attach, batch_format="pyarrow")
+    else:
+        # 100-TB path: attach each nationkey by distributed hash join —
+        # neither dimension ever materializes on one node
+        enriched = joined.join(
+            supp, join_type="inner", num_partitions=shuffle_partitions(),
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        ).join(
+            cust_ds, join_type="inner", num_partitions=shuffle_partitions(),
+            on=("o_custkey",), right_on=("c_custkey",),
         )
-        s = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        c = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        ps = np.clip(np.searchsorted(skk, s), 0, len(skk) - 1)
-        pc_i = np.clip(np.searchsorted(ckk, c), 0, len(ckk) - 1)
-        if not (np.array_equal(skk[ps], s) and np.array_equal(ckk[pc_i], c)):
-            raise KeyError("q7: fact row references a missing dimension key")
-        s_nat = snn[ps]
-        c_nat = cnn[pc_i]
+
+    def prep(t: pa.Table) -> pa.Table:
+        s_nat = t.column("s_nationkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        c_nat = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
         keep = s_nat != c_nat
         price_c = _cents(t.column("l_extendedprice"))
         disc_c = _cents(t.column("l_discount"))
@@ -4342,10 +4386,10 @@ def q7_nation_volume(
         return pa.table(
             {
                 "supp_nation": pa.array(
-                    [n2n[int(x)] for x in s_nat[keep]], pa.string()
+                    [nname[int(x)] for x in s_nat[keep]], pa.string()
                 ),
                 "cust_nation": pa.array(
-                    [n2n[int(x)] for x in c_nat[keep]], pa.string()
+                    [nname[int(x)] for x in c_nat[keep]], pa.string()
                 ),
                 "l_year": pa.array(yr[keep].astype(np.int64), pa.int64()),
                 "rev_c2": pa.array(
@@ -4355,7 +4399,7 @@ def q7_nation_volume(
         )
 
     return partial_agg(
-        joined,
+        enriched,
         keys=[
             ("supp_nation", pa.string()),
             ("cust_nation", pa.string()),
@@ -4407,24 +4451,44 @@ def nation_price_slope(
     nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
 
     n_cust = cust_ds.count()
-    if n_cust > broadcast_max_rows:
-        raise RuntimeError(
-            f"nation_price_slope: customer {n_cust} rows > broadcast gate; "
-            "switch to the nation_priority_mode hash-join fallback"
+    if n_cust <= broadcast_max_rows:
+        cust = cust_ds.to_pandas()
+        ckeys = cust["c_custkey"].to_numpy().astype(np.int64)
+        cnats = cust["c_nationkey"].to_numpy().astype(np.int64)
+        o0 = np.argsort(ckeys)
+        ref = ray.put((ckeys[o0], cnats[o0]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            keys, nats = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+            # inner-join semantics: orders referencing a missing customer
+            # DROP, matching the SQL oracle
+            keep = keys[pos] == ck
+            t2 = t.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "c_nationkey": pa.array(nats[pos[keep]], pa.int64()),
+                    "o_orderdate": t2.column("o_orderdate"),
+                    "o_totalprice": t2.column("o_totalprice"),
+                }
+            )
+
+        enriched = orders.map_batches(attach, batch_format="pyarrow")
+    else:
+        # 100-TB path: distributed hash join — customer (~1.5B rows at
+        # TPC-H 100TB) never materializes on one node
+        enriched = orders.join(
+            cust_ds, join_type="inner", num_partitions=shuffle_partitions(),
+            on=("o_custkey",), right_on=("c_custkey",),
         )
-    cust = cust_ds.to_pandas()
-    ckeys = cust["c_custkey"].to_numpy().astype(np.int64)
-    cnats = cust["c_nationkey"].to_numpy().astype(np.int64)
-    o0 = np.argsort(ckeys)
-    ref = ray.put((ckeys[o0], cnats[o0], nname))
 
     def prep(t: pa.Table) -> pa.Table:
-        keys, nats, n2n = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
-        if not np.array_equal(keys[pos], ck):
-            raise KeyError("nation_price_slope: order references missing customer")
-        nat = nats[pos]
+        nat = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
         x = (
             t.column("o_orderdate")
             .to_numpy(zero_copy_only=False)
@@ -4434,7 +4498,7 @@ def nation_price_slope(
         y = _cents(t.column("o_totalprice"))
         return pa.table(
             {
-                "n_name": pa.array([n2n[int(v)] for v in nat], pa.string()),
+                "n_name": pa.array([nname[int(v)] for v in nat], pa.string()),
                 "sx": pa.array(x, pa.int64()),
                 "sy": pa.array(y, pa.int64()),
                 "sxy": pa.array(x * y, pa.int64()),
@@ -4443,7 +4507,7 @@ def nation_price_slope(
         )
 
     sums = partial_agg(
-        orders,
+        enriched,
         keys=[("n_name", pa.string())],
         values=[
             ("sx", "sx", "sum", pa.int64()),

@@ -726,6 +726,12 @@ def attach_pair_payload(
     # wide rows per partition; the count is counted, never guessed.
     WIDE_ROW_BYTES = 512
     TARGET_PARTITION_BYTES = 256 << 20
+    # Materialize before counting: count() executes the candidate-pair
+    # plan, and the join below consumes pairs AGAIN — without pinning the
+    # blocks the whole blocking stage would run twice. Pair rows are
+    # ~16B (uid,uid), so even 285M pairs pin ~5GB in the object store
+    # (spillable), far cheaper than recomputing blocking.
+    pairs = pairs.materialize()
     n_pairs = pairs.count()
     data_parts = max(1, -(-n_pairs * WIDE_ROW_BYTES // TARGET_PARTITION_BYTES))
     num_partitions = max(num_partitions, min(int(data_parts), 4096))

@@ -24,7 +24,17 @@ import pyarrow as pa
 
 import ray.data
 
-_WS_SPLIT = re.compile(r"\s+")
+# RE2's \s class ([\t\n\f\r ]), NOT Python's Unicode \s: the DuckDB
+# oracles split with string_split_regex(..., '\s+') under RE2, so a
+# Unicode-whitespace doc (e.g. U+00A0) must tokenize identically on
+# both sides (ADVICE r4). \v is excluded on purpose — RE2 excludes it.
+_WS_SPLIT = re.compile(r"[\t\n\f\r ]+")
+
+
+def _ws_tokens(s: str) -> list:
+    """ASCII-whitespace tokens of ``s``, empties dropped — parity with
+    ``list_filter(string_split_regex(s, '\\s+'), x -> x <> '')``."""
+    return [x for x in _WS_SPLIT.split(s) if x]
 _PUNCT = re.compile(r"[.!?,;:]")
 _CJK = re.compile(r"[一-鿿぀-ヿ]")
 
@@ -671,7 +681,7 @@ def unigram_logprob(
     from record_matching_ray.functions.hashing import _U64, hash_strings
 
     def tf_partial(t: pa.Table) -> pa.Table:
-        token_lists = [s.lower().split() for s in t.column(text_col).to_pylist()]
+        token_lists = [_ws_tokens(s.lower()) for s in t.column(text_col).to_pylist()]
         flat = hash_strings([tok for toks in token_lists for tok in toks])
         uh, c = np.unique(flat, return_counts=True)
         return pa.table(
@@ -713,7 +723,7 @@ def unigram_logprob(
 
     def score(t: pa.Table) -> pa.Table:
         stoks, slogp = ray.get(ref)
-        token_lists = [s.lower().split() for s in t.column(text_col).to_pylist()]
+        token_lists = [_ws_tokens(s.lower()) for s in t.column(text_col).to_pylist()]
         lens = np.array([len(x) for x in token_lists], dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(lens)])
         flat = hash_strings([tok for toks_ in token_lists for tok in toks_])
@@ -768,7 +778,7 @@ def bm25_scores(
     th = hash_strings(terms)
 
     def stats_partial(t: pa.Table) -> pa.Table:
-        token_lists = [s.lower().split() for s in t.column(text_col).to_pylist()]
+        token_lists = [_ws_tokens(s.lower()) for s in t.column(text_col).to_pylist()]
         lens = np.array([len(x) for x in token_lists], dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(lens)])
         flat = hash_strings([tok for toks in token_lists for tok in toks])
@@ -801,7 +811,7 @@ def bm25_scores(
     )
 
     def score(t: pa.Table) -> pa.Table:
-        token_lists = [s.lower().split() for s in t.column(text_col).to_pylist()]
+        token_lists = [_ws_tokens(s.lower()) for s in t.column(text_col).to_pylist()]
         lens = np.array([len(x) for x in token_lists], dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(lens)])
         flat = hash_strings([tok for toks in token_lists for tok in toks])
@@ -1123,7 +1133,7 @@ def bigram_logprob(
     )
 
     def _flat_bigrams(texts: list[str]):
-        token_lists = [s.lower().split() for s in texts]
+        token_lists = [_ws_tokens(s.lower()) for s in texts]
         lens = np.array([len(x) for x in token_lists], dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(lens)])
         flat = hash_strings([tok for toks in token_lists for tok in toks])
@@ -1252,7 +1262,7 @@ def dsir_logratio(
             [v == target_value for v in t.column(target_col).to_pylist()],
             dtype=bool,
         )
-        token_lists = [s.lower().split() for s in texts]
+        token_lists = [_ws_tokens(s.lower()) for s in texts]
         lens = np.array([len(x) for x in token_lists], dtype=np.int64)
         flat = hash_strings([tok for toks in token_lists for tok in toks])
         tmask = np.repeat(is_t, lens)
@@ -1301,7 +1311,7 @@ def dsir_logratio(
 
     def score(t: pa.Table) -> pa.Table:
         stoks, slp = ray.get(ref)
-        token_lists = [s.lower().split() for s in t.column(text_col).to_pylist()]
+        token_lists = [_ws_tokens(s.lower()) for s in t.column(text_col).to_pylist()]
         lens = np.array([len(x) for x in token_lists], dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(lens)])
         flat = hash_strings([tok for toks_ in token_lists for tok in toks_])
@@ -1467,7 +1477,7 @@ def zipf_slope(docs, text_col: str = "text"):
     from record_matching_ray.stages.util import conformed, round6_sql
 
     def tf_partial(t: pa.Table) -> pa.Table:
-        token_lists = [s.lower().split() for s in t.column(text_col).to_pylist()]
+        token_lists = [_ws_tokens(s.lower()) for s in t.column(text_col).to_pylist()]
         flat = hash_strings([tok for toks in token_lists for tok in toks])
         uh, c = np.unique(flat, return_counts=True)
         return pa.table(
@@ -1565,7 +1575,7 @@ def doc_token_entropy(docs, text_col: str = "text", id_col: str = "doc_id"):
         texts = batch.column(text_col).to_pylist()
         ent = np.empty(len(texts), dtype=np.float64)
         for i, t in enumerate(texts):
-            toks = t.lower().split()
+            toks = _ws_tokens(t.lower())
             n = len(toks)
             if n == 0:
                 ent[i] = 0.0
@@ -1644,7 +1654,7 @@ def source_hapax_ratio(docs, text_col: str = "text", source_col: str = "source")
         texts = batch.column(text_col).to_pylist()
         groups, toks = [], []
         for s, t in zip(srcs_in, texts):
-            ts = t.lower().split()
+            ts = _ws_tokens(t.lower())
             toks.extend(ts)
             groups.extend([s] * len(ts))
         if not toks:

@@ -471,3 +471,54 @@ def test_knn_ivf_pq_composite():
     assert recall >= 0.4, f"IVF-PQ recall@10 = {recall}"
     for key in set(ex) & set(ap):
         assert ex[key] == ap[key]
+
+
+def test_unicode_whitespace_tokenizes_like_re2_oracle(tmp_path, ray_session):
+    """ADVICE r4: docs containing non-ASCII whitespace (U+00A0, U+2003)
+    must tokenize identically in Python and in the RE2 '\\s+' oracle —
+    Python's Unicode \\s would split on them, RE2's would not."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from record_matching_ray.stages.textstats import (
+        DOC_TOKEN_ENTROPY_SQL,
+        SOURCE_HAPAX_SQL,
+        doc_token_entropy,
+        source_hapax_ratio,
+    )
+
+    rows = [
+        (1, "s1", "alpha beta alpha gamma"),
+        (2, "s1", "x y x\ty \u00a0 y \u2003z"),
+        (3, "s2", "plain ascii words only plain"),
+        (4, "s2", ""),
+    ]
+    t = pa.table(
+        {
+            "doc_id": [r[0] for r in rows],
+            "source": [r[1] for r in rows],
+            "text": [r[2] for r in rows],
+        }
+    )
+    path = tmp_path / "documents.parquet"
+    pq.write_table(t, path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    docs = ray.data.read_parquet(str(path))
+
+    def srt(df):
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    got = srt(doc_token_entropy(docs).to_pandas())
+    want = srt(con.execute(DOC_TOKEN_ENTROPY_SQL).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    got = srt(source_hapax_ratio(docs).to_pandas())
+    want = srt(con.execute(SOURCE_HAPAX_SQL).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
