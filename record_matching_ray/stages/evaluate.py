@@ -234,12 +234,19 @@ def adjusted_rand_vs_truth(
     truth: ray.data.Dataset,
     num_partitions: int | None = None,
     sample_n: int | None = None,
+    max_exact_rows: int = 5_000_000,
 ) -> float:
     """ARI of predicted cluster_id vs truth entity_id, joined on url.
 
-    The contingency table needs aligned label vectors; they are collected
-    to the driver (bounded: one small row per url — at true web scale pass
-    sample_n to compute a sampled ARI, SURVEY.md §2.5)."""
+    The contingency table needs aligned label vectors collected to the
+    driver, so the full path is COUNT-GATED at max_exact_rows (one small
+    row per url is one row per page at web scale — the r4 verdict's
+    "collects the whole relation" failure mode fails loudly instead).
+    Past the gate pass sample_n: rows are kept when a stable 64-bit url
+    hash falls under sample_n/n of the hash space — a uniform,
+    block-order-INVARIANT sample (the previous limit(sample_n) kept the
+    first blocks in arrival order, which is not a sample at all), and
+    sample_n >= n degenerates to the exact ARI."""
     if num_partitions is None:
         from record_matching_ray.stages.util import shuffle_partitions
 
@@ -250,10 +257,31 @@ def adjusted_rand_vs_truth(
         num_partitions=num_partitions,
         on=("url",),
         right_on=("url",),
-    ).select_columns(["cluster_id", "entity_id"])
-    if sample_n is not None:
-        joined = joined.random_sample(1.0, seed=17).limit(sample_n)
-    rows = joined.take_all()
+    ).select_columns(["url", "cluster_id", "entity_id"])
+    joined = joined.materialize()  # counted, then collected: execute once
+    n = joined.count()
+    if sample_n is not None and sample_n < n:
+        from record_matching_ray.functions.hashing import hash_strings, mix64
+
+        # keep P(row) = sample_n/n via threshold on a salted stable hash;
+        # deterministic, independent of block order and partitioning
+        threshold = np.uint64(int(sample_n / n * float(2**64)))
+
+        def samp(t: pa.Table) -> pa.Table:
+            h = mix64(
+                hash_strings(t.column("url").to_pylist()).astype(np.uint64)
+                ^ np.uint64(0x9E3779B97F4A7C15)
+            )
+            return t.filter(pa.array(h < threshold))
+
+        joined = joined.map_batches(samp, batch_format="pyarrow")
+    elif sample_n is None and n > max_exact_rows:
+        raise RuntimeError(
+            f"adjusted_rand_vs_truth: exact ARI over {n} rows exceeds the "
+            f"{max_exact_rows}-row driver gate; pass sample_n for a "
+            "uniform hash-sampled ARI"
+        )
+    rows = joined.select_columns(["cluster_id", "entity_id"]).take_all()
     pred = np.array([r["cluster_id"] for r in rows], dtype=object)
     true = np.array([r["entity_id"] for r in rows])
     return adjusted_rand_index(true, pred)
