@@ -508,7 +508,7 @@ def top_tokens(
         .rename_columns({"sum(cnt)": "cnt"})
     )
     top = totals.sort(key=["cnt", "token"], descending=[True, False]).limit(k)
-    rows = top.take_all()
+    rows = top.take_all()  # bounded: limit(k) rows reach the driver
     return ray.data.from_arrow(
         pa.table(
             {
@@ -557,10 +557,17 @@ def misra_gries_topk(
             }
         )
 
+    from record_matching_ray.stages.util import streamed_rows
+
+    # one <=capacity-row partial per input block: streamed, never
+    # materialized — at 10^6 blocks take_all() would hold 10^6 x capacity
+    # rows on the driver (VERDICT r4 task 8)
     merged: dict[str, int] = {}
-    for row in docs.select_columns([text_col]).map_batches(
-        partial, batch_format="pyarrow"
-    ).take_all():
+    for row in streamed_rows(
+        docs.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow"
+        )
+    ):
         tok, c = row["token"], int(row["cnt"])
         merged[tok] = merged.get(tok, 0) + c
     if len(merged) > capacity:
@@ -591,9 +598,15 @@ def approx_quantiles_invariant(
         batch_format="pyarrow",
     )
     q_lo, q_hi = max(0.0, q - 0.02), min(1.0, q + 0.02)
+    from record_matching_ray.stages.util import bounded_take_all
+
     rows = {
         round(r["q"], 6): int(r["value"])
-        for r in group_quantiles(one, "g", value_col, qs=(q_lo, q, q_hi)).take_all()
+        for r in bounded_take_all(
+            group_quantiles(one, "g", value_col, qs=(q_lo, q, q_hi)),
+            16,  # one constant group x 3 quantiles
+            "approx_quantiles_invariant",
+        )
     }
     n = ds.count()
     exact = rows[round(q, 6)]
@@ -640,10 +653,14 @@ def approx_distinct(
         np.maximum.at(regs, idx, rank)
         return pa.table({"regs": pa.array([regs.tolist()], pa.list_(pa.int64()))})
 
+    from record_matching_ray.stages.util import streamed_rows
+
+    # one m-register partial per input block: streamed fold, constant
+    # driver memory (take_all() would hold every block's registers)
     regs = np.zeros(m, dtype=np.int64)
-    for row in ds.select_columns([col]).map_batches(
-        partial, batch_format="pyarrow"
-    ).take_all():
+    for row in streamed_rows(
+        ds.select_columns([col]).map_batches(partial, batch_format="pyarrow")
+    ):
         regs = np.maximum(regs, np.asarray(row["regs"], dtype=np.int64))
     # HLL estimate with small-range correction
     alpha = 0.7213 / (1 + 1.079 / m)
@@ -1024,7 +1041,9 @@ def source_token_kl(
     ).materialize()
 
     # group totals: vocabulary-row partials -> #groups rows on the driver
-    ns_rows = (
+    from record_matching_ray.stages.util import bounded_take_all
+
+    ns_rows = bounded_take_all(
         parts.map_batches(
             lambda t: pa.TableGroupBy(t.select(["g", "c"]), ["g"])
             .aggregate([("c", "sum")])
@@ -1032,8 +1051,9 @@ def source_token_kl(
             batch_format="pyarrow",
         )
         .groupby("g")
-        .sum("c")
-        .take_all()
+        .sum("c"),
+        1_000_000,  # one row per distinct group key (source / lang)
+        "per-group token totals",
     )
     ns_map = {r["g"]: float(r["sum(c)"]) for r in ns_rows}
     n_total = float(sum(ns_map.values()))
@@ -1391,12 +1411,17 @@ def count_min_sketch(
             }
         )
 
+    from record_matching_ray.stages.util import streamed_rows
+
+    # one (depth x width) partial sketch per input block: streamed fold,
+    # constant driver memory (take_all() at 10^6 blocks would hold
+    # ~blocks x depth x width x 8B at once)
     sk = np.zeros((depth, width), dtype=np.int64)
     total = 0
-    for row in (
-        docs.select_columns([text_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .take_all()
+    for row in streamed_rows(
+        docs.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow"
+        )
     ):
         sk += np.asarray(row["sk"], dtype=np.int64).reshape(depth, width)
         total += int(row["n"])
@@ -1431,7 +1456,7 @@ def count_min_topk_check(
     exactly — a sketch failure flips ok and fails the value hash."""
     import ray.data as rd
 
-    exact = top_tokens(docs, k=k, text_col=text_col).take_all()
+    exact = top_tokens(docs, k=k, text_col=text_col).take_all()  # k rows
     sk, total = count_min_sketch(docs, text_col=text_col, depth=depth, width=width)
     toks = [r["token"] for r in exact]
     est = count_min_estimate(sk, toks, depth=depth, width=width)
@@ -1506,11 +1531,14 @@ def zipf_slope(docs, text_col: str = "text"):
              "k": pa.array(k.astype(np.int64), pa.int64())}
         )
 
-    hist_rows = (
+    from record_matching_ray.stages.util import bounded_take_all
+
+    hist_rows = bounded_take_all(
         tf.map_batches(hist_partial, batch_format="pyarrow")
         .groupby("c")
-        .sum("k")
-        .take_all()
+        .sum("k"),
+        1_000_000,  # one row per DISTINCT frequency value (<< vocabulary)
+        "token frequency histogram",
     )
     cs = np.array([r["c"] for r in hist_rows], dtype=np.int64)
     ks = np.array([r.get("sum(k)", r.get("k")) for r in hist_rows], dtype=np.int64)

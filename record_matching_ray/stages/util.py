@@ -109,3 +109,31 @@ def round6_sql(x):
 
     x = np.asarray(x, dtype=np.float64)
     return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def bounded_take_all(
+    ds: ray.data.Dataset, bound: int, what: str
+) -> list[dict]:
+    """take_all with a COUNTED driver gate (VERDICT r4 task 8): callers
+    that collect a "small" relation (per-group partials, top-k, moment
+    rows) state their bound, and a widened input fails loudly instead of
+    silently materializing on the driver. The dataset is materialized
+    once — count() then take_all() reuse the same blocks."""
+    ds = ds.materialize()
+    n = ds.count()
+    if n > bound:
+        raise RuntimeError(
+            f"{what}: {n} rows exceed the declared driver bound {bound}; "
+            "this collect is only safe for bounded relations — widen the "
+            "bound only with a matching memory argument"
+        )
+    return ds.take_all()
+
+
+def streamed_rows(ds: ray.data.Dataset):
+    """Driver-side STREAMING row iterator for fold-at-driver sketches
+    (Misra-Gries, count-min, HLL register maxima): constant driver
+    memory — one batch in flight — where take_all() would materialize
+    one partial-sketch row per input block (10^6 blocks at web scale)."""
+    for t in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        yield from t.to_pylist()

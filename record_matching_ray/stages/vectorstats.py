@@ -210,7 +210,13 @@ def pca_fit(
     (d is an embedding dimension, trivially driver-sized). Deterministic
     sign convention: each component's largest-|entry| coordinate is
     positive. Returns (components [k, d] row-major, eigvals [k] desc)."""
-    rows = embedding_covariance(embs, emb_col=emb_col).take_all()
+    from record_matching_ray.stages.util import bounded_take_all
+
+    rows = bounded_take_all(
+        embedding_covariance(embs, emb_col=emb_col),
+        9_000_000,  # d(d+1)/2 moment rows; d <= 4096 stays under this
+        "pca_fit covariance moments",
+    )
     d = max(int(r["j"]) for r in rows)
     C = np.zeros((d, d), dtype=np.float64)
     for r in rows:
@@ -269,7 +275,13 @@ def pca_check(
     total_var is the SQL-recomputable trace (sum of rounded per-dim
     variances); any violation flips ok and fails the value hash."""
     comps, vals = pca_fit(embs, k, emb_col=emb_col)
-    diag = embedding_covariance(embs, emb_col=emb_col).take_all()
+    from record_matching_ray.stages.util import bounded_take_all
+
+    diag = bounded_take_all(
+        embedding_covariance(embs, emb_col=emb_col),
+        9_000_000,  # d(d+1)/2 moment rows
+        "pca_check covariance moments",
+    )
     total_var = round(
         float(sum(r["cov"] for r in diag if r["i"] == r["j"])), 6
     )
@@ -305,7 +317,7 @@ def pca_check(
             ray.data.aggregate.Sum("s"),
             ray.data.aggregate.Sum("s2"),
         )
-        .take_all()
+        .take_all()  # bounded: one row per projected rank (k rows)
     )
     var_by_rank = {}
     for r in parts:

@@ -76,3 +76,18 @@ def test_embedding_covariance_matches_numpy():
     for r in out.itertuples(index=False):
         assert r.n == n
         assert abs(r.cov - ref[r.i - 1, r.j - 1]) < 2e-6, (r.i, r.j)
+
+
+def test_bounded_take_all_over_bound_fails_loudly(ray_session):
+    """VERDICT r4 task 8: driver collects declare their bound and fail
+    loudly when a widened input exceeds it."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from record_matching_ray.stages.util import bounded_take_all
+
+    ds = rd.from_arrow(pa.table({"x": list(range(100))}))
+    assert len(bounded_take_all(ds, 100, "test")) == 100
+    with _pytest.raises(RuntimeError, match="declared driver bound"):
+        bounded_take_all(ds, 99, "test")
