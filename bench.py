@@ -376,6 +376,41 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return times
 
 
+def run_reference_repro() -> dict | None:
+    """Reference-workload reproduction leg (VERDICT r4 missing #1): the
+    bibliographic corpus reconstructed from the reference snapshot's
+    resolved_entities.csv, run through the standard ER chain via the
+    record->fields adapter (sources/bibliographic.py). Reports wall time
+    + pairwise F1/ARI next to the reference's published block
+    (F1 0.9587 / P 0.9974 / 316 clusters). None when the reference
+    snapshot is not present."""
+    from record_matching_ray.sources.bibliographic import (
+        DEFAULT_CSV,
+        run_biblio_er,
+    )
+
+    if not os.path.exists(DEFAULT_CSV):
+        return None
+    t0 = time.time()
+    res = run_biblio_er()
+    elapsed = round(time.time() - t0, 3)
+    m, ma = res["metrics"], res["metrics_all"]
+    return {
+        "elapsed_s": elapsed,
+        "pages": res["n_pages"],
+        "clusters": res["n_clusters"],
+        "tau": res["tau"],
+        "f1_within_key": round(m.f1, 4),
+        "precision_within_key": round(m.precision, 4),
+        "recall_within_key": round(m.recall, 4),
+        "f1_all_true": round(ma.f1, 4),
+        "ari_final": round(res["ari"], 4),
+        "ari_name_pass": round(res["ari_name_pass"], 4),
+        "reference_published": {"f1": 0.9587, "precision": 0.9974,
+                                "recall": 0.9230, "clusters": 316},
+    }
+
+
 def main_bench() -> None:
     _init_ray(NUM_CPUS)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -391,6 +426,9 @@ def main_bench() -> None:
     qtimes["er_pages_incremental"] = incremental["elapsed_s"]
     adversarial = run_scorer_adversarial(NUM_CPUS)
     qtimes["scorer_unique_names"] = adversarial["elapsed_s"]
+    repro = run_reference_repro()
+    if repro is not None:
+        qtimes["reference_repro"] = repro["elapsed_s"]
     total = round(time.time() - t_start, 3)
     out = {
         "metric": "end-to-end seconds (headline queries + flagship pages-ER)",
@@ -403,6 +441,7 @@ def main_bench() -> None:
         "flagship_joinplan": joinplan,
         "flagship_incremental": incremental,
         "scorer_adversarial": adversarial,
+        "reference_repro": repro,
     }
     print(json.dumps(out))
     import ray
