@@ -226,3 +226,67 @@ def test_fold_candidate_pairs_overflow_property(rows, overflows):
         assert len(sent) == 1 and sent.iloc[0]["overflow"] == total
     else:
         assert len(sent) == 0
+
+
+# --- round-5 additions ------------------------------------------------------
+
+doc_texts = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=60),
+    min_size=2, max_size=12,
+)
+
+
+@given(doc_texts)
+@settings(max_examples=30, deadline=None)
+def test_lsa_encoder_properties(texts):
+    """Unit norm (or exactly zero for vocab-less docs), determinism, and
+    batch-split invariance — encode([a,b]) == encode([a]) + encode([b])."""
+    from record_matching_ray.functions.encoder import LsaEncoder
+
+    enc = LsaEncoder.fit(texts, dim=4)
+    V = enc.encode(texts)
+    assert V.shape == (len(texts), 4)
+    norms = np.linalg.norm(V, axis=1)
+    assert np.all((np.abs(norms - 1.0) < 1e-5) | (norms == 0.0))
+    # batch-split invariance: per-row encoding is independent
+    split = np.concatenate([enc.encode(texts[:1]), enc.encode(texts[1:])])
+    assert np.array_equal(V, split)
+    # refit determinism
+    assert np.array_equal(LsaEncoder.fit(texts, dim=4).encode(texts), V)
+
+
+@given(st.integers(10, 200), st.integers(1, 5), st.integers(0, 2**31 - 1))
+@settings(max_examples=20, deadline=None)
+def test_ari_hash_sample_threshold_monotone(n, k, seed):
+    """The hash-threshold sample used by adjusted_rand_vs_truth keeps a
+    NESTED subset as sample_n grows (threshold monotonicity) — the
+    property that makes the sample consistent across re-runs at
+    different sizes, unlike limit()."""
+    from record_matching_ray.functions.hashing import hash_strings, mix64
+
+    urls = [f"https://s{seed}.e{i}.com/p" for i in range(n)]
+    h = mix64(
+        hash_strings(urls).astype(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15)
+    )
+    lo = np.uint64(int(0.3 * 2**64))
+    hi = np.uint64(int(0.7 * 2**64))
+    small = set(np.asarray(urls, dtype=object)[h < lo])
+    large = set(np.asarray(urls, dtype=object)[h < hi])
+    assert small <= large
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=400),
+    st.integers(1, 6),
+)
+@settings(max_examples=50, deadline=None)
+def test_streamed_rows_equals_take_all(values, nparts):
+    from record_matching_ray.stages.util import streamed_rows
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"x": values})).repartition(nparts)
+    got = sorted(r["x"] for r in streamed_rows(ds))
+    assert got == sorted(values)
