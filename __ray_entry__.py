@@ -3804,6 +3804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_interarrival_cv": lambda sf: __import__("record_matching_ray.pipelines.analytics", fromlist=["a"]).user_interarrival_cv(sf),
         "zipf_slope_docs": _zipf_slope_docs,
         "bfs_name_graph": _bfs_name_graph,
+        "neardup_graph_modularity": _neardup_graph_modularity,
         "events_value_auc": _events_value_auc,
         "events_value_calibration": _events_value_calibration,
         "weighted_jaccard_docs": _weighted_jaccard_docs,
@@ -4168,6 +4169,46 @@ def _bfs_name_graph(sf_dir: str):
     source = pairs.min("left")
     return bfs_hops(edges, source, max_hops=8)
 
+
+def _neardup_graph_modularity(sf_dir: str):
+    """Newman modularity of the component partition of the documents
+    near-dup similarity graph (stages/graph.component_modularity over
+    the exact-Jaccard>=0.5 candidate pairs): the "how fragmented is the
+    duplicate graph" curation scalar. Q = 1 - sum_c (m_c/m)^2 exactly,
+    since components have no cut edges — all-integer to one final
+    division, so the recursive-CTE oracle matches to round-6."""
+    from record_matching_ray.stages.dedup import ngram_jaccard_pairs
+    from record_matching_ray.stages.graph import component_modularity
+
+    pairs = ngram_jaccard_pairs(_docs(sf_dir))
+    return component_modularity(pairs.select_columns(["left", "right"]))
+
+
+_NEARDUP_GRAPH_MODULARITY_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + """,
+    e AS (SELECT l AS s, r AS d FROM jac WHERE jaccard >= 0.5),
+    und AS (SELECT s AS a, d AS b FROM e UNION ALL SELECT d, s FROM e),
+    ns AS (SELECT DISTINCT a AS n FROM und),
+    reach(n, lbl) AS (
+      SELECT n, n FROM ns
+      UNION
+      SELECT und.a, reach.lbl FROM und JOIN reach ON reach.n = und.b
+    ),
+    comp AS (SELECT n, MIN(lbl) AS comp FROM reach GROUP BY n),
+    per AS (
+      SELECT c.comp, COUNT(*) AS mc FROM e JOIN comp c ON e.s = c.n
+      GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS m FROM e)
+    SELECT CAST(tot.m AS BIGINT) AS m_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           round(1.0 - SUM(CAST(per.mc AS DOUBLE) * per.mc)
+                       / (CAST(tot.m AS DOUBLE) * tot.m), 6) AS modularity
+    FROM per, tot GROUP BY tot.m
+"""
+)
 
 _BFS_NAME_GRAPH_SQL = """
 WITH RECURSIVE nm AS (SELECT c_custkey AS k, c_name AS n FROM customer),
@@ -5555,6 +5596,7 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "user_interarrival_cv": an.USER_INTERARRIVAL_CV_SQL,
         "zipf_slope_docs": _zipf_sql(),
         "bfs_name_graph": _BFS_NAME_GRAPH_SQL,
+        "neardup_graph_modularity": _NEARDUP_GRAPH_MODULARITY_SQL,
         "events_value_auc": _EVENTS_VALUE_AUC_SQL,
         "events_value_calibration": _EVENTS_VALUE_CALIBRATION_SQL,
         "weighted_jaccard_docs": _WEIGHTED_JACCARD_SQL,

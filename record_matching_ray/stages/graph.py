@@ -879,3 +879,106 @@ def local_clustering_coefficient(
         )
 
     return conformed(wide.map_batches(finalize, batch_format="pyarrow"), OUT)
+
+
+def component_modularity(
+    edges: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Newman modularity of the connected-component partition of an
+    undirected simple graph — the standard "how clustered is this
+    similarity graph" quality scalar next to triangles / clustering
+    coefficient.
+
+    Components have zero cut edges, so the general
+    Q = sum_c (e_c/m - (d_c/2m)^2) collapses EXACTLY to
+    Q = 1 - sum_c (m_c/m)^2 with m_c the per-component edge count —
+    all-integer until one final division, so the SQL oracle (recursive
+    component CTE + the identical expression) matches to round-6.
+
+    Shuffle shape: one distributed CC pass, one hash join tagging each
+    edge with its LEFT endpoint's component (both endpoints share it by
+    definition), a per-batch partial count per component, and a global
+    sum of squares — per-component rows never reach the driver; only
+    (sum m_c^2, n_components, m) do. Emits one row
+    (m_edges, n_components, modularity)."""
+    from record_matching_ray.stages.clustering import connected_components
+    from record_matching_ray.stages.util import conformed, shuffle_partitions
+
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+    edges = edges.select_columns(["left", "right"]).materialize()
+    m = edges.count()
+    schema = pa.schema(
+        [
+            ("m_edges", pa.int64()),
+            ("n_components", pa.int64()),
+            ("modularity", pa.float64()),
+        ]
+    )
+    if m == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"m_edges": pa.array([0], pa.int64()),
+                 "n_components": pa.array([0], pa.int64()),
+                 "modularity": pa.array([0.0], pa.float64())}
+            )
+        )
+    labels = connected_components(edges).rename_columns(
+        {"url": "left", "cluster_id": "comp"}
+    )
+    tagged = edges.join(
+        labels, join_type="inner", num_partitions=num_partitions,
+        on=("left",), right_on=("left",),
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["comp"]), ["comp"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["comp", "mc"])
+
+    per_comp = (
+        tagged.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("comp")
+        .sum("mc")
+    )
+
+    def sq_partial(t: pa.Table) -> pa.Table:
+        mc = t.column("sum(mc)").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sq_exact = int((mc.astype(object) ** 2).sum())  # unbounded ints
+        if sq_exact > (1 << 62):
+            # sum of m_c^2 <= m^2: crossing 2^62 needs a >1.5e9-edge
+            # component — fail loudly rather than silently wrap (the
+            # engine's exact-integer convention; widen to a 2-limb
+            # representation if such graphs ever matter)
+            raise OverflowError(
+                "component_modularity: sum(m_c^2) exceeds the int64 "
+                "partial-sum budget"
+            )
+        return pa.table(
+            {
+                "sq": pa.array([sq_exact], pa.int64()),
+                "nc": pa.array([len(mc)], pa.int64()),
+            }
+        )
+
+    parts = per_comp.map_batches(sq_partial, batch_format="pyarrow")
+    sq = parts.sum("sq")
+    nc = parts.sum("nc")
+    from record_matching_ray.stages.util import round6_sql
+
+    q = round6_sql(np.array([1.0 - sq / (float(m) * float(m))]))[0]
+    return conformed(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "m_edges": pa.array([m], pa.int64()),
+                    "n_components": pa.array([int(nc)], pa.int64()),
+                    "modularity": pa.array([q], pa.float64()),
+                }
+            )
+        ),
+        schema,
+    )
