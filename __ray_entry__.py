@@ -3805,6 +3805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope_docs": _zipf_slope_docs,
         "bfs_name_graph": _bfs_name_graph,
         "neardup_graph_modularity": _neardup_graph_modularity,
+        "source_blocking_cost": _source_blocking_cost,
         "events_value_auc": _events_value_auc,
         "events_value_calibration": _events_value_calibration,
         "weighted_jaccard_docs": _weighted_jaccard_docs,
@@ -4168,6 +4169,29 @@ def _bfs_name_graph(sf_dir: str):
     )
     source = pairs.min("left")
     return bfs_hops(edges, source, max_hops=8)
+
+
+def _source_blocking_cost(sf_dir: str):
+    """Blocking-key cost/skew diagnostics for the documents `source` key
+    (stages/blocking.blocking_cost_stats): n_blocks, max block size,
+    expected candidate pairs sum s(s-1)/2 — the exact O(|B|^2) volume
+    the key implies — and the Shannon entropy (nats) of the block-size
+    distribution. The pre-pairing skew audit behind SURVEY §7.5's
+    salting/cap design (reference cautionary tale poc1:1556-1559)."""
+    from record_matching_ray.stages.blocking import blocking_cost_stats
+
+    return blocking_cost_stats(_docs_with_source(sf_dir), "source")
+
+
+_SOURCE_BLOCKING_COST_SQL = """
+WITH s AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM s)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(MAX(c) AS BIGINT) AS max_block,
+       CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS expected_pairs,
+       round(ln(tot.n) - SUM(c * ln(c)) / tot.n, 6) AS entropy
+FROM s, tot GROUP BY tot.n
+"""
 
 
 def _neardup_graph_modularity(sf_dir: str):
@@ -5597,6 +5621,7 @@ SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
         "zipf_slope_docs": _zipf_sql(),
         "bfs_name_graph": _BFS_NAME_GRAPH_SQL,
         "neardup_graph_modularity": _NEARDUP_GRAPH_MODULARITY_SQL,
+        "source_blocking_cost": _SOURCE_BLOCKING_COST_SQL,
         "events_value_auc": _EVENTS_VALUE_AUC_SQL,
         "events_value_calibration": _EVENTS_VALUE_CALIBRATION_SQL,
         "weighted_jaccard_docs": _WEIGHTED_JACCARD_SQL,

@@ -1098,3 +1098,88 @@ def block_size_stats(
             ).sum()
         ),
     }
+
+
+def blocking_cost_stats(
+    ds: ray.data.Dataset, key_col: str
+) -> ray.data.Dataset:
+    """Blocking-key cost/skew diagnostics — the numbers that predict
+    whether a candidate key is usable BEFORE generating any pairs:
+    per-block sizes s_b via the partial-count pattern, then one row
+    (n_blocks, max_block, expected_pairs = sum s_b(s_b-1)/2 — the exact
+    O(|B|^2) candidate volume the key implies — and the Shannon entropy
+    (nats, round-6) of the block-size distribution: low entropy = a few
+    head blocks dominate = salt or cap before pairing; SURVEY §7.5
+    "skew" hard part, reference cautionary tale poc1:1556-1559).
+
+    Shuffle: one groupby over per-batch count partials; the per-block
+    relation reduces to four scalars by a second partial pass — block
+    rows never reach the driver."""
+    from record_matching_ray.stages.util import conformed, round6_sql
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select([key_col]), [key_col]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns([key_col, "c"])
+
+    sizes = (
+        ds.select_columns([key_col])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum("c")
+    )
+
+    def fold_partial(t: pa.Table) -> pa.Table:
+        s = t.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_blocks": pa.array([len(s)], pa.int64()),
+                "max_block": pa.array(
+                    [int(s.max()) if len(s) else 0], pa.int64()
+                ),
+                "pairs": pa.array(
+                    [int((s.astype(object) * (s - 1) // 2).sum())], pa.int64()
+                ),
+                "n_rows": pa.array([int(s.sum())], pa.int64()),
+                # entropy partial: sum s*ln(s) folds exactly across
+                # batches; H = ln(N) - sum(s ln s)/N derives at the end
+                "slns": pa.array(
+                    [float((s * np.log(np.maximum(s, 1))).sum())],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    parts = sizes.map_batches(fold_partial, batch_format="pyarrow")
+    n_blocks = parts.sum("n_blocks")
+    max_block = parts.max("max_block")
+    pairs = parts.sum("pairs")
+    n_rows = parts.sum("n_rows")
+    slns = parts.sum("slns")
+    ent = 0.0
+    if n_rows:
+        ent = float(np.log(n_rows) - slns / n_rows)
+    schema = pa.schema(
+        [
+            ("n_blocks", pa.int64()),
+            ("max_block", pa.int64()),
+            ("expected_pairs", pa.int64()),
+            ("entropy", pa.float64()),
+        ]
+    )
+    return conformed(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_blocks": pa.array([int(n_blocks or 0)], pa.int64()),
+                    "max_block": pa.array([int(max_block or 0)], pa.int64()),
+                    "expected_pairs": pa.array([int(pairs or 0)], pa.int64()),
+                    "entropy": pa.array(
+                        round6_sql(np.array([ent])), pa.float64()
+                    ),
+                }
+            )
+        ),
+        schema,
+    )
